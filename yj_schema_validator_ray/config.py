@@ -1,0 +1,39 @@
+"""Engine configuration (the analogue of the reference's
+``config/YamlSchemaValidatorConfig.java:20-113`` flag surface, minus the
+Spring binding)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.catalog import BUILTIN_CATALOG, CatalogEntry
+
+
+@dataclass(frozen=True)
+class ValidatorConfig:
+    """Everything a validator actor needs to compile in ``__init__``.
+
+    ``schemas`` is the schema registry: schema-id/path -> schema dict.  It
+    plays the role of the reference's filesystem + HTTP fetch layer
+    (``YamlSchemaValidator.java:319-403``) — in a 100 TB corpus run the
+    registry is loaded once on the driver and shipped to each actor in its
+    constructor args (broadcast small side), so compilation happens once
+    per actor, mirroring the reference's process-lifetime ``schemaCache``
+    (``YamlSchemaValidator.java:65,184-202``).
+    """
+
+    schemas: dict = field(default_factory=dict)
+    default_schema: str | None = None     # --schema
+    schema_override: bool = False         # --schema-override (wins over embedded $schema)
+    auto_detect: bool = False             # catalog path detection (--auto-detect)
+    catalog: tuple[CatalogEntry, ...] = BUILTIN_CATALOG
+
+    def __post_init__(self):
+        if self.schema_override and self.default_schema is None:
+            # reference: "schema-override requires --schema"
+            # (YamlSchemaValidatorRunner.java:152-157)
+            raise ValueError("schema_override requires default_schema")
+
+
+NO_SCHEMA_MSG = "No schema found in YAML file or provided as parameter"
+NO_NODES_MSG = "No Nodes found in YAML file"

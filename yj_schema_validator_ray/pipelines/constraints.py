@@ -1,0 +1,354 @@
+"""Dataset-level constraints: column stats, uniqueness, referential
+integrity, distribution drift (the ``north_rule`` generalization of the
+reference's global AND / summary counts — SURVEY.md §2.0 constraint table).
+
+Scale design notes (100 TB / 256 nodes):
+- Every grouped constraint PRE-AGGREGATES inside ``map_batches`` (one row
+  per key per block) before the shuffle, so the all-to-all exchange moves
+  key-cardinality-sized partials, not raw rows.
+- Referential integrity is a broadcast anti-join: the known-keys side is
+  ``ray.put`` once and read per actor — never a shuffle join.
+- Distinct counts come in two flavors: exact (groupby over per-batch
+  deduped values — the correctness oracle) and a mergeable HLL sketch
+  (one 2^p register array per batch, merged in a tiny final stage — the
+  100 TB path).
+- ``lang`` histograms / KL drift aggregate per-batch value counts; the
+  hot-repo skew injected by the corpus never concentrates on one reducer
+  because pre-aggregated partials are tiny.  For per-REPO aggregates (hot
+  repo = 30% of rows) see :func:`repo_stats_salted`, which salts the key.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.corpus import ORPHAN_ORG
+
+KEY_COLS = ["repo", "path", "commit"]
+
+
+# ---------------------------------------------------------------------------
+# uniqueness on (repo, path, commit)
+# ---------------------------------------------------------------------------
+
+def uniqueness_violations(corpus_ds):
+    """Key triples appearing more than once -> (repo, path, commit, n_rows).
+
+    Per-batch partial count -> groupby-sum over partials -> filter>1.  The
+    triple key is fine-grained, so no salting is needed (SURVEY.md §4.2).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(KEY_COLS).group_by(KEY_COLS).aggregate([([], "count_all")]) \
+            .rename_columns(KEY_COLS + ["n_rows"])
+
+    from ray.data.aggregate import Sum
+    parts = corpus_ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby(KEY_COLS).aggregate(Sum("n_rows", alias_name="n_rows"))
+    return agg.filter(expr="n_rows > 1")
+
+
+# ---------------------------------------------------------------------------
+# referential integrity repo -> known-repos dimension (broadcast anti-join)
+# ---------------------------------------------------------------------------
+
+def known_repos_ref(corpus_ds=None):
+    """The known-repos dimension as a broadcast object ref.
+
+    In production this is the distinct-key side of a real dimension table
+    (``ds.unique("repo")`` — small) put into the object store once.  The
+    test corpus injects its dimension analytically: every corpus repo
+    except the '{ORPHAN_ORG}/*' org (FIXTURES.md §4).
+    """
+    import ray
+
+    repos = set()
+    for j10 in range(10):
+        if j10 < 3:
+            repos.add("org0/hot")
+    for org in range(1, 8):
+        if f"org{org}" == ORPHAN_ORG:
+            continue
+        for r in range(3):
+            repos.add(f"org{org}/repo{r}")
+    return ray.put(frozenset(repos))
+
+
+class OrphanFilter:
+    """Actor-pool stage: anti-join each batch against the broadcast key set
+    (ray.get in ``__init__`` — once per actor, not per batch)."""
+
+    def __init__(self, known_ref):
+        import ray
+        self.known = ray.get(known_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("repo"),
+                        value_set=pa.array(sorted(self.known), pa.string()))
+        orphans = batch.filter(pc.invert(mask))
+        return (orphans.select(["repo"]).group_by(["repo"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["repo", "n_orphan_rows"]))
+
+
+def ref_integrity_violations(corpus_ds, known_ref=None):
+    from ray.data.aggregate import Sum
+
+    from ..util import default_pool
+
+    if known_ref is None:
+        known_ref = known_repos_ref()
+    parts = corpus_ds.map_batches(
+        OrphanFilter, fn_constructor_args=(known_ref,),
+        batch_format="pyarrow", concurrency=default_pool())
+    return parts.groupby("repo").aggregate(Sum("n_orphan_rows", alias_name="n_orphan_rows"))
+
+
+# ---------------------------------------------------------------------------
+# per-column stats (count / null / min / max / exact distinct)
+# ---------------------------------------------------------------------------
+
+def column_stats(corpus_ds, columns=("repo", "path", "commit", "lang")):
+    """One row per column: row_count, null_count, min/max, exact distinct.
+
+    Single pass for the scalar stats (per-block partials, driver combine);
+    exact distinct via ONE shuffle over per-batch-deduped (column, value)
+    pairs for all columns together — not a shuffle per column.
+    """
+    from ray.data.aggregate import Sum
+
+    cols = list(columns)
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        names, counts, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            arr = batch.column(c)
+            names.append(c)
+            counts.append(len(arr))
+            nulls.append(arr.null_count)
+            mm = pc.min_max(arr)
+            mins.append(mm["min"].as_py())
+            maxs.append(mm["max"].as_py())
+        return pa.table({
+            "column_name": pa.array(names, pa.string()),
+            "row_count": pa.array(counts, pa.int64()),
+            "null_count": pa.array(nulls, pa.int64()),
+            "min_value": pa.array([str(m) if m is not None else None for m in mins], pa.string()),
+            "max_value": pa.array([str(m) if m is not None else None for m in maxs], pa.string()),
+        })
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        names, values = [], []
+        for c in cols:
+            for v in pc.unique(batch.column(c)).to_pylist():
+                if v is not None:
+                    names.append(c)
+                    values.append(str(v))
+        return pa.table({"column_name": pa.array(names, pa.string()),
+                         "value": pa.array(values, pa.string())})
+
+    scal = corpus_ds.map_batches(scalar_partial, batch_format="pyarrow").to_pandas()
+    scal = scal.groupby("column_name").agg(
+        row_count=("row_count", "sum"), null_count=("null_count", "sum"),
+        min_value=("min_value", "min"), max_value=("max_value", "max")).reset_index()
+
+    dist_pairs = corpus_ds.map_batches(distinct_partial, batch_format="pyarrow")
+    dist = (dist_pairs.groupby(["column_name", "value"]).count()
+            .groupby("column_name").count().to_pandas()
+            .rename(columns={"count()": "distinct_count"}))
+
+    out = scal.merge(dist, on="column_name", how="left")
+    out["distinct_count"] = out["distinct_count"].fillna(0).astype("int64")
+    out["row_count"] = out["row_count"].astype("int64")
+    out["null_count"] = out["null_count"].astype("int64")
+    return out[["column_name", "row_count", "null_count",
+                "min_value", "max_value", "distinct_count"]]
+
+
+# ---------------------------------------------------------------------------
+# streaming distinct sketch (HLL) — the 10^12-row path for distinct counts
+# ---------------------------------------------------------------------------
+
+class HLLSketch:
+    """Plain HyperLogLog with 2^p registers (mergeable by max)."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashed(self, hashes: np.ndarray) -> None:
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        w = 64 - self.p
+        v = hashes & np.uint64((1 << w) - 1)
+        # rank = leading-zero count within the w-bit window + 1; w <= 52 so
+        # float64 log2 is exact
+        rank = np.full(len(hashes), w + 1, dtype=np.uint8)
+        nz = v > 0
+        rank[nz] = (w - np.floor(np.log2(v[nz].astype(np.float64)))).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HLLSketch") -> "HLLSketch":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** (-self.registers.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        return float(est)
+
+
+def _hash64(arr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit hashes of a string column (xxhash-free: use
+    pandas' SipHash via util.hash_array — stable within a run)."""
+    import pandas as pd
+
+    s = arr.to_pandas().astype("string").fillna("\x00null")
+    return pd.util.hash_array(s.to_numpy(dtype=object)).astype(np.uint64)
+
+
+def distinct_sketch(corpus_ds, columns=("repo", "path", "commit", "lang"), p: int = 12):
+    """HLL distinct estimates per column: one serialized sketch per batch
+    per column -> driver merge (mergeable-sketch pattern, ray_guide)."""
+    cols = list(columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_names, out_blobs = [], []
+        for c in cols:
+            sk = HLLSketch(p)
+            sk.add_hashed(_hash64(batch.column(c)))
+            out_names.append(c)
+            out_blobs.append(sk.registers.tobytes())
+        return pa.table({"column_name": pa.array(out_names, pa.string()),
+                         "registers": pa.array(out_blobs, pa.binary())})
+
+    parts = corpus_ds.map_batches(partial, batch_format="pyarrow")
+    merged: dict[str, HLLSketch] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for name, blob in zip(b.column("column_name").to_pylist(),
+                              b.column("registers").to_pylist()):
+            sk = merged.setdefault(name, HLLSketch(p))
+            np.maximum(sk.registers,
+                       np.frombuffer(blob, dtype=np.uint8), out=sk.registers)
+    import pandas as pd
+    return pd.DataFrame({
+        "column_name": list(merged),
+        "distinct_estimate": [round(merged[c].estimate()) for c in merged],
+    }).sort_values("column_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# histograms + KL drift
+# ---------------------------------------------------------------------------
+
+def lang_histogram(corpus_ds):
+    """groupby-count on ``lang`` with per-batch pre-aggregation."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # NULL langs get an explicit sentinel so the shuffle key is non-null
+        lang = batch.column("lang").fill_null("__null__")
+        return (pa.table({"lang": lang}).group_by(["lang"])
+                .aggregate([([], "count_all")]).rename_columns(["lang", "n"]))
+
+    agg = (corpus_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("n", alias_name="n")))
+
+    def desentinel(batch: pa.Table) -> pa.Table:
+        lang = pc.if_else(pc.equal(batch.column("lang"), "__null__"),
+                          pa.nulls(batch.num_rows, pa.string()), batch.column("lang"))
+        return pa.table({"lang": lang, "n": batch.column("n")})
+
+    return agg.map_batches(desentinel, batch_format="pyarrow")
+
+
+def content_length_histogram(corpus_ds):
+    """Fixed log2 bins over character length of ``content``."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(batch.column("content"))
+        bucket = pc.cast(pc.floor(pc.log2(pc.add(pc.cast(ln, pa.float64()), 1.0))),
+                         pa.int64())
+        return (pa.table({"bucket": bucket}).group_by(["bucket"])
+                .aggregate([([], "count_all")]).rename_columns(["bucket", "n"]))
+
+    return (corpus_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+
+
+# baseline lang probabilities implied by the corpus generator (exact when
+# N % 50 == 0: 2% NULL [all on json rows], 8% json, 90% yaml; normalized
+# over non-null values)
+BASELINE_LANG_P = {"json": 0.08 / 0.98, "yaml": 0.90 / 0.98}
+
+
+def kl_divergence(observed: dict[str, int], baseline_p: dict[str, float]) -> float:
+    total = sum(n for k, n in observed.items() if k in baseline_p)
+    if total == 0:
+        return 0.0
+    kl = 0.0
+    for k, q in baseline_p.items():
+        n = observed.get(k, 0)
+        if n == 0:
+            continue
+        p = n / total
+        kl += p * math.log(p / q)
+    return kl
+
+
+def lang_drift(corpus_ds, baseline_p=None, threshold: float = 0.05):
+    """KL(observed ‖ baseline) on the lang histogram -> one-row DataFrame."""
+    import pandas as pd
+
+    if baseline_p is None:
+        baseline_p = BASELINE_LANG_P
+    hist = lang_histogram(corpus_ds).to_pandas()
+    observed = {row["lang"]: int(row["n"]) for _, row in hist.iterrows()
+                if row["lang"] is not None}
+    kl = kl_divergence(observed, baseline_p)
+    return pd.DataFrame({"kl": [round(kl, 6)], "drifted": [kl > threshold]})
+
+
+# ---------------------------------------------------------------------------
+# salted per-repo aggregation (skew handling for the hot repo)
+# ---------------------------------------------------------------------------
+
+def repo_stats_salted(corpus_ds, salt_buckets: int = 16):
+    """Per-repo row counts + total content chars with explicit salt-key
+    skew splitting: first aggregate on (repo, hash(path) % k), then
+    de-salt with a second combine on repo — the hot repo's 30% of rows
+    spread across k reducers instead of one (north_rule requirement).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        salt_np = (pd.util.hash_array(
+            batch.column("path").to_pandas().to_numpy(dtype=object))
+            % salt_buckets).astype("int64")
+        salt = pa.array(salt_np, pa.int64())
+        chars = pc.cast(pc.utf8_length(batch.column("content")), pa.int64())
+        t = pa.table({"repo": batch.column("repo"), "salt": salt, "chars": chars})
+        return (t.group_by(["repo", "salt"])
+                .aggregate([("chars", "sum"), ([], "count_all")])
+                .rename_columns(["repo", "salt", "total_chars", "n_rows"]))
+
+    salted = (corpus_ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["repo", "salt"])
+              .aggregate(Sum("total_chars", alias_name="total_chars"),
+                         Sum("n_rows", alias_name="n_rows")))
+    # de-salt: combine the k sub-aggregates per repo (tiny)
+    return (salted.groupby("repo")
+            .aggregate(Sum("total_chars", alias_name="total_chars"),
+                       Sum("n_rows", alias_name="n_rows")))

@@ -1,0 +1,204 @@
+"""The per-row validation stage: a stateful callable class for
+``Dataset.map_batches(SchemaValidator, concurrency=N, batch_format="pyarrow")``.
+
+One actor == one compiled-schema cache: ``__init__`` compiles every
+registry schema and the catalog globs ONCE per actor process (the Ray-Data
+analogue of the reference's process-lifetime ``schemaCache``,
+``YamlSchemaValidator.java:65,184-202``); ``__call__`` runs per Arrow
+batch.  Per-row work (JSON/YAML parse + closure-tree evaluation) is
+inherently row-wise Python, but everything around it (column access,
+output assembly) stays Arrow.
+
+Output: one row per logical DOCUMENT (multi-doc YAML explodes 1->N with
+doc keys ``path-i``, mirroring ``YamlSchemaValidator.java:112-121``),
+carrying the verdict, a file-level ``error`` (if any), the per-row
+``content_sha256`` invariant, and the violation rows as a
+``list<struct>`` column (flattened zero-copy by
+``explode_violations``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import posixpath
+from typing import Any
+
+import pyarrow as pa
+
+from ..config import NO_SCHEMA_MSG, NO_NODES_MSG, ValidatorConfig
+from ..functions.catalog import SchemaDetector
+from ..functions.compiler import CompiledSchema, compile_schema
+from ..functions.parsing import ParseError, doc_keys, extract_schema_ref, parse_documents
+
+VIOLATION_STRUCT = pa.struct([
+    ("evaluation_path", pa.string()),
+    ("schema_path", pa.string()),
+    ("instance_path", pa.string()),
+    ("keyword", pa.string()),
+    ("message", pa.string()),
+])
+
+VERDICT_SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("doc_key", pa.string()),
+    ("doc_index", pa.int32()),
+    ("valid", pa.bool_()),
+    ("error", pa.string()),
+    ("n_violations", pa.int64()),
+    ("content_sha256", pa.string()),
+    ("violations", pa.list_(VIOLATION_STRUCT)),
+])
+
+
+class SchemaValidator:
+    """Stateful validator for an actor pool (see module docstring)."""
+
+    def __init__(self, config: ValidatorConfig):
+        self.config = config
+        # eager compile — the whole point of actor state
+        self._compiled: dict[str, CompiledSchema] = {
+            sid: compile_schema(s, uri=s.get("$id", sid) if isinstance(s, dict) else sid)
+            for sid, s in config.schemas.items()
+        }
+        self._detector = SchemaDetector(config.catalog) if config.auto_detect else None
+
+    # -- schema resolution (validateJsonNode precedence,
+    #    YamlSchemaValidator.java:123-141) --------------------------------
+    def _resolve_schema_id(self, path: str, doc: Any) -> str | None:
+        sid = self.config.default_schema
+        if not self.config.schema_override:
+            ref = extract_schema_ref(doc)
+            if ref is not None:
+                sid = self._normalize_ref(path, ref)
+        if sid is None and self._detector is not None:
+            sid = self._detector.detect(path)
+        return sid
+
+    def _normalize_ref(self, path: str, ref: str) -> str:
+        """Resolve a relative ``$schema`` against the file's directory
+        (``getSchemaPathFromNode``, ``YamlSchemaValidator.java:279-291``).
+        Registry hit on the raw ref wins (ids like ``urn:...`` / URLs)."""
+        if ref in self._compiled:
+            return ref
+        if ref.startswith(("./", "../")):
+            resolved = posixpath.normpath(posixpath.join(posixpath.dirname(path), ref))
+            if resolved in self._compiled:
+                return resolved
+        return ref
+
+    # -- per-batch entry ---------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        commits = batch.column("commit").to_pylist()
+        langs = (batch.column("lang").to_pylist()
+                 if "lang" in batch.column_names else [None] * len(repos))
+        contents = batch.column("content").to_pylist()
+
+        o_repo: list = []; o_path: list = []; o_commit: list = []; o_lang: list = []
+        o_key: list = []; o_idx: list = []; o_valid: list = []; o_err: list = []
+        o_nv: list = []; o_sha: list = []; o_viol: list = []
+
+        def emit(i, key, idx, valid, err, viols, sha):
+            o_repo.append(repos[i]); o_path.append(paths[i])
+            o_commit.append(commits[i]); o_lang.append(langs[i])
+            o_key.append(key); o_idx.append(idx); o_valid.append(valid)
+            o_err.append(err); o_nv.append(len(viols) if err is None else 1)
+            o_sha.append(sha); o_viol.append(viols)
+
+        for i, content in enumerate(contents):
+            path = paths[i]
+            sha = hashlib.sha256(
+                content.encode("utf-8") if content is not None else b"").hexdigest()
+            if content is None:
+                emit(i, path, 1, False, NO_NODES_MSG, [], sha)
+                continue
+            try:
+                docs = parse_documents(content)
+            except ParseError as ex:
+                # file-level error result (genericError funnel,
+                # YamlSchemaValidator.java:95-103,209-214)
+                emit(i, path, 1, False, str(ex), [], sha)
+                continue
+            if len(docs) == 0:
+                emit(i, path, 1, False, NO_NODES_MSG, [], sha)
+                continue
+            keys = doc_keys(path, len(docs))
+            for j, doc in enumerate(docs):
+                sid = self._resolve_schema_id(path, doc)
+                if sid is None:
+                    emit(i, keys[j], j + 1, False, NO_SCHEMA_MSG, [], sha)
+                    continue
+                compiled = self._compiled.get(sid)
+                if compiled is None:
+                    emit(i, keys[j], j + 1, False,
+                         f"Schema not found: {sid}", [], sha)
+                    continue
+                try:
+                    viols = compiled.validate(doc)
+                except Exception as ex:  # per-row fault isolation, never fail the block
+                    emit(i, keys[j], j + 1, False, str(ex), [], sha)
+                    continue
+                emit(i, keys[j], j + 1, len(viols) == 0, None,
+                     [{"evaluation_path": v.evaluation_path,
+                       "schema_path": v.schema_location,
+                       "instance_path": v.instance_location,
+                       "keyword": v.keyword,
+                       "message": v.message} for v in viols], sha)
+
+        return pa.Table.from_arrays(
+            [pa.array(o_repo, pa.string()), pa.array(o_path, pa.string()),
+             pa.array(o_commit, pa.string()), pa.array(o_lang, pa.string()),
+             pa.array(o_key, pa.string()), pa.array(o_idx, pa.int32()),
+             pa.array(o_valid, pa.bool_()), pa.array(o_err, pa.string()),
+             pa.array(o_nv, pa.int64()), pa.array(o_sha, pa.string()),
+             pa.array(o_viol, pa.list_(VIOLATION_STRUCT))],
+            schema=VERDICT_SCHEMA)
+
+
+def explode_violations(batch: pa.Table) -> pa.Table:
+    """Flatten the nested ``violations`` column into one row per violation.
+
+    File-level errors (``error`` column set) become rows with
+    ``keyword='error'`` and empty pointer — matching the reference's flat
+    LLM rows (``FilesOutputToLlm.java:112-144``: file-level errors carry
+    pointer "").  Vectorized: ``list_parent_indices`` + ``take``; no
+    Python loop over violation rows.
+    """
+    import pyarrow.compute as pc
+
+    viol = batch.column("violations")
+    if isinstance(viol, pa.ChunkedArray):
+        viol = viol.combine_chunks()
+    parent = pc.list_parent_indices(viol)
+    flat = pc.list_flatten(viol)
+    key_cols = ["repo", "path", "commit", "doc_key"]
+    taken = {c: pc.take(batch.column(c), parent) for c in key_cols}
+    out = pa.table({
+        **taken,
+        "evaluation_path": flat.field("evaluation_path"),
+        "schema_path": flat.field("schema_path"),
+        "instance_path": flat.field("instance_path"),
+        "keyword": flat.field("keyword"),
+        "message": flat.field("message"),
+    })
+
+    # append file-level error rows (keyword="error", empty paths)
+    err_mask = pc.is_valid(batch.column("error"))
+    if pc.any(err_mask).as_py():
+        errs = batch.filter(err_mask)
+        n = errs.num_rows
+        empty = pa.array([""] * n, pa.string())
+        err_rows = pa.table({
+            "repo": errs.column("repo"), "path": errs.column("path"),
+            "commit": errs.column("commit"), "doc_key": errs.column("doc_key"),
+            "evaluation_path": empty, "schema_path": empty,
+            "instance_path": empty,
+            "keyword": pa.array(["error"] * n, pa.string()),
+            "message": errs.column("error"),
+        })
+        out = pa.concat_tables([out, err_rows])
+    return out
