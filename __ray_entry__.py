@@ -78,6 +78,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_repo_stats_salted(sf_dir):
         return C.repo_stats_salted(corpus_dataset(sf_dir))
 
+    import numpy as np
+    import ray.data
+
+    from yj_schema_validator_ray.pipelines import relational as R
+    from yj_schema_validator_ray.stages import ann as A
+    from yj_schema_validator_ray.stages import dedup as D
+    from yj_schema_validator_ray.stages import multimodal as M
+    from yj_schema_validator_ray.stages import text as T
+
+    def docs(sf_dir):
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    def emb(sf_dir):
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+
+    def _query_vectors(sf_dir, n=5):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        out = {}
+        for vid, e in zip(t.column("vec_id").to_pylist(),
+                          t.column("embedding").to_pylist()):
+            if vid < n:
+                out[int(vid)] = np.asarray(e, dtype=np.float64)
+        return out
+
+    def _augment(ds, id_col, shift=1_000_000):
+        """Union with a deterministic duplicated subset (id % 100 < 5,
+        ids shifted) — 'two overlapping crawls', so dedup operators have
+        real duplicates to find; mirrored in the SQL oracles."""
+        import pyarrow as pa
+
+        def shifted(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy()
+            sel = t.filter(pa.array(ids % 100 < 5))
+            new_ids = pa.array(sel.column(id_col).to_numpy() + shift, pa.int64())
+            return sel.set_column(sel.schema.get_field_index(id_col),
+                                  id_col, new_ids)
+
+        return ds.union(ds.map_batches(shifted, batch_format="pyarrow"))
+
+    def q_dedup_exact_groups(sf_dir):
+        return D.exact_dup_groups(_augment(docs(sf_dir), "doc_id"))
+
+    def q_dedup_exact(sf_dir):
+        return D.dedup_exact(_augment(docs(sf_dir), "doc_id"))
+
+    def q_dedup_minhash(sf_dir):
+        return D.minhash_lsh_pairs(docs(sf_dir))
+
+    def q_dedup_simhash(sf_dir):
+        return D.simhash_pairs(docs(sf_dir))
+
+    def q_dedup_ngram_jaccard(sf_dir):
+        cand = D.minhash_lsh_pairs(docs(sf_dir), threshold=0.3)
+        return D.ngram_jaccard_pairs(docs(sf_dir), cand, threshold=0.3)
+
+    def q_token_counts(sf_dir):
+        return T.token_counts(docs(sf_dir))
+
+    def q_quality_stats(sf_dir):
+        return T.quality_stats(docs(sf_dir))
+
+    def q_quality_scores(sf_dir):
+        return T.quality_scores(docs(sf_dir))
+
+    def q_lang_id(sf_dir):
+        return T.lang_id(docs(sf_dir))
+
+    def q_fingerprint_md5(sf_dir):
+        return T.fingerprints(docs(sf_dir)).drop_columns(["fingerprint_fnv"])
+
+    def q_fingerprints(sf_dir):
+        return T.fingerprints(docs(sf_dir))
+
+    def q_ann_topk(sf_dir):
+        return A.ann_topk_bruteforce(emb(sf_dir), _query_vectors(sf_dir))
+
+    def q_ann_topk_lsh(sf_dir):
+        return A.ann_topk_lsh(emb(sf_dir), _query_vectors(sf_dir))
+
+    def q_embedding_dups(sf_dir):
+        return A.embedding_dup_pairs(_augment(emb(sf_dir), "vec_id"))
+
+    def q_media_features(sf_dir):
+        return M.media_features(M.media_dataset_from_documents(sf_dir))
+
     return {
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -90,10 +180,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_drift": q_lang_drift,
         "distinct_sketch": q_distinct_sketch,
         "repo_stats_salted": q_repo_stats_salted,
+        # dedup family
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # text analysis
+        "token_counts": q_token_counts,
+        "quality_stats": q_quality_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprint_md5": q_fingerprint_md5,
+        "fingerprints": q_fingerprints,
+        # similarity search
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_dups": q_embedding_dups,
+        # multimodal plumbing
+        "media_features": q_media_features,
+        # relational / windows
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "top_customers": R.top_customers,
+        "nation_region_counts": R.nation_region_counts,
+        "events_window": R.events_tumbling_window,
+        "events_sessions": R.events_sessionize,
+        "events_top_users": R.events_top_users,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from yj_schema_validator_ray.pipelines import relational as R
+
     return {
         "verdicts": oracles.verdicts_sql(),
         "violations": oracles.violations_sql(),
@@ -105,5 +223,25 @@ def oracle_sql() -> dict[str, str]:
         "content_length_histogram": oracles.content_length_histogram_sql(),
         "lang_drift": oracles.lang_drift_sql(),
         "repo_stats_salted": oracles.repo_stats_salted_sql(),
-        # distinct_sketch: approximate (HLL) — intentionally no SQL oracle
+        # dedup / text
+        "dedup_exact_groups": oracles.exact_dup_groups_sql(),
+        "dedup_exact": oracles.dedup_exact_sql(),
+        "token_counts": oracles.token_counts_sql(),
+        "quality_stats": oracles.quality_stats_sql(),
+        "fingerprint_md5": oracles.fingerprint_md5_sql(),
+        # similarity
+        "ann_topk": oracles.ann_topk_sql(),
+        "embedding_dups": oracles.embedding_dups_sql(),
+        # relational / windows
+        "q1_pricing_summary": R.q1_sql(),
+        "top_customers": R.top_customers_sql(),
+        "nation_region_counts": R.nation_region_counts_sql(),
+        "events_window": R.events_tumbling_window_sql(),
+        "events_sessions": R.events_sessionize_sql(),
+        "events_top_users": R.events_top_users_sql(),
+        # intentionally no SQL oracle (approximate / non-SQL-expressible):
+        # distinct_sketch (HLL), dedup_minhash / dedup_simhash /
+        # dedup_ngram_jaccard (LSH candidates), quality_scores / lang_id
+        # (heuristic), fingerprints (FNV), ann_topk_lsh (approximate),
+        # media_features (stubbed decode)
     }

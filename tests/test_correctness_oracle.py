@@ -59,18 +59,13 @@ def assert_matches(ray_df, sql_df, name):
             assert eq.all(), f"{name}: col {c} differs\n{a[~eq].head()}\n{b[~eq].head()}"
 
 
-def oracle_pairs():
+def _oracle_names():
     import __ray_entry__ as e
 
-    sqls = e.oracle_sql()
-    return sorted(sqls.keys())
+    return sorted(e.oracle_sql().keys())
 
 
-@pytest.mark.parametrize("name", [
-    "verdicts", "violations", "summary", "uniqueness", "ref_integrity",
-    "column_stats", "lang_histogram", "content_length_histogram",
-    "lang_drift", "repo_stats_salted",
-])
+@pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(harness, name):
     e, con = harness
     q = e.queries()[name]

@@ -167,3 +167,96 @@ SELECT CAST(floor(log2(length(content) + 1)) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM corpus
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# documents-table operators (dedup / text analysis)
+# ---------------------------------------------------------------------------
+
+# the 'two overlapping crawls' augmentation used by the dedup queries
+# (mirrors __ray_entry__._augment: ids % 100 < 5 duplicated at id+1000000)
+_DOCS_AUG = """
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 < 5
+)"""
+
+_EMB_AUG = """
+emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 < 5
+)"""
+
+
+def exact_dup_groups_sql() -> str:
+    return f"""WITH {_DOCS_AUG}
+SELECT sha256(text) AS text_sha,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM docs_aug
+GROUP BY sha256(text)
+HAVING count(*) > 1"""
+
+
+def dedup_exact_sql() -> str:
+    return f"""WITH {_DOCS_AUG}
+SELECT sha256(text) AS text_sha, CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM docs_aug GROUP BY sha256(text)"""
+
+
+def token_counts_sql() -> str:
+    # RE2 on both sides (pyarrow count_substring_regex <-> DuckDB regexp)
+    return r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents"""
+
+
+def quality_stats_sql() -> str:
+    return r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       round(CAST(len(regexp_extract_all(text, '\w')) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '\w+')), 1), 6) AS mean_token_len
+FROM documents"""
+
+
+def fingerprint_md5_sql() -> str:
+    return r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint_md5
+FROM documents"""
+
+
+def ann_topk_sql(k: int = 10, n_queries: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}"""
+
+
+def embedding_dups_sql(threshold: float = 0.99) -> str:
+    return f"""WITH {_EMB_AUG}
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM emb_aug a JOIN emb_aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {threshold}"""

@@ -1,0 +1,327 @@
+"""Relational coverage over the TPC-H-ish tables: grouped aggregates,
+broadcast joins, sort/top-k, tumbling windows, sessionization.
+
+These exercise the wide-operation layer (groupby/aggregate shuffles,
+broadcast small-side joins, sort+limit) with exact DuckDB oracles.  Column
+names are chosen to match the oracle SQL aliases exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped summary: per (returnflag, linestatus) sums/avgs.
+    Pre-aggregation happens inside Ray's hash aggregate; input pruned to
+    the 7 needed columns at the read."""
+    import ray.data
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pd.Timestamp("1998-09-02")
+
+    # money columns are 2-decimal: sum in EXACT integer cents so results
+    # are bit-identical regardless of summation order (fp-order noise in
+    # double sums breaks value-hash comparisons otherwise)
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(cutoff)))
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        disc_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        tt = pa.table({"l_returnflag": t.column("l_returnflag"),
+                       "l_linestatus": t.column("l_linestatus"),
+                       "sum_qty": qty, "sum_base_price_cents": price_c,
+                       "sum_disc_price_e4": disc_e4})
+        return (tt.group_by(["l_returnflag", "l_linestatus"])
+                .aggregate([("sum_qty", "sum"), ("sum_base_price_cents", "sum"),
+                            ("sum_disc_price_e4", "sum"), ([], "count_all")])
+                .rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_base_price_cents", "sum_disc_price_e4",
+                                 "count_order"]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+                      Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
+                      Sum("count_order", alias_name="count_order")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # averages derived from exact integer sums: identical doubles on
+        # both sides (same ints -> same IEEE division)
+        n = pc.cast(t.column("count_order"), pa.float64())
+        avg_qty = pc.round(pc.divide(pc.cast(t.column("sum_qty"), pa.float64()), n),
+                           ndigits=4)
+        avg_price = pc.round(
+            pc.divide(pc.divide(pc.cast(t.column("sum_base_price_cents"),
+                                        pa.float64()), pa.scalar(100.0)), n),
+            ndigits=4)
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty": t.column("sum_qty"),
+            "sum_base_price_cents": t.column("sum_base_price_cents"),
+            "sum_disc_price_e4": t.column("sum_disc_price_e4"),
+            "avg_qty": avg_qty, "avg_price": avg_price,
+            "count_order": t.column("count_order"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q1_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100.0) AS BIGINT))) AS BIGINT)
+         AS sum_disc_price_e4,
+       round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
+       round((CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE)
+              / 100.0) / CAST(count(*) AS DOUBLE), 4) AS avg_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Revenue top-k customers: orders groupby custkey (shuffle over
+    pre-aggregated partials) + BROADCAST join to the small customer
+    dimension (ray.put once, dict lookup per batch — no shuffle join)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        tt = pa.table({"o_custkey": t.column("o_custkey"),
+                       "total_price_cents": cents})
+        return (tt.group_by(["o_custkey"]).aggregate([("total_price_cents", "sum")])
+                .rename_columns(["o_custkey", "total_price_cents"]))
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("total_price_cents", alias_name="total_price_cents")))
+
+    cust_tbl = pa.concat_tables(ray.get(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name", "c_mktsegment"])
+        .to_arrow_refs()))
+    name_of = dict(zip(cust_tbl.column("c_custkey").to_pylist(),
+                       zip(cust_tbl.column("c_name").to_pylist(),
+                           cust_tbl.column("c_mktsegment").to_pylist())))
+    ref = ray.put(name_of)
+
+    class AttachName:
+        def __init__(self, r):
+            self.names = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_pylist()
+            looked = [self.names.get(k, (None, None)) for k in keys]
+            return pa.table({
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array([x[0] for x in looked], pa.string()),
+                "c_mktsegment": pa.array([x[1] for x in looked], pa.string()),
+                "total_price_cents": t.column("total_price_cents"),
+            })
+
+    joined = per_cust.map_batches(AttachName, fn_constructor_args=(ref,),
+                                  batch_format="pyarrow", concurrency=(1, 2))
+    top = joined.sort(["total_price_cents", "c_custkey"], descending=[True, False]).limit(k)
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["total_price_cents", "c_custkey"],
+                            ascending=[False, True]).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return add_rank(top.to_pandas())
+
+
+def top_customers_sql(k: int = 10) -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_price_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, p.total_price_cents,
+       CAST(row_number() OVER (ORDER BY p.total_price_cents DESC, c.c_custkey) AS BIGINT) AS rank
+FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+ORDER BY p.total_price_cents DESC, c.c_custkey
+LIMIT {k}"""
+
+
+def nation_region_counts(sf_dir: str):
+    """Two-level broadcast join: nation -> region name + customer counts
+    per region (small-small-large star join, all broadcast)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    region = pa.concat_tables(ray.get(
+        ray.data.read_parquet(f"{sf_dir}/region.parquet").to_arrow_refs()))
+    nation = pa.concat_tables(ray.get(
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_arrow_refs()))
+    r_name = dict(zip(region.column("r_regionkey").to_pylist(),
+                      region.column("r_name").to_pylist()))
+    n_region = dict(zip(nation.column("n_nationkey").to_pylist(),
+                        nation.column("n_regionkey").to_pylist()))
+    ref = ray.put((r_name, n_region))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_nationkey"])
+
+    class ToRegion:
+        def __init__(self, r):
+            import ray as _ray
+            self.r_name, self.n_region = _ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = t.column("c_nationkey").to_pylist()
+            rn = [self.r_name[self.n_region[int(x)]] for x in nk]
+            out = pa.table({"r_name": pa.array(rn, pa.string())})
+            return (out.group_by(["r_name"]).aggregate([([], "count_all")])
+                    .rename_columns(["r_name", "n_customers"]))
+
+    return (cust.map_batches(ToRegion, fn_constructor_args=(ref,),
+                             batch_format="pyarrow", concurrency=(1, 2))
+            .groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers")))
+
+
+def nation_region_counts_sql() -> str:
+    return """
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name"""
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling windows + sessionization (streaming-shaped)
+# ---------------------------------------------------------------------------
+
+def events_tumbling_window(sf_dir: str, window_s: int = 3600):
+    """Tumbling event-time window: (event_type, window_start) -> count,
+    sum(value).  Window assignment is per-batch vectorized arithmetic on
+    the epoch; the groupby shuffles pre-aggregated partials only."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        win = pc.multiply(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                                             float(window_s))), float(window_s))
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                             pa.scalar(100.0))), pa.int64())
+        tt = pa.table({"event_type": t.column("event_type"),
+                       "window_start": pc.cast(win, pa.int64()),
+                       "value_cents": cents})
+        return (tt.group_by(["event_type", "window_start"])
+                .aggregate([("value_cents", "sum"), ([], "count_all")])
+                .rename_columns(["event_type", "window_start", "sum_value_cents", "n_events"]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "window_start"])
+            .aggregate(Sum("sum_value_cents", alias_name="sum_value_cents"),
+                       Sum("n_events", alias_name="n_events")))
+
+
+def events_tumbling_window_sql(window_s: int = 3600) -> str:
+    return f"""
+SELECT event_type,
+       CAST(floor(epoch(ts) / {window_s}) * {window_s} AS BIGINT) AS window_start,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2"""
+
+
+def events_sessionize(sf_dir: str, gap_s: int = 1800):
+    """Per-user sessionization (gap > {gap_s}s starts a new session):
+    groupby(user) -> sorted per-group pandas windowing (the documented
+    partitioning assumption: one user's events fit one group)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0)
+        n_sessions = int((gaps > gap_s).sum()) + 1
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_sessions": pd.Series([n_sessions], dtype="int64"),
+                             "n_events": pd.Series([len(g)], dtype="int64")})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def events_sessionize_sql(gap_s: int = 1800) -> str:
+    return f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {gap_s}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id,
+       CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM gaps GROUP BY user_id"""
+
+
+def events_top_users(sf_dir: str, k: int = 20):
+    """sort/top-k coverage: users by total event value."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                             pa.scalar(100.0))), pa.int64())
+        tt = pa.table({"user_id": t.column("user_id"), "total_value_cents": cents})
+        return (tt.group_by(["user_id"]).aggregate([("total_value_cents", "sum")])
+                .rename_columns(["user_id", "total_value_cents"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("total_value_cents", alias_name="total_value_cents")))
+    top = agg.sort(["total_value_cents", "user_id"], descending=[True, False]).limit(k)
+    return top.to_pandas()
+
+
+def events_top_users_sql(k: int = 20) -> str:
+    return f"""
+SELECT user_id,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS total_value_cents
+FROM events GROUP BY user_id
+ORDER BY total_value_cents DESC, user_id
+LIMIT {k}"""

@@ -1,0 +1,206 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+list<float>, label).
+
+- :func:`ann_topk_bruteforce` — exact cosine top-k: the query matrix is
+  broadcast ONCE (``ray.put``), each batch does one float64 matmul
+  against it.  This is the correctness baseline (DuckDB
+  ``list_cosine_similarity`` oracle).
+- :func:`ann_topk_lsh` — random-hyperplane LSH bucketing: the scale
+  path; probes only vectors sharing a code bucket with the query.
+- :func:`embedding_dup_pairs` — cosine>threshold near-dup pairs via
+  block-wise matmul (exact; O(N^2/B) flops, vectorized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, m
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceScorer:
+    """Actor-pool stage holding the broadcast (normalized) query matrix."""
+
+    def __init__(self, queries_ref):
+        import ray
+
+        q = ray.get(queries_ref)  # dict: query_id -> np.ndarray
+        self.qids = np.array(sorted(q), dtype=np.int64)
+        self.Q = _normalize(np.stack([q[i] for i in self.qids]).astype(np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        sims = _normalize(m) @ self.Q.T  # (batch, n_queries)
+        nq = len(self.qids)
+        return pa.table({
+            "query_id": pa.array(np.repeat(self.qids, len(ids)), pa.int64()),
+            "vec_id": pa.array(np.tile(ids, nq), pa.int64()),
+            "sim": pa.array(np.round(sims.T.reshape(-1), 6), pa.float64()),
+        })
+
+
+def ann_topk_bruteforce(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
+                        concurrency=None):
+    """Exact cosine top-k per query vector.
+
+    Per-batch partial top-k (sort inside the map, keep k rows per query
+    per batch) -> tiny global sort+head on the driver side via
+    groupby(query_id).map_groups.  Ties broken by vec_id ascending on
+    the ROUNDED similarity so results are fp-stable vs the SQL oracle.
+    """
+    import ray
+
+    from ..util import default_pool
+
+    qref = ray.put(queries)
+    scored = emb_ds.map_batches(
+        BruteForceScorer, fn_constructor_args=(qref,),
+        batch_format="pyarrow", concurrency=concurrency or default_pool())
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = (df.sort_values(["query_id", "sim", "vec_id"],
+                             ascending=[True, False, True])
+              .groupby("query_id", sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partial = scored.map_batches(batch_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+class LSHCoder:
+    """Random-hyperplane signature: vec -> nbits-bit code (deterministic
+    seed).  Actors share the same planes (same seed)."""
+
+    def __init__(self, dim: int, nbits: int = 12, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, nbits))
+
+    def code(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(batch)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "code": pa.array(self.code(m), pa.int64()),
+            "embedding": batch.column("embedding"),
+        })
+
+
+def ann_topk_lsh(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
+                 nbits: int = 8, concurrency=None):
+    """Approximate top-k: only vectors whose LSH code matches a query's
+    code are scored (IVF-style bucketing; the 100 TB path — candidate
+    set shrinks ~2^-nbits per bucket)."""
+    import ray
+
+    from ..util import default_pool
+
+    dim = len(next(iter(queries.values())))
+    coder = LSHCoder(dim, nbits)
+    qids = np.array(sorted(queries), dtype=np.int64)
+    Q = _normalize(np.stack([queries[i] for i in qids]).astype(np.float64))
+    qcodes = coder.code(Q)
+    qref = ray.put((qids, Q, qcodes))
+
+    class BucketScorer:
+        def __init__(self, ref, nb):
+            self.qids, self.Q, self.qcodes = ray.get(ref)
+            self.coder = LSHCoder(self.Q.shape[1], nb)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(batch)
+            codes = self.coder.code(m)
+            out_q, out_v, out_s = [], [], []
+            mn = _normalize(m)
+            for qi, qc in zip(range(len(self.qids)), self.qcodes):
+                mask = codes == qc
+                if not mask.any():
+                    continue
+                sims = mn[mask] @ self.Q[qi]
+                out_q.append(np.full(mask.sum(), self.qids[qi], dtype=np.int64))
+                out_v.append(ids[mask])
+                out_s.append(np.round(sims, 6))
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+    scored = emb_ds.map_batches(
+        BucketScorer, fn_constructor_args=(qref, nbits),
+        batch_format="pyarrow", concurrency=concurrency or default_pool())
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def embedding_dup_pairs(emb_ds, threshold: float = 0.99, concurrency=None):
+    """Exact cosine near-dup pairs (a < b, sim >= threshold).
+
+    The full normalized matrix is broadcast once (fine up to ~10M x 128
+    float32 = 5 GB object-store; beyond that switch to LSH-bucketed
+    pairing, cf. :func:`ann_topk_lsh`); each batch multiplies against it.
+    """
+    import ray
+
+    from ..util import default_pool
+
+    # build the broadcast side once on the driver (small: ids + vectors)
+    tbl = pa.concat_tables(
+        ray.get(emb_ds.select_columns(["vec_id", "embedding"]).to_arrow_refs()))
+    ids_all, m_all = _batch_matrix(tbl)
+    order = np.argsort(ids_all)
+    ids_all, m_all = ids_all[order], _normalize(m_all[order])
+    ref = ray.put((ids_all, m_all))
+
+    class PairScorer:
+        def __init__(self, r):
+            self.ids, self.M = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(batch)
+            sims = _normalize(m) @ self.M.T  # (batch, N)
+            bi, ni = np.nonzero(sims >= threshold)
+            a = ids[bi]
+            b = self.ids[ni]
+            keep = a < b
+            return pa.table({
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(np.round(sims[bi, ni][keep], 6), pa.float64()),
+            })
+
+    return emb_ds.map_batches(PairScorer, fn_constructor_args=(ref,),
+                              batch_format="pyarrow",
+                              concurrency=concurrency or default_pool())

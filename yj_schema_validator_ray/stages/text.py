@@ -1,0 +1,158 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All hot paths are vectorized: pyarrow.compute RE2 kernels (which match
+DuckDB's RE2 semantics exactly — that is what makes the SQL oracles
+byte-equal) or per-actor compiled regexes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# word regex shared with the DuckDB oracle (RE2 on both sides)
+WORD_RE = r"\w+"
+PUNCT_RE = r"[.,;:!?]"
+
+
+def token_counts(docs_ds):
+    """(doc_id, n_tokens, n_chars): \\w+ token count + char length.
+    Vectorized pc.count_substring_regex — no Python loop."""
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(pc.count_substring_regex(text, WORD_RE), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def quality_stats(docs_ds):
+    """SQL-oracle-able quality metrics per doc: token/char counts, punct
+    count, upper-char count, mean token length (rounded)."""
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_tokens = pc.cast(pc.count_substring_regex(text, WORD_RE), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.int64())
+        n_upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64())
+        tok_chars = pc.cast(pc.count_substring_regex(text, r"\w"), pa.int64())
+        mean_tok = pc.round(
+            pc.divide(pc.cast(tok_chars, pa.float64()),
+                      pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64())),
+            ndigits=6)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tokens, "n_chars": n_chars,
+            "n_punct": n_punct, "n_upper": n_upper,
+            "mean_token_len": mean_tok,
+        })
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "de", "y", "es", "un", "una", "que", "por"},
+}
+
+
+class QualityScorer:
+    """Actor-pool stage: composite quality score per document
+    (length / punctuation / stopword ratios — the C4/Gopher-style
+    heuristics).  Stopword sets + regexes compiled once per actor."""
+
+    def __init__(self):
+        import re
+
+        self.word = re.compile(WORD_RE)
+        self.stop = frozenset().union(*_STOPWORDS.values())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(self.word.pattern)
+        n_tok = toks.map(len).clip(lower=1)
+        stop_ratio = toks.map(
+            lambda ws: sum(w in self.stop for w in ws)) / n_tok
+        n_chars = batch["text"].str.len().clip(lower=1)
+        alpha_ratio = batch["text"].str.count(r"[A-Za-z]") / n_chars
+        # crude composite in [0, 1]
+        length_score = (n_chars.clip(upper=2000) / 2000.0)
+        score = (0.4 * alpha_ratio + 0.3 * stop_ratio.clip(upper=0.5) / 0.5
+                 + 0.3 * length_score)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "stop_ratio": stop_ratio.round(6),
+            "alpha_ratio": alpha_ratio.round(6),
+            "quality_score": score.round(6),
+        })
+
+
+def quality_scores(docs_ds, concurrency=None):
+    from ..util import default_pool
+
+    return docs_ds.map_batches(QualityScorer, batch_format="pandas",
+                               concurrency=concurrency or default_pool())
+
+
+class LangId:
+    """Actor-pool stage: stopword-hit language ID (n-gram-free heuristic;
+    deterministic).  Falls back to 'unknown' when no list scores."""
+
+    def __init__(self):
+        import re
+
+        self.word = re.compile(WORD_RE)
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in batch["text"]:
+            ws = self.word.findall(text.lower())[:200]
+            best, best_hits = "unknown", 0
+            for lang in sorted(self.tables):
+                hits = sum(w in self.tables[lang] for w in ws)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
+
+
+def lang_id(docs_ds, concurrency=None):
+    from ..util import default_pool
+
+    return docs_ds.map_batches(LangId, batch_format="pandas",
+                               concurrency=concurrency or default_pool())
+
+
+def fingerprints(docs_ds):
+    """Deterministic document fingerprints: md5 of the
+    whitespace-normalized lower-cased text (SQL-oracle-able: DuckDB
+    ``md5(lower(regexp_replace(text,'\\s+',' ','g')))``) plus a 64-bit
+    rolling content hash (rows-only)."""
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        norm = pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in norm.to_pylist()]
+        rolls = []
+        for t in norm.to_pylist():
+            h = np.uint64(1469598103934665603)
+            for b in t.encode("utf-8"):
+                h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+            rolls.append(int(h) - (1 << 63))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fingerprint_md5": pa.array(md5s, pa.string()),
+            "fingerprint_fnv": pa.array(rolls, pa.int64()),
+        })
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
