@@ -1,0 +1,73 @@
+"""End-to-end CLI tests (reference entry-point parity: report routing,
+report file, exit code 0/1)."""
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from yj_schema_validator_ray.sources.corpus import MINI_SCHEMA, synthesize_batch
+
+
+@pytest.fixture()
+def corpus_parquet(tmp_path):
+    docs = pa.table({"doc_id": pa.array(list(range(20)), pa.int64())})
+    t = synthesize_batch(docs)
+    p = tmp_path / "corpus.parquet"
+    pq.write_table(t, p)
+    return str(p)
+
+
+@pytest.fixture()
+def schema_file(tmp_path):
+    # the CLI registers the schema under ITS OWN path; documents embed
+    # "schemas/sample-schema.json", so write it there
+    d = tmp_path / "schemas"
+    d.mkdir()
+    p = d / "sample-schema.json"
+    p.write_text(json.dumps(MINI_SCHEMA))
+    return str(p)
+
+
+def run_cli(args, ray_session):
+    from yj_schema_validator_ray.cli import main
+
+    return main(args)
+
+
+def test_cli_text_report_and_exit_code(corpus_parquet, schema_file,
+                                       tmp_path, capsys, ray_session, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # so embedded 'schemas/sample-schema.json' resolves
+    code = run_cli(["--input", corpus_parquet,
+                    "--schema", "schemas/sample-schema.json"], ray_session)
+    out = capsys.readouterr().out
+    assert out.startswith("Validation Result: invalid")
+    assert code == 1
+
+
+def test_cli_report_file_llm_compact(corpus_parquet, schema_file,
+                                     tmp_path, ray_session, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    report = tmp_path / "r.txt"
+    code = run_cli(["--input", corpus_parquet,
+                    "--schema", "schemas/sample-schema.json",
+                    "--report-type", "llm", "--compact",
+                    "--report-file-name", str(report)], ray_session)
+    assert code == 1
+    text = report.read_text()
+    assert text.startswith("#")
+    assert "[error]" in text or "[type]" in text
+
+
+def test_cli_valid_only_corpus_exits_zero(tmp_path, schema_file,
+                                          capsys, ray_session, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    docs = pa.table({"doc_id": pa.array([0, 1, 10, 11], pa.int64())})
+    p = tmp_path / "ok.parquet"
+    pq.write_table(synthesize_batch(docs), p)
+    code = run_cli(["--input", str(p),
+                    "--schema", "schemas/sample-schema.json"], ray_session)
+    assert code == 0
+    assert capsys.readouterr().out.startswith("Validation Result: ok")

@@ -1,0 +1,116 @@
+"""CLI entrypoint (C1): the engine's analogue of the reference's flag
+surface (``config/YamlSchemaValidatorConfig.java:20-113``, help text
+``YamlSchemaValidatorRunner.java:128-145``), re-shaped for a Parquet
+corpus + Ray job world (``ray job submit -- python -m
+yj_schema_validator_ray.cli --input ...``).
+
+Exit code 0 when every document validates, 1 otherwise
+(``YamlSchemaValidatorRunner.java:48-53``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="yj-schema-validator-ray",
+        description="Ray-Data-native schema + constraint validation engine")
+    p.add_argument("--input", required=True,
+                   help="parquet path(s) of the corpus (repo,path,commit,lang,content)")
+    p.add_argument("--schema", help="schema file (JSON or YAML) used as default")
+    p.add_argument("--schema-override", action="store_true",
+                   help="force --schema even when documents embed $schema")
+    p.add_argument("--auto-detect", action="store_true",
+                   help="detect schemas from the catalog by path globs")
+    p.add_argument("--report-type", default="text",
+                   choices=["text", "json", "yaml", "junit", "sarif", "llm"])
+    p.add_argument("--compact", action="store_true",
+                   help="compact LLM report (one line per error)")
+    p.add_argument("--report-file-name", help="write the report here instead of stdout")
+    p.add_argument("--color", action="store_true", help="ANSI-colored text report")
+    p.add_argument("--out", help="write verdict/violation tables (parquet) here")
+    p.add_argument("--resume", action="store_true",
+                   help="resumable partitioned output with lineage records")
+    p.add_argument("--nparts", type=int, default=16)
+    p.add_argument("--num-cpus", type=int, default=None)
+    return p
+
+
+def load_schema_file(path: str) -> dict:
+    import yaml
+
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    try:
+        return json.loads(text)
+    except ValueError:
+        return yaml.safe_load(text)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:  # a caller (tests, driver) may already own the session
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+    import ray.data
+
+    from .config import ValidatorConfig
+    from .pipelines import reports
+    from .pipelines.validate import validate_corpus, violations_table
+
+    schemas = {}
+    default_schema = None
+    if args.schema:
+        schemas[args.schema] = load_schema_file(args.schema)
+        default_schema = args.schema
+    config = ValidatorConfig(schemas=schemas, default_schema=default_schema,
+                             schema_override=args.schema_override,
+                             auto_detect=args.auto_detect)
+
+    corpus = ray.data.read_parquet(args.input)
+
+    if args.resume:
+        from .state.lineage import run_resumable_validation
+
+        summary = run_resumable_validation(corpus, args.out or "./out",
+                                           config, nparts=args.nparts)
+        print(summary.to_string(index=False))
+        code = 0 if int(summary["n_violations"].sum()) == 0 else 1
+    else:
+        verdicts = validate_corpus(corpus, config)
+        if args.out:
+            verdicts.drop_columns(["violations"]).write_parquet(
+                f"{args.out}/verdicts")
+            violations_table(verdicts).write_parquet(f"{args.out}/violations")
+            verdicts = ray.data.read_parquet(f"{args.out}/verdicts")
+            files = {r["doc_key"]: {"valid": bool(r["valid"]),
+                                    "error": r["error"], "details": []}
+                     for r in verdicts.take_all()}
+        else:
+            files = reports.collect_results(verdicts)
+        rt = "llm-compact" if (args.report_type == "llm" and args.compact) \
+            else args.report_type
+        report = reports.render(files, rt, color=args.color)
+        if args.report_file_name:
+            with open(args.report_file_name, "w", encoding="utf-8") as f:
+                f.write(report)
+        else:
+            sys.stdout.write(report)
+        code = reports.exit_code(files)
+
+    if owns_session:
+        ray.shutdown()
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,6 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources.corpus import ORPHAN_ORG
+from ..util import shuffle_partitions
 
 KEY_COLS = ["repo", "path", "commit"]
 
@@ -41,13 +42,11 @@ def uniqueness_violations(corpus_ds):
     Per-batch partial count -> groupby-sum over partials -> filter>1.  The
     triple key is fine-grained, so no salting is needed (SURVEY.md §4.2).
     """
-    def partial(batch: pa.Table) -> pa.Table:
-        return batch.select(KEY_COLS).group_by(KEY_COLS).aggregate([([], "count_all")]) \
-            .rename_columns(KEY_COLS + ["n_rows"])
+    from ..stages.exact_agg import grouped_aggregate
 
-    from ray.data.aggregate import Sum
-    parts = corpus_ds.map_batches(partial, batch_format="pyarrow")
-    agg = parts.groupby(KEY_COLS).aggregate(Sum("n_rows", alias_name="n_rows"))
+    sel = corpus_ds.map_batches(lambda t: t.select(KEY_COLS),
+                                batch_format="pyarrow")
+    agg = grouped_aggregate(sel, KEY_COLS, [("", "count", "n_rows")])
     return agg.filter(expr="n_rows > 1")
 
 
@@ -104,7 +103,8 @@ def ref_integrity_violations(corpus_ds, known_ref=None):
     parts = corpus_ds.map_batches(
         OrphanFilter, fn_constructor_args=(known_ref,),
         batch_format="pyarrow", concurrency=default_pool())
-    return parts.groupby("repo").aggregate(Sum("n_orphan_rows", alias_name="n_orphan_rows"))
+    return parts.groupby("repo", num_partitions=shuffle_partitions()).aggregate(
+        Sum("n_orphan_rows", alias_name="n_orphan_rows"))
 
 
 # ---------------------------------------------------------------------------
@@ -155,10 +155,21 @@ def column_stats(corpus_ds, columns=("repo", "path", "commit", "lang")):
         row_count=("row_count", "sum"), null_count=("null_count", "sum"),
         min_value=("min_value", "min"), max_value=("max_value", "max")).reset_index()
 
+    from ..stages.exact_agg import grouped_aggregate
+
     dist_pairs = corpus_ds.map_batches(distinct_partial, batch_format="pyarrow")
-    dist = (dist_pairs.groupby(["column_name", "value"]).count()
-            .groupby("column_name").count().to_pandas()
-            .rename(columns={"count()": "distinct_count"}))
+    distinct_rows = grouped_aggregate(dist_pairs, ["column_name", "value"],
+                                      [("", "count", "n")])
+
+    def count_per_col(t: pa.Table) -> pa.Table:
+        return (t.select(["column_name"]).group_by(["column_name"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["column_name", "n"]))
+
+    from ray.data.aggregate import Sum as _Sum
+    dist = (distinct_rows.map_batches(count_per_col, batch_format="pyarrow")
+            .groupby("column_name", num_partitions=4)
+            .aggregate(_Sum("n", alias_name="distinct_count")).to_pandas())
 
     out = scal.merge(dist, on="column_name", how="left")
     out["distinct_count"] = out["distinct_count"].fillna(0).astype("int64")
@@ -261,7 +272,8 @@ def lang_histogram(corpus_ds):
                 .aggregate([([], "count_all")]).rename_columns(["lang", "n"]))
 
     agg = (corpus_ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("lang").aggregate(Sum("n", alias_name="n")))
+           .groupby("lang", num_partitions=shuffle_partitions())
+           .aggregate(Sum("n", alias_name="n")))
 
     def desentinel(batch: pa.Table) -> pa.Table:
         lang = pc.if_else(pc.equal(batch.column("lang"), "__null__"),
@@ -283,7 +295,8 @@ def content_length_histogram(corpus_ds):
                 .aggregate([([], "count_all")]).rename_columns(["bucket", "n"]))
 
     return (corpus_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+            .groupby("bucket", num_partitions=shuffle_partitions())
+            .aggregate(Sum("n", alias_name="n")))
 
 
 # baseline lang probabilities implied by the corpus generator (exact when
@@ -345,10 +358,10 @@ def repo_stats_salted(corpus_ds, salt_buckets: int = 16):
                 .rename_columns(["repo", "salt", "total_chars", "n_rows"]))
 
     salted = (corpus_ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(["repo", "salt"])
+              .groupby(["repo", "salt"], num_partitions=shuffle_partitions())
               .aggregate(Sum("total_chars", alias_name="total_chars"),
                          Sum("n_rows", alias_name="n_rows")))
     # de-salt: combine the k sub-aggregates per repo (tiny)
-    return (salted.groupby("repo")
+    return (salted.groupby("repo", num_partitions=shuffle_partitions())
             .aggregate(Sum("total_chars", alias_name="total_chars"),
                        Sum("n_rows", alias_name="n_rows")))

@@ -49,8 +49,11 @@ def q1_pricing_summary(sf_dir: str):
                                  "sum_base_price_cents", "sum_disc_price_e4",
                                  "count_order"]))
 
+    from ..util import shuffle_partitions
+
     out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"])
+           .groupby(["l_returnflag", "l_linestatus"],
+                    num_partitions=min(8, shuffle_partitions()))
            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
                       Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
                       Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
@@ -117,8 +120,10 @@ def top_customers(sf_dir: str, k: int = 10):
         return (tt.group_by(["o_custkey"]).aggregate([("total_price_cents", "sum")])
                 .rename_columns(["o_custkey", "total_price_cents"]))
 
+    from ..util import shuffle_partitions
+
     per_cust = (orders.map_batches(partial, batch_format="pyarrow")
-                .groupby("o_custkey")
+                .groupby("o_custkey", num_partitions=shuffle_partitions())
                 .aggregate(Sum("total_price_cents", alias_name="total_price_cents")))
 
     cust_tbl = pa.concat_tables(ray.get(
@@ -205,7 +210,8 @@ def nation_region_counts(sf_dir: str):
 
     return (cust.map_batches(ToRegion, fn_constructor_args=(ref,),
                              batch_format="pyarrow", concurrency=(1, 2))
-            .groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers")))
+            .groupby("r_name", num_partitions=4)
+            .aggregate(Sum("n_customers", alias_name="n_customers")))
 
 
 def nation_region_counts_sql() -> str:
@@ -244,8 +250,11 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600):
                 .aggregate([("value_cents", "sum"), ([], "count_all")])
                 .rename_columns(["event_type", "window_start", "sum_value_cents", "n_events"]))
 
+    from ..util import shuffle_partitions
+
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["event_type", "window_start"])
+            .groupby(["event_type", "window_start"],
+                     num_partitions=shuffle_partitions())
             .aggregate(Sum("sum_value_cents", alias_name="sum_value_cents"),
                        Sum("n_events", alias_name="n_events")))
 
@@ -278,7 +287,10 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800):
                              "n_sessions": pd.Series([n_sessions], dtype="int64"),
                              "n_events": pd.Series([len(g)], dtype="int64")})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    from ..util import shuffle_partitions
+
+    return ds.groupby("user_id", num_partitions=shuffle_partitions()).map_groups(
+        sessions, batch_format="pandas")
 
 
 def events_sessionize_sql(gap_s: int = 1800) -> str:
@@ -311,8 +323,10 @@ def events_top_users(sf_dir: str, k: int = 20):
         return (tt.group_by(["user_id"]).aggregate([("total_value_cents", "sum")])
                 .rename_columns(["user_id", "total_value_cents"]))
 
+    from ..util import shuffle_partitions
+
     agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("user_id")
+           .groupby("user_id", num_partitions=shuffle_partitions())
            .aggregate(Sum("total_value_cents", alias_name="total_value_cents")))
     top = agg.sort(["total_value_cents", "user_id"], descending=[True, False]).limit(k)
     return top.to_pandas()

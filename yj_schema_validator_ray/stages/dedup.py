@@ -37,33 +37,31 @@ def exact_dup_groups(docs_ds):
     sha256 per batch -> per-batch partial (sha, min_id, n) -> one
     hash-shuffle over partials (not raw text) -> filter n>1.
     """
-    from ray.data.aggregate import Min, Sum
+    from .exact_agg import grouped_aggregate
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def sha_rows(batch: pa.Table) -> pa.Table:
         b = add_text_sha(batch.select(["doc_id", "text"]))
-        return (b.select(["text_sha", "doc_id"]).group_by(["text_sha"])
-                .aggregate([("doc_id", "min"), ([], "count_all")])
-                .rename_columns(["text_sha", "keep_doc_id", "n_copies"]))
+        return b.select(["text_sha", "doc_id"]).rename_columns(
+            ["text_sha", "keep_doc_id"])
 
-    return (docs_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("text_sha")
-            .aggregate(Min("keep_doc_id", alias_name="keep_doc_id"),
-                       Sum("n_copies", alias_name="n_copies"))
-            .filter(expr="n_copies > 1"))
+    rows = docs_ds.map_batches(sha_rows, batch_format="pyarrow")
+    return grouped_aggregate(rows, ["text_sha"],
+                             [("keep_doc_id", "min", "keep_doc_id"),
+                              ("", "count", "n_copies")]) \
+        .filter(expr="n_copies > 1")
 
 
 def dedup_exact(docs_ds):
     """The kept-rows side: one row per distinct text (min doc_id wins)."""
-    from ray.data.aggregate import Min
+    from .exact_agg import grouped_aggregate
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def sha_rows(batch: pa.Table) -> pa.Table:
         b = add_text_sha(batch.select(["doc_id", "text"]))
-        return (b.select(["text_sha", "doc_id"]).group_by(["text_sha"])
-                .aggregate([("doc_id", "min")])
-                .rename_columns(["text_sha", "doc_id"]))
+        return b.select(["text_sha", "doc_id"])
 
-    return (docs_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("text_sha").aggregate(Min("doc_id", alias_name="doc_id")))
+    rows = docs_ds.map_batches(sha_rows, batch_format="pyarrow")
+    return grouped_aggregate(rows, ["text_sha"],
+                             [("doc_id", "min", "doc_id")])
 
 
 # ---------------------------------------------------------------------------
@@ -164,40 +162,75 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     banded = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows_per_band), batch_format="pyarrow")
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        if len(ids) < 2:
+    # Pair generation: grouping on raw (band, bucket) would make one
+    # map_groups call PER BUCKET (~1 ms of Ray overhead each — 80k buckets
+    # took 90 s).  Instead group on a COARSE hash of the bucket key (all
+    # rows of one bucket still co-locate) and emit pairs for every
+    # equal-key run with numpy inside each coarse group.
+    from ..util import shuffle_partitions
+
+    nsp = shuffle_partitions()
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        # bucket is already a hash: xor-fold with band, keep 10 bits
+        # (1024 coarse groups; bit ops avoid int64 overflow)
+        coarse = pc.bit_wise_and(pc.bit_wise_xor(t.column("bucket"),
+                                                 t.column("band")), 1023)
+        return t.append_column("coarse", coarse)
+
+    def emit_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "bucket", "doc_id"])
+        band = g["band"].to_numpy()
+        bucket = g["bucket"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        # run boundaries of equal (band, bucket)
+        change = np.flatnonzero((band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(ids)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            run = ids[s:e][:200]  # cap pathological mega-buckets
+            iu, ju = np.triu_indices(len(run), k=1)
+            out_a.append(run[iu])
+            out_b.append(run[ju])
+        if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
-        a, bb = [], []
-        # buckets are tiny (docs agreeing on a full band); cap pathological
-        # mega-buckets to first 200 ids to bound quadratic blowup
-        ids = ids[:200]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                bb.append(ids[j])
-        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
-                             "b": pd.Series(bb, dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
-    pairs = (banded.groupby(["band", "bucket"])
-             .map_groups(emit_pairs, batch_format="pandas")
-             .groupby(["a", "b"]).count())
+    from .exact_agg import grouped_aggregate
 
-    # verify: join pair -> signatures of both sides, estimate jaccard
-    sig_map = {r["doc_id"]: np.asarray(r["sig"], dtype=np.uint64)
-               for r in sigs.iter_rows()}
+    raw_pairs = (banded.map_batches(add_coarse, batch_format="pyarrow")
+                 .groupby("coarse", num_partitions=nsp)
+                 .map_groups(emit_pairs_part, batch_format="pandas"))
+    pairs = grouped_aggregate(raw_pairs, ["a", "b"], [("", "count", "n")])
+
+    # verify: look up both sides' signatures in a broadcast (ids, matrix)
+    # pair — zero-copy flatten of the fixed-size-list column, searchsorted
+    # lookups (no Python per-row loop)
     import ray
-    sig_ref = ray.put(sig_map)
+
+    sig_tbl = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
+    ids_arr = sig_tbl.column("doc_id").to_numpy()
+    sig_col = sig_tbl.column("sig").combine_chunks()
+    sig_mat = sig_col.flatten().to_numpy().reshape(-1, num_perm).astype(np.uint64)
+    order = np.argsort(ids_arr)
+    sig_ref = ray.put((ids_arr[order], sig_mat[order]))
 
     class Verify:
         def __init__(self, ref):
-            self.sigs = ray.get(ref)
+            self.ids, self.mat = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("a").to_pylist()
-            b = batch.column("b").to_pylist()
-            est = [float((self.sigs[x] == self.sigs[y]).mean()) for x, y in zip(a, b)]
+            a = batch.column("a").to_numpy()
+            b = batch.column("b").to_numpy()
+            ia = np.searchsorted(self.ids, a)
+            ib = np.searchsorted(self.ids, b)
+            est = (self.mat[ia] == self.mat[ib]).mean(axis=1)
             t = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
                           "jaccard_est": pa.array(est, pa.float64())})
             return t.filter(pc.greater_equal(t.column("jaccard_est"), threshold))
@@ -261,25 +294,55 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, concurrency=None):
                          "doc_id": pa.array(np.concatenate(oid)),
                          "simhash": pa.array(np.concatenate(osh))})
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id").drop_duplicates("doc_id")
+    # coarse-grouped vectorized pair generation (same pattern as
+    # minhash_lsh_pairs: one map_groups call per coarse hash group, numpy
+    # runs inside — never one Ray call per bucket)
+    def add_coarse(t: pa.Table) -> pa.Table:
+        coarse = pc.bit_wise_and(pc.bit_wise_xor(t.column("val"),
+                                                 t.column("chunk")), 255)
+        return t.append_column("coarse", coarse)
+
+    def emit_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chunk", "val", "doc_id"])
+        chunk = g["chunk"].to_numpy()
+        val = g["val"].to_numpy()
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        a, b, d = [], [], []
-        n = min(len(ids), 200)
-        for i in range(n):
-            for j in range(i + 1, n):
-                ham = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                if ham <= max_hamming:
-                    a.append(int(ids[i])); b.append(int(ids[j])); d.append(ham)
-        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
-                             "b": pd.Series(b, dtype="int64"),
-                             "hamming": pd.Series(d, dtype="int64")})
+        change = np.flatnonzero((chunk[1:] != chunk[:-1]) | (val[1:] != val[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(ids)]))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run_ids = ids[s:e][:200]
+            run_hs = hs[s:e][:200]
+            iu, ju = np.triu_indices(len(run_ids), k=1)
+            x = run_hs[iu] ^ run_hs[ju]
+            # vectorized popcount via unpackbits on the 8 bytes
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                                axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            out_a.append(run_ids[iu][keep])
+            out_b.append(run_ids[ju][keep])
+            out_h.append(ham[keep].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
-    from ray.data.aggregate import Min
-    return (sigs.map_batches(explode, batch_format="pyarrow")
-            .groupby(["chunk", "val"]).map_groups(emit_pairs, batch_format="pandas")
-            .groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming")))
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate
+
+    nsp = shuffle_partitions()
+    raw = (sigs.map_batches(explode, batch_format="pyarrow")
+           .map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("coarse", num_partitions=nsp)
+           .map_groups(emit_pairs_part, batch_format="pandas"))
+    return grouped_aggregate(raw, ["a", "b"], [("hamming", "min", "hamming")])
 
 
 # ---------------------------------------------------------------------------

