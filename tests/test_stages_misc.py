@@ -1,0 +1,137 @@
+"""Unit tests for HLL sketch accuracy, exact_agg vs pandas, multimodal
+plumbing, ANN brute-force vs LSH recall, dedup signatures."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from yj_schema_validator_ray.pipelines.constraints import HLLSketch, kl_divergence
+from yj_schema_validator_ray.stages.multimodal import (
+    FEATURE_DIM, MediaFeaturizer, decode_image, fake_decode)
+
+
+def _rand_hashes(rng, n):
+    # FULL 64-bit range — a biased top bit leaves half the registers
+    # empty and poisons the estimate (production _hash64 is full-range)
+    return rng.randint(-2**63, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+
+
+def test_hll_estimate_accuracy():
+    sk = HLLSketch(p=12)
+    rng = np.random.RandomState(3)
+    true_n = 50_000
+    sk.add_hashed(_rand_hashes(rng, true_n))
+    est = sk.estimate()
+    assert abs(est - true_n) / true_n < 0.05  # ~1.04/sqrt(4096) = 1.6% std
+
+
+def test_hll_merge_equals_union():
+    a, b = HLLSketch(p=10), HLLSketch(p=10)
+    both = HLLSketch(p=10)
+    rng = np.random.RandomState(4)
+    h1 = _rand_hashes(rng, 1000)
+    h2 = _rand_hashes(rng, 1000)
+    a.add_hashed(h1); b.add_hashed(h2)
+    both.add_hashed(h1); both.add_hashed(h2)
+    assert a.merge(b).estimate() == both.estimate()
+
+
+def test_kl_divergence_zero_on_match():
+    assert kl_divergence({"a": 80, "b": 20}, {"a": 0.8, "b": 0.2}) == pytest.approx(0)
+    assert kl_divergence({"a": 99, "b": 1}, {"a": 0.5, "b": 0.5}) > 0.5
+
+
+def test_media_featurizer_plumbing():
+    batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "mime": pa.array(["application/octet-stream"] * 2),
+        "payload": pa.array([b"hello", b"world"], pa.binary()),
+    })
+    out = MediaFeaturizer()(batch)
+    assert out.column_names == ["media_id", "payload_sha256", "payload_bytes", "feature"]
+    rows = out.to_pylist()
+    assert rows[0]["payload_bytes"] == 5
+    assert len(rows[0]["feature"]) == FEATURE_DIM
+    # deterministic stand-in decode
+    assert np.allclose(fake_decode(b"hello"), fake_decode(b"hello"))
+    assert not np.allclose(fake_decode(b"hello"), fake_decode(b"world"))
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_exact_agg_matches_pandas(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.exact_agg import grouped_aggregate
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "k1": rng.choice(["a", "b", "c", "d"], 5000),
+        "k2": rng.randint(0, 500, 5000),
+        "v": rng.randint(0, 100, 5000),
+    })
+    got = grouped_aggregate(
+        ray.data.from_pandas(df), ["k1", "k2"],
+        [("v", "sum", "v_sum"), ("v", "min", "v_min"), ("", "count", "n")],
+    ).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    exp = (df.groupby(["k1", "k2"])
+           .agg(v_sum=("v", "sum"), v_min=("v", "min"), n=("v", "size"))
+           .reset_index().sort_values(["k1", "k2"]).reset_index(drop=True))
+    got["k2"] = got["k2"].astype(exp["k2"].dtype)
+    for c in ["v_sum", "v_min", "n"]:
+        got[c] = got[c].astype("int64"); exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_ann_lsh_results_subset_of_bruteforce(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.ann import ann_topk_bruteforce, ann_topk_lsh
+
+    rng = np.random.RandomState(6)
+    n, d = 400, 16
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([row.tolist() for row in m],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    queries = {0: m[0].astype(np.float64), 1: m[1].astype(np.float64)}
+    bf = ann_topk_bruteforce(ds, queries, k=5).to_pandas()
+    # exact top-k: self similarity 1.0 at rank 1
+    top1 = bf[bf["rank"] == 1].set_index("query_id")
+    assert top1.loc[0, "vec_id"] == 0 and top1.loc[0, "sim"] == pytest.approx(1.0)
+    # LSH candidates score identically to brute force where they overlap
+    lsh = ann_topk_lsh(ds, queries, k=5).to_pandas()
+    merged = lsh.merge(bf, on=["query_id", "vec_id"], suffixes=("_l", "_b"))
+    assert (merged["sim_l"] == merged["sim_b"]).all()
+
+
+def test_minhash_signature_similarity():
+    from yj_schema_validator_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(num_perm=128)
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = "the quick brown fox jumps over the lazy cat " * 10
+    c = "completely different content with no overlap at all zzz " * 10
+    sim_ab = (mh.signature(a) == mh.signature(b)).mean()
+    sim_ac = (mh.signature(a) == mh.signature(c)).mean()
+    assert sim_ab > 0.5 > sim_ac
+    # deterministic across instances (fixed seed)
+    assert (MinHasher(num_perm=128).signature(a) == mh.signature(a)).all()
+
+
+def test_simhash_hamming_properties():
+    from yj_schema_validator_ray.stages.dedup import SimHasher
+
+    sh = SimHasher()
+    a = sh.simhash("alpha beta gamma delta epsilon " * 20)
+    b = sh.simhash("alpha beta gamma delta zeta " * 20)
+    c = sh.simhash("totally unrelated words qqq www eee " * 20)
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(a, b) < ham(a, c)

@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resumable partitioned output with lineage records")
     p.add_argument("--nparts", type=int, default=16)
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--config", help="YAML config file; keys mirror the CLI flags "
+                   "(the engine's analogue of the reference's application.yaml "
+                   "Spring binding; explicit CLI flags win)")
     return p
 
 
@@ -52,7 +55,19 @@ def load_schema_file(path: str) -> dict:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.config:
+        import yaml
+
+        with open(args.config, encoding="utf-8") as f:
+            file_cfg = yaml.safe_load(f) or {}
+        defaults = {k.replace("-", "_"): v for k, v in file_cfg.items()}
+        unknown = set(defaults) - {a.dest for a in parser._actions}
+        if unknown:
+            parser.error(f"unknown config keys: {sorted(unknown)}")
+        parser.set_defaults(**defaults)
+        args = parser.parse_args(argv)  # CLI flags win over file values
 
     import ray
 

@@ -36,17 +36,63 @@ KEY_COLS = ["repo", "path", "commit"]
 # uniqueness on (repo, path, commit)
 # ---------------------------------------------------------------------------
 
+def _key_hash64(batch: pa.Table) -> np.ndarray:
+    import pandas as pd
+
+    return pd.util.hash_pandas_object(
+        batch.select(KEY_COLS).to_pandas(), index=False).to_numpy()
+
+
 def uniqueness_violations(corpus_ds):
     """Key triples appearing more than once -> (repo, path, commit, n_rows).
 
-    Per-batch partial count -> groupby-sum over partials -> filter>1.  The
-    triple key is fine-grained, so no salting is needed (SURVEY.md §4.2).
+    Two-phase hash plan (the 10^12-row shape):
+    A. shuffle 64-bit KEY HASHES with per-batch counts (8 bytes/key vs
+       ~70 bytes of strings) -> candidate duplicate hashes (tiny);
+    B. re-scan, keep only rows whose hash is a candidate (broadcast set),
+       and aggregate the REAL key triples exactly — hash collisions are
+       eliminated here, so the result is exact.
+    The triple key is fine-grained, so no salting is needed (SURVEY.md §4.2).
     """
+    import ray
+
     from ..stages.exact_agg import grouped_aggregate
 
-    sel = corpus_ds.map_batches(lambda t: t.select(KEY_COLS),
-                                batch_format="pyarrow")
-    agg = grouped_aggregate(sel, KEY_COLS, [("", "count", "n_rows")])
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        kh = _key_hash64(batch)
+        t = pa.table({"kh": pa.array(kh.astype(np.int64), pa.int64())})
+        return (t.group_by(["kh"]).aggregate([([], "count_all")])
+                .rename_columns(["kh", "n"]))
+
+    cand = (grouped_aggregate(
+        corpus_ds.map_batches(hash_partial, batch_format="pyarrow"),
+        ["kh"], [("n", "sum", "n")])
+        .filter(expr="n > 1"))
+    dup_hashes = frozenset(r["kh"] for r in cand.take_all())
+    if not dup_hashes:
+        import pandas as pd
+
+        return ray.data.from_pandas(pd.DataFrame({
+            "repo": pd.Series(dtype="string"), "path": pd.Series(dtype="string"),
+            "commit": pd.Series(dtype="string"), "n_rows": pd.Series(dtype="int64")}))
+    dup_ref = ray.put(dup_hashes)
+
+    class KeepCandidates:
+        def __init__(self, ref):
+            self.dups = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            kh = _key_hash64(batch)
+            mask = np.fromiter((int(h) in self.dups for h in kh.astype(np.int64)),
+                               dtype=bool, count=len(kh))
+            kept = batch.select(KEY_COLS).filter(pa.array(mask))
+            return (kept.group_by(KEY_COLS).aggregate([([], "count_all")])
+                    .rename_columns(KEY_COLS + ["n_rows"]))
+
+    agg = grouped_aggregate(
+        corpus_ds.map_batches(KeepCandidates, fn_constructor_args=(dup_ref,),
+                              batch_format="pyarrow", concurrency=(1, 4)),
+        KEY_COLS, [("n_rows", "sum", "n_rows")], num_partitions=4)
     return agg.filter(expr="n_rows > 1")
 
 
@@ -82,11 +128,11 @@ class OrphanFilter:
 
     def __init__(self, known_ref):
         import ray
-        self.known = ray.get(known_ref)
+        # Arrow value-set built ONCE per actor, not per batch
+        self.known_arr = pa.array(sorted(ray.get(known_ref)), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("repo"),
-                        value_set=pa.array(sorted(self.known), pa.string()))
+        mask = pc.is_in(batch.column("repo"), value_set=self.known_arr)
         orphans = batch.filter(pc.invert(mask))
         return (orphans.select(["repo"]).group_by(["repo"])
                 .aggregate([([], "count_all")])
@@ -103,7 +149,8 @@ def ref_integrity_violations(corpus_ds, known_ref=None):
     parts = corpus_ds.map_batches(
         OrphanFilter, fn_constructor_args=(known_ref,),
         batch_format="pyarrow", concurrency=default_pool())
-    return parts.groupby("repo", num_partitions=shuffle_partitions()).aggregate(
+    # partials are <= n_distinct_repos rows per block -> tiny final shuffle
+    return parts.groupby("repo", num_partitions=4).aggregate(
         Sum("n_orphan_rows", alias_name="n_orphan_rows"))
 
 
@@ -141,14 +188,26 @@ def column_stats(corpus_ds, columns=("repo", "path", "commit", "lang")):
         })
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
-        names, values = [], []
+        # shuffle 64-bit VALUE HASHES, not value strings (~10x lighter;
+        # a collision miscounts by 1 with probability ~n^2/2^65 — 1e-7
+        # at 2M distinct values)
+        import pandas as pd
+
+        names, hashes = [], []
         for c in cols:
-            for v in pc.unique(batch.column(c)).to_pylist():
-                if v is not None:
-                    names.append(c)
-                    values.append(str(v))
-        return pa.table({"column_name": pa.array(names, pa.string()),
-                         "value": pa.array(values, pa.string())})
+            u = pc.unique(batch.column(c)).drop_null()
+            if len(u) == 0:
+                continue
+            h = pd.util.hash_array(u.to_numpy(zero_copy_only=False)
+                                   .astype(object)).astype(np.int64)
+            names.append(np.full(len(h), c, dtype=object))
+            hashes.append(h)
+        if not names:
+            return pa.table({"column_name": pa.array([], pa.string()),
+                             "value": pa.array([], pa.int64())})
+        return pa.table({
+            "column_name": pa.array(np.concatenate(names), pa.string()),
+            "value": pa.array(np.concatenate(hashes), pa.int64())})
 
     scal = corpus_ds.map_batches(scalar_partial, batch_format="pyarrow").to_pandas()
     scal = scal.groupby("column_name").agg(

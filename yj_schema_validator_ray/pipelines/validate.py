@@ -14,14 +14,26 @@ from ..stages.validator import SchemaValidator, explode_violations
 
 def validate_corpus(corpus_ds, config: ValidatorConfig, *,
                     concurrency=None, batch_size: int = 2048,
-                    num_cpus: float = 1):
+                    num_cpus: float = 1, use_actors: bool = False):
     """corpus Dataset -> verdicts Dataset (violations nested per doc).
 
-    ``SchemaValidator`` is a callable CLASS, so Ray Data runs it on an
-    actor pool: schemas + catalog compile once per actor in ``__init__``
-    (the reference's ``schemaCache`` amortization,
-    ``YamlSchemaValidator.java:65,184-202``).
+    Compiled-schema amortization (the reference's ``schemaCache``,
+    ``YamlSchemaValidator.java:65,184-202``) comes in two flavors:
+
+    - default: stateless TASKS + per-worker-process compile cache
+      (``make_validator_fn``) — elastic, zero pool spin-up, compiles
+      once per worker process;
+    - ``use_actors=True``: a ``SchemaValidator`` actor pool — for
+      genuinely heavy per-actor state (model loads, remote schema
+      fetches a la ``fetchSchemaFromUrl``) where a dedicated pool with
+      ``__init__``-time setup is worth its ~5 s ramp.
     """
+    from ..stages.validator import make_validator_fn
+
+    if not use_actors:
+        return corpus_ds.map_batches(
+            make_validator_fn(config), batch_format="pyarrow",
+            batch_size=batch_size, num_cpus=num_cpus)
     if concurrency is None:
         # autoscaling pool that leaves CPUs for the read / downstream
         # stages so the pipeline neither serializes nor deadlocks

@@ -100,14 +100,24 @@ class SchemaValidator:
 
         o_repo: list = []; o_path: list = []; o_commit: list = []; o_lang: list = []
         o_key: list = []; o_idx: list = []; o_valid: list = []; o_err: list = []
-        o_nv: list = []; o_sha: list = []; o_viol: list = []
+        o_nv: list = []; o_sha: list = []
+        # violations as flat columns + offsets (ListArray.from_arrays) —
+        # per-row lists of dicts cost ~2x in allocation on the hot path
+        v_off: list = [0]
+        v_ep: list = []; v_sp: list = []; v_ip: list = []
+        v_kw: list = []; v_msg: list = []
 
         def emit(i, key, idx, valid, err, viols, sha):
             o_repo.append(repos[i]); o_path.append(paths[i])
             o_commit.append(commits[i]); o_lang.append(langs[i])
             o_key.append(key); o_idx.append(idx); o_valid.append(valid)
             o_err.append(err); o_nv.append(len(viols) if err is None else 1)
-            o_sha.append(sha); o_viol.append(viols)
+            o_sha.append(sha)
+            for v in viols:
+                v_ep.append(v.evaluation_path); v_sp.append(v.schema_location)
+                v_ip.append(v.instance_location); v_kw.append(v.keyword)
+                v_msg.append(v.message)
+            v_off.append(len(v_ep))
 
         for i, content in enumerate(contents):
             path = paths[i]
@@ -142,21 +152,62 @@ class SchemaValidator:
                 except Exception as ex:  # per-row fault isolation, never fail the block
                     emit(i, keys[j], j + 1, False, str(ex), [], sha)
                     continue
-                emit(i, keys[j], j + 1, len(viols) == 0, None,
-                     [{"evaluation_path": v.evaluation_path,
-                       "schema_path": v.schema_location,
-                       "instance_path": v.instance_location,
-                       "keyword": v.keyword,
-                       "message": v.message} for v in viols], sha)
+                emit(i, keys[j], j + 1, len(viols) == 0, None, viols, sha)
 
+        viol_struct = pa.StructArray.from_arrays(
+            [pa.array(v_ep, pa.string()), pa.array(v_sp, pa.string()),
+             pa.array(v_ip, pa.string()), pa.array(v_kw, pa.string()),
+             pa.array(v_msg, pa.string())],
+            fields=list(VIOLATION_STRUCT))
+        viol_col = pa.ListArray.from_arrays(pa.array(v_off, pa.int32()),
+                                            viol_struct)
         return pa.Table.from_arrays(
             [pa.array(o_repo, pa.string()), pa.array(o_path, pa.string()),
              pa.array(o_commit, pa.string()), pa.array(o_lang, pa.string()),
              pa.array(o_key, pa.string()), pa.array(o_idx, pa.int32()),
              pa.array(o_valid, pa.bool_()), pa.array(o_err, pa.string()),
              pa.array(o_nv, pa.int64()), pa.array(o_sha, pa.string()),
-             pa.array(o_viol, pa.list_(VIOLATION_STRUCT))],
+             viol_col],
             schema=VERDICT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# task-mode dispatch: stateless map_batches tasks + a PER-WORKER-PROCESS
+# compiled-schema cache.  Ray worker processes outlive tasks, so the first
+# task on each worker compiles once and every later task reuses it — the
+# same amortization as the actor pool without the pool's spin-up latency
+# (measured ~5-7 s for a 24-actor pool; tasks start on warm workers
+# immediately).  Use the actor-pool path (``SchemaValidator`` class) when
+# per-actor state is genuinely heavy (models, remote fetches).
+# ---------------------------------------------------------------------------
+
+_PROCESS_VALIDATORS: dict[str, "SchemaValidator"] = {}
+
+
+def make_validator_fn(config: ValidatorConfig):
+    """A plain function for ``map_batches`` that lazily builds (and
+    process-caches) the ``SchemaValidator`` on each Ray worker.
+
+    The cache key is a content digest computed once on the driver, so two
+    configs with identical content share a compiled validator and
+    different content never collides.
+    """
+    import json as _json
+
+    key = hashlib.md5(_json.dumps(
+        {"schemas": config.schemas, "default": config.default_schema,
+         "override": config.schema_override, "auto": config.auto_detect,
+         "catalog": [(e.name, e.file_match, e.schema_id) for e in config.catalog]},
+        sort_keys=True, default=str).encode()).hexdigest()
+
+    def validate_batch(batch: pa.Table) -> pa.Table:
+        v = _PROCESS_VALIDATORS.get(key)
+        if v is None:
+            v = SchemaValidator(config)
+            _PROCESS_VALIDATORS[key] = v
+        return v(batch)
+
+    return validate_batch
 
 
 def explode_violations(batch: pa.Table) -> pa.Table:
