@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ann_topk_lsh(sf_dir):
         return A.ann_topk_lsh(emb(sf_dir), _query_vectors(sf_dir))
 
+    def q_ann_topk_ivf(sf_dir):
+        return A.ann_topk_ivf(emb(sf_dir), _query_vectors(sf_dir))
+
     def q_embedding_dups(sf_dir):
         return A.embedding_dup_pairs(_augment(emb(sf_dir), "vec_id"))
 
@@ -196,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_dups": q_embedding_dups,
         # multimodal plumbing
         "media_features": q_media_features,
@@ -204,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": R.top_customers,
         "nation_region_counts": R.nation_region_counts,
         "events_window": R.events_tumbling_window,
+        "events_hopping_window": R.events_hopping_window,
         "events_sessions": R.events_sessionize,
         "events_top_users": R.events_top_users,
     }
@@ -237,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": R.top_customers_sql(),
         "nation_region_counts": R.nation_region_counts_sql(),
         "events_window": R.events_tumbling_window_sql(),
+        "events_hopping_window": R.events_hopping_window_sql(),
         "events_sessions": R.events_sessionize_sql(),
         "events_top_users": R.events_top_users_sql(),
         # intentionally no SQL oracle (approximate / non-SQL-expressible):

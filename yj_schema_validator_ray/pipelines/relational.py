@@ -339,3 +339,67 @@ SELECT user_id,
 FROM events GROUP BY user_id
 ORDER BY total_value_cents DESC, user_id
 LIMIT {k}"""
+
+
+def events_hopping_window(sf_dir: str, size_s: int = 3600, hop_s: int = 1800):
+    """Hopping (sliding) event-time window: size 2x hop, so every event
+    belongs to exactly two windows — implemented as a vectorized 1->2 row
+    expansion per batch before the shuffle (flat-map semantics inside
+    map_batches)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import shuffle_partitions
+
+    assert size_s == 2 * hop_s, "this operator models the size=2*hop case"
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        base = pc.multiply(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                                              float(hop_s))), float(hop_s))
+        w0 = pc.cast(base, pa.int64())
+        w1 = pc.subtract(w0, hop_s)
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                             pa.scalar(100.0))), pa.int64())
+
+        def arr(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        et = arr(t.column("event_type"))
+        tt = pa.table({
+            "event_type": pa.concat_arrays([et, et]),
+            "window_start": pa.concat_arrays([arr(w0), arr(w1)]),
+            "value_cents": pa.concat_arrays([arr(cents), arr(cents)]),
+        })
+        return (tt.group_by(["event_type", "window_start"])
+                .aggregate([("value_cents", "sum"), ([], "count_all")])
+                .rename_columns(["event_type", "window_start",
+                                 "sum_value_cents", "n_events"]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "window_start"],
+                     num_partitions=shuffle_partitions())
+            .aggregate(Sum("sum_value_cents", alias_name="sum_value_cents"),
+                       Sum("n_events", alias_name="n_events")))
+
+
+def events_hopping_window_sql(size_s: int = 3600, hop_s: int = 1800) -> str:
+    return f"""
+WITH expanded AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {hop_s}) * {hop_s} AS BIGINT) AS window_start,
+         value
+  FROM events
+  UNION ALL
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {hop_s}) * {hop_s} - {hop_s} AS BIGINT) AS window_start,
+         value
+  FROM events
+)
+SELECT event_type, window_start,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM expanded
+GROUP BY 1, 2"""
