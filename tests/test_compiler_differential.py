@@ -45,6 +45,15 @@ SCHEMAS = [
      "additionalProperties": {"type": "string"}},
     {"prefixItems": [{"type": "string"}, {"type": "integer"}],
      "items": {"type": "boolean"}, "type": "array"},
+    {"if": {"type": "object", "required": ["k"]},
+     "then": {"properties": {"v": {"type": "integer"}}},
+     "else": {"type": "array"}},
+    {"type": "object",
+     "dependentRequired": {"name": ["age"]},
+     "dependentSchemas": {"v": {"properties": {"v": {"type": "integer"}}}}},
+    {"type": "object", "propertyNames": {"maxLength": 4}},
+    {"type": "array", "contains": {"type": "integer"},
+     "minContains": 2, "maxContains": 3},
 ]
 
 json_scalars = st.one_of(

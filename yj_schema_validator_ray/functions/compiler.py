@@ -642,7 +642,8 @@ class CompiledSchema:
 
             checks.append(items_fn)
 
-        if "contains" in schema:
+        if "contains" in schema and "minContains" not in schema \
+                and "maxContains" not in schema:
             c_fn = self._compile(schema["contains"], f"{spath}/contains", None)
 
             def contains_fn(v, ipath, epath, out, _fn=c_fn, _loc=loc):
@@ -702,6 +703,105 @@ class CompiledSchema:
                 return False
 
             checks.append(oneof_fn)
+
+        if "if" in schema:
+            if_fn = self._compile(schema["if"], f"{spath}/if", None)
+            then_fn = (self._compile(schema["then"], f"{spath}/then", None)
+                       if "then" in schema else None)
+            else_fn = (self._compile(schema["else"], f"{spath}/else", None)
+                       if "else" in schema else None)
+
+            def if_then_else_fn(v, ipath, epath, out, _i=if_fn, _t=then_fn, _e=else_fn):
+                if _i(v, ipath, f"{epath}/if", []):
+                    if _t is not None:
+                        return _t(v, ipath, f"{epath}/then", out)
+                elif _e is not None:
+                    return _e(v, ipath, f"{epath}/else", out)
+                return True
+
+            checks.append(if_then_else_fn)
+
+        if "dependentRequired" in schema:
+            deps = {k: list(v) for k, v in schema["dependentRequired"].items()}
+
+            def deprequired_fn(v, ipath, epath, out, _deps=deps, _loc=loc):
+                if not isinstance(v, dict):
+                    return True
+                ok = True
+                for trigger, names in _deps.items():
+                    if trigger not in v:
+                        continue
+                    for name in names:
+                        if name not in v:
+                            out.append(Violation(
+                                epath, _loc, ipath, "dependentRequired",
+                                f"has a dependency on '{name}' when "
+                                f"'{trigger}' is present, but it is missing"))
+                            ok = False
+                return ok
+
+            checks.append(deprequired_fn)
+
+        if "dependentSchemas" in schema:
+            dep_schemas = {
+                k: self._compile(s, f"{spath}/dependentSchemas/"
+                                 f"{k.replace('~', '~0').replace('/', '~1')}", None)
+                for k, s in schema["dependentSchemas"].items()}
+
+            def depschemas_fn(v, ipath, epath, out, _d=dep_schemas):
+                if not isinstance(v, dict):
+                    return True
+                ok = True
+                for trigger, fn in _d.items():
+                    if trigger in v:
+                        tesc = trigger.replace("~", "~0").replace("/", "~1")
+                        if not fn(v, ipath, f"{epath}/dependentSchemas/{tesc}", out):
+                            ok = False
+                return ok
+
+            checks.append(depschemas_fn)
+
+        if "propertyNames" in schema:
+            pn_fn = self._compile(schema["propertyNames"], f"{spath}/propertyNames", None)
+
+            def propnames_fn(v, ipath, epath, out, _fn=pn_fn):
+                if not isinstance(v, dict):
+                    return True
+                ok = True
+                for key in v:
+                    if not _fn(key, ipath, f"{epath}/propertyNames", out):
+                        ok = False
+                return ok
+
+            checks.append(propnames_fn)
+
+        if "minContains" in schema or "maxContains" in schema:
+            if "contains" in schema:
+                cc_fn = self._compile(schema["contains"], f"{spath}/contains", None)
+                # contains defaults to 'at least 1' unless minContains overrides
+                lo = schema.get("minContains", 1)
+                hi = schema.get("maxContains")
+
+                def contains_bounds_fn(v, ipath, epath, out, _fn=cc_fn,
+                                       _lo=lo, _hi=hi, _loc=loc):
+                    if not isinstance(v, list):
+                        return True
+                    n = sum(1 for i, item in enumerate(v)
+                            if _fn(item, f"{ipath}/{i}", f"{epath}/contains", []))
+                    ok = True
+                    if _lo is not None and n < _lo:
+                        out.append(Violation(
+                            epath, _loc, ipath, "minContains",
+                            f"must contain at least {_lo} valid items but found {n}"))
+                        ok = False
+                    if _hi is not None and n > _hi:
+                        out.append(Violation(
+                            epath, _loc, ipath, "maxContains",
+                            f"must contain at most {_hi} valid items but found {n}"))
+                        ok = False
+                    return ok
+
+                checks.append(contains_bounds_fn)
 
         if "not" in schema:
             n_fn = self._compile(schema["not"], f"{spath}/not", None)
