@@ -1,0 +1,136 @@
+"""Stream-shaped windowed aggregation with incremental actor state.
+
+Ray Data is a batch engine with no event-time watermarks; for
+stream-shaped inputs (the ``events`` table as an ordered, partitioned
+log) the engine offers two shapes:
+
+1. :func:`..pipelines.relational.events_tumbling_window` — the batch
+   shape (``groupby`` over pre-aggregated window partials).  Prefer it.
+2. :class:`WindowedCounter` (here) — RAW RAY ACTORS holding incremental
+   per-window state with a watermark: one actor per key-hash bucket fed
+   batches in timestamp order; windows finalize (and become emittable)
+   once the bucket's watermark (max ts seen - allowed lateness) passes
+   their end.  This is the "(c) raw Ray tasks/actors" escape hatch
+   (SURVEY §2 custom operators) for semantics the Dataset API can't
+   express: emitting results incrementally while the stream is still
+   being consumed, with late-event accounting.
+
+Partitioning assumption: events are routed to buckets by
+``hash(key) % n_buckets`` — one key's events always meet the same
+actor; within a bucket, batches must arrive in non-decreasing ts order
+for the watermark to be meaningful (the driver feeds sorted batches).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+@ray.remote
+class WindowBucketActor:
+    """Incremental (event_type, window) -> (count, sum_cents) state for
+    one key-hash bucket, with watermark-driven finalization."""
+
+    def __init__(self, window_s: int, lateness_s: int):
+        self.window_s = window_s
+        self.lateness_s = lateness_s
+        self.state: dict[tuple, list] = {}   # (key, win) -> [n, sum_cents]
+        self.watermark = -np.inf
+        self.late_events = 0
+
+    def ingest(self, keys: list, epochs: list, cents: list) -> int:
+        """Feed a batch; returns number of late-dropped events."""
+        late = 0
+        for k, e, c in zip(keys, epochs, cents):
+            if e < self.watermark - self.lateness_s:
+                late += 1     # too late: window may already be finalized
+                continue
+            win = int(e // self.window_s) * self.window_s
+            slot = self.state.get((k, win))
+            if slot is None:
+                self.state[(k, win)] = [1, c]
+            else:
+                slot[0] += 1
+                slot[1] += c
+        if epochs:
+            self.watermark = max(self.watermark, max(epochs))
+        self.late_events += late
+        return late
+
+    def poll_finalized(self) -> list[tuple]:
+        """Windows whose end + lateness < watermark: emit and drop."""
+        cutoff = self.watermark - self.lateness_s
+        done = [kw for kw in self.state if kw[1] + self.window_s <= cutoff]
+        result = []
+        for k, w in done:
+            n, s = self.state.pop((k, w))
+            result.append((k, w, n, s))
+        return result
+
+    def flush(self) -> tuple[list[tuple], int]:
+        """End of stream: emit everything remaining + late count."""
+        result = [(k, w, n, s) for (k, w), (n, s) in self.state.items()]
+        self.state.clear()
+        return result, self.late_events
+
+
+def streaming_tumbling_window(sf_dir: str, window_s: int = 3600,
+                              lateness_s: int = 600, n_buckets: int = 4):
+    """Windowed counts via stateful bucket actors fed in ts order.
+
+    Returns a DataFrame (event_type, window_start, n_events,
+    sum_value_cents) — equal to the batch tumbling window when no events
+    are late (the driver feeds globally sorted batches, so none are).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    ds = ds.sort("ts")  # ordered log (range-partitioned by time)
+
+    actors = [WindowBucketActor.remote(window_s, lateness_s)
+              for _ in range(n_buckets)]
+    emitted: list[tuple] = []
+
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        epoch = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                          1_000_000).to_numpy()
+        keys = batch.column("event_type").to_pylist()
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"),
+                                             pa.scalar(100.0))),
+                        pa.int64()).to_numpy()
+        # stable routing (Python str hash is per-process randomized)
+        import hashlib
+
+        buckets = np.array([int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+                            % n_buckets for k in keys])
+        pending = []
+        for b in range(n_buckets):
+            m = buckets == b
+            if not m.any():
+                continue
+            pending.append(actors[b].ingest.remote(
+                [k for k, mm in zip(keys, m) if mm],
+                epoch[m].tolist(), cents[m].tolist()))
+        ray.get(pending)
+        # incremental emission while the stream is still flowing
+        for rows in ray.get([a.poll_finalized.remote() for a in actors]):
+            emitted.extend(rows)
+
+    for rows, _late in ray.get([a.flush.remote() for a in actors]):
+        emitted.extend(rows)
+    for a in actors:
+        ray.kill(a)
+
+    df = pd.DataFrame(emitted, columns=["event_type", "window_start",
+                                        "n_events", "sum_value_cents"])
+    return (df.groupby(["event_type", "window_start"], as_index=False)
+            .sum().astype({"window_start": "int64", "n_events": "int64",
+                           "sum_value_cents": "int64"})
+            [["event_type", "window_start", "sum_value_cents", "n_events"]]
+            .sort_values(["event_type", "window_start"]).reset_index(drop=True))

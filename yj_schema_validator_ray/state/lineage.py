@@ -94,6 +94,28 @@ def run_resumable_validation(corpus_ds, out_dir: str, config, *,
         final = Path(out_str) / f"part-{p}.parquet"
         data.to_parquet(tmp, index=False)
         os.replace(tmp, final)  # atomic: data visible only when complete
+
+        # flat violations table for the shard (F1 rows; empty shards too,
+        # so a resumed reader never distinguishes fresh from resumed)
+        if "violations" in g.columns:
+            vrows = []
+            for _, row in g.iterrows():
+                for v in (row["violations"] if row["violations"] is not None else []):
+                    vrows.append((row["repo"], row["path"], row["commit"],
+                                  row["doc_key"], v["evaluation_path"],
+                                  v["schema_path"], v["instance_path"],
+                                  v["keyword"], v["message"]))
+                if row["error"] is not None:
+                    vrows.append((row["repo"], row["path"], row["commit"],
+                                  row["doc_key"], "", "", "", "error",
+                                  row["error"]))
+            vdf = pd.DataFrame(vrows, columns=[
+                "repo", "path", "commit", "doc_key", "evaluation_path",
+                "schema_path", "instance_path", "keyword", "message"])
+            vtmp = Path(out_str) / f".violations-{p}.parquet.tmp"
+            vfinal = Path(out_str) / f"violations-{p}.parquet"
+            vdf.to_parquet(vtmp, index=False)
+            os.replace(vtmp, vfinal)
         manifest = {
             "partition_id": p,
             "input_fingerprint": _fingerprint(g["content_sha256"].drop_duplicates()),
