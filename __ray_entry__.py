@@ -122,6 +122,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.union(ds.map_batches(shifted, batch_format="pyarrow"))
 
+    def docs3(sf_dir):
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text", "source"])
+
+    def q_curation_report(sf_dir):
+        from yj_schema_validator_ray.pipelines.curation import curation_report
+
+        return curation_report(_augment(docs3(sf_dir), "doc_id"))
+
     def q_dedup_exact_groups(sf_dir):
         return D.exact_dup_groups(_augment(docs(sf_dir), "doc_id"))
 
@@ -203,8 +212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         # multimodal plumbing
         "media_features": q_media_features,
+        # curation composition pipeline
+        "curation_report": q_curation_report,
         # relational / windows
         "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q4_priority_counts": R.q4_priority_counts,
         "top_customers": R.top_customers,
         "nation_region_counts": R.nation_region_counts,
         "events_window": R.events_tumbling_window,
@@ -212,6 +225,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessionize,
         "events_top_users": R.events_top_users,
     }
+
+
+def _curation_sql() -> str:
+    from yj_schema_validator_ray.oracles import _DOCS_AUG3
+    from yj_schema_validator_ray.pipelines.curation import curation_report_sql
+
+    return curation_report_sql(_DOCS_AUG3)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -237,8 +257,12 @@ def oracle_sql() -> dict[str, str]:
         # similarity
         "ann_topk": oracles.ann_topk_sql(),
         "embedding_dups": oracles.embedding_dups_sql(),
+        # curation composition pipeline
+        "curation_report": _curation_sql(),
         # relational / windows
         "q1_pricing_summary": R.q1_sql(),
+        "q3_shipping_priority": R.q3_shipping_priority_sql(),
+        "q4_priority_counts": R.q4_priority_counts_sql(),
         "top_customers": R.top_customers_sql(),
         "nation_region_counts": R.nation_region_counts_sql(),
         "events_window": R.events_tumbling_window_sql(),

@@ -182,6 +182,14 @@ docs_aug AS (
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 < 5
 )"""
 
+_DOCS_AUG3 = """
+docs_aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, source
+  FROM documents WHERE doc_id % 100 < 5
+)"""
+
 _EMB_AUG = """
 emb_aug AS (
   SELECT vec_id, embedding FROM embeddings

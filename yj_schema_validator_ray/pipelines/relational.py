@@ -403,3 +403,140 @@ SELECT event_type, window_start,
        CAST(count(*) AS BIGINT) AS n_events
 FROM expanded
 GROUP BY 1, 2"""
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1995-03-15", k: int = 10):
+    """TPC-H Q3-shaped: revenue of unshipped orders for one segment.
+
+    Demonstrates the large-large HASH JOIN primitive (``Dataset.join``
+    on l_orderkey/o_orderkey) with the small customer side broadcast as
+    a key set; lineitem revenue is pre-aggregated per batch BEFORE the
+    join so the shuffle moves order-grained partials.
+    """
+    import ray
+    import ray.data
+
+    from ..util import shuffle_partitions
+
+    cut = pd.Timestamp(cutoff)
+
+    cust = pa.concat_tables(ray.get(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+        .to_arrow_refs()))
+    seg_keys = frozenset(
+        k_ for k_, s in zip(cust.column("c_custkey").to_pylist(),
+                            cust.column("c_mktsegment").to_pylist())
+        if s == segment)
+    seg_ref = ray.put(seg_keys)
+
+    class OrderFilter:
+        def __init__(self, ref):
+            self.keys = ref_set = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m1 = pc.less(t.column("o_orderdate"), pa.scalar(cut))
+            t = t.filter(m1)
+            keys = t.column("o_custkey").to_pylist()
+            mask = pa.array([k_ in self.keys for k_ in keys], pa.bool_())
+            return pa.table({"o_orderkey": t.filter(mask).column("o_orderkey")})
+
+    orders = (ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(OrderFilter, fn_constructor_args=(seg_ref,),
+                     batch_format="pyarrow", concurrency=(1, 2)))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cut)))
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        rev_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                                  disc_c))
+        tt = pa.table({"l_orderkey": t.column("l_orderkey"),
+                       "revenue_e4": rev_e4})
+        return (tt.group_by(["l_orderkey"]).aggregate([("revenue_e4", "sum")])
+                .rename_columns(["l_orderkey", "revenue_e4"]))
+
+    li = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow"))
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=min(8, shuffle_partitions()),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    from ray.data.aggregate import Sum
+
+    rev = (joined.groupby("l_orderkey", num_partitions=4)
+           .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+    top = rev.sort(["revenue_e4", "l_orderkey"],
+                   descending=[True, False]).limit(k)
+    return top.to_pandas()
+
+
+def q3_shipping_priority_sql(segment: str = "BUILDING",
+                             cutoff: str = "1995-03-15", k: int = 10) -> str:
+    return f"""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = '{segment}'
+  AND o.o_orderdate < TIMESTAMP '{cutoff}'
+  AND l.l_shipdate > TIMESTAMP '{cutoff}'
+GROUP BY l.l_orderkey
+ORDER BY revenue_e4 DESC, l.l_orderkey
+LIMIT {k}"""
+
+
+def q4_priority_counts(sf_dir: str, flag: str = "R"):
+    """Semi-join shape (TPC-H Q4-style): count orders per priority having
+    at least one returned lineitem — distinct keys on the big side, then
+    hash join to orders, then a small grouped count."""
+    import ray.data
+
+    from ..util import shuffle_partitions
+    from ..stages.exact_agg import grouped_aggregate
+
+    li_keys = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"])
+        .map_batches(lambda t: (t.filter(pc.equal(t.column("l_returnflag"), flag))
+                                .select(["l_orderkey"])
+                                .group_by(["l_orderkey"]).aggregate([])),
+                     batch_format="pyarrow"))
+    li_distinct = grouped_aggregate(li_keys, ["l_orderkey"],
+                                    [("", "count", "n")])
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+    joined = orders.join(li_distinct, join_type="inner",
+                         num_partitions=min(8, shuffle_partitions()),
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select(["o_orderpriority"]).group_by(["o_orderpriority"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["o_orderpriority", "n_orders"]))
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority", num_partitions=4)
+            .aggregate(Sum("n_orders", alias_name="n_orders")))
+
+
+def q4_priority_counts_sql(flag: str = "R") -> str:
+    return f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = '{flag}')
+GROUP BY o.o_orderpriority"""
