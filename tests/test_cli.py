@@ -71,3 +71,31 @@ def test_cli_valid_only_corpus_exits_zero(tmp_path, schema_file,
                     "--schema", "schemas/sample-schema.json"], ray_session)
     assert code == 0
     assert capsys.readouterr().out.startswith("Validation Result: ok")
+
+
+def test_cli_positional_files_reference_style(tmp_path, schema_file,
+                                              capsys, ray_session, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    good = tmp_path / "good.yaml"
+    good.write_text("$schema: schemas/sample-schema.json\n"
+                    "sample:\n  string-sample: hello\n")
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("$schema: schemas/sample-schema.json\n"
+                   "sample:\n  string-sample: x\n  boolean-sample: 123\n")
+    code = run_cli([str(good), str(bad),
+                    "--schema", "schemas/sample-schema.json"], ray_session)
+    out = capsys.readouterr().out
+    assert code == 1
+    assert f"{good}: ok" in out
+    assert f"{bad}: invalid" in out
+    assert "integer found, boolean expected" in out
+
+
+def test_cli_missing_file_error_result(tmp_path, schema_file,
+                                       capsys, ray_session, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    code = run_cli(["nope.yaml", "--schema", "schemas/sample-schema.json"],
+                   ray_session)
+    out = capsys.readouterr().out
+    assert code == 1
+    assert "NoSuchFileException: nope.yaml" in out

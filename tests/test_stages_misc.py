@@ -135,3 +135,33 @@ def test_simhash_hamming_properties():
     c = sh.simhash("totally unrelated words qqq www eee " * 20)
     ham = lambda x, y: bin(x ^ y).count("1")
     assert ham(a, b) < ham(a, c)
+
+
+def test_image_resizer_plumbing():
+    from yj_schema_validator_ray.stages.multimodal import ImageResizer
+
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "mime": pa.array(["image/png"]),
+        "payload": pa.array([b"fakeimagebytes"], pa.binary()),
+    })
+    out = ImageResizer(width=8, height=8)(batch).to_pylist()
+    assert len(out[0]["payload"]) == 64
+    assert out[0]["width"] == 8 and out[0]["height"] == 8
+    # deterministic across calls
+    out2 = ImageResizer(width=8, height=8)(batch).to_pylist()
+    assert out2[0]["payload"] == out[0]["payload"]
+
+
+def test_frame_sampler_row_expansion():
+    from yj_schema_validator_ray.stages.multimodal import FrameSampler
+
+    payload = bytes(range(256)) * 5  # 5 frames of 256 bytes
+    batch = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+    })
+    out = FrameSampler(frame_bytes=256, every_k=2)(batch).to_pylist()
+    assert [r["frame_index"] for r in out] == [0, 2, 4]
+    assert all(len(r["frame"]) == 256 for r in out)
+    assert all(r["media_id"] == 7 for r in out)

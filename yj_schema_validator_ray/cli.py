@@ -19,7 +19,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="yj-schema-validator-ray",
         description="Ray-Data-native schema + constraint validation engine")
-    p.add_argument("--input", required=True,
+    p.add_argument("files", nargs="*",
+                   help="YAML/JSON files to validate directly (reference-style "
+                        "positional args; '-' reads stdin)")
+    p.add_argument("--input",
                    help="parquet path(s) of the corpus (repo,path,commit,lang,content)")
     p.add_argument("--schema", help="schema file (JSON or YAML) used as default")
     p.add_argument("--schema-override", action="store_true",
@@ -91,7 +94,34 @@ def main(argv=None) -> int:
                              schema_override=args.schema_override,
                              auto_detect=args.auto_detect)
 
-    corpus = ray.data.read_parquet(args.input)
+    if not args.input and not args.files:
+        parser.error("provide --input PARQUET or positional files")
+
+    missing: dict[str, str] = {}
+    if args.files:
+        # reference-style direct file validation (one row per file; '-'
+        # reads stdin, named 'stdin' — YamlSchemaValidatorRunner.java:75-88)
+        rows = []
+        for f in args.files:
+            if f == "-":
+                rows.append({"repo": "", "path": "stdin", "commit": "",
+                             "lang": None, "content": sys.stdin.read()})
+            else:
+                try:
+                    with open(f, encoding="utf-8") as fh:
+                        content = fh.read()
+                except OSError:
+                    # missing file -> error result, not a crash; message
+                    # keeps the reference's NoSuchFileException phrasing
+                    # (YamlSchemaValidator.java:78-85,
+                    #  YamlSchemaValidatorTest.java:49-51)
+                    missing[f] = f"NoSuchFileException: {f}"
+                    continue
+                rows.append({"repo": "", "path": f, "commit": "",
+                             "lang": None, "content": content})
+        corpus = ray.data.from_items(rows) if rows else None
+    else:
+        corpus = ray.data.read_parquet(args.input)
 
     if args.resume:
         from .state.lineage import run_resumable_validation
@@ -101,8 +131,13 @@ def main(argv=None) -> int:
         print(summary.to_string(index=False))
         code = 0 if int(summary["n_violations"].sum()) == 0 else 1
     else:
-        verdicts = validate_corpus(corpus, config)
-        if args.out:
+        if corpus is None:
+            files = {}
+        else:
+            verdicts = validate_corpus(corpus, config)
+        if corpus is None:
+            pass
+        elif args.out:
             verdicts.drop_columns(["violations"]).write_parquet(
                 f"{args.out}/verdicts")
             violations_table(verdicts).write_parquet(f"{args.out}/violations")
@@ -112,6 +147,8 @@ def main(argv=None) -> int:
                      for r in verdicts.take_all()}
         else:
             files = reports.collect_results(verdicts)
+        for path, msg in missing.items():
+            files[path] = {"valid": False, "error": msg, "details": []}
         rt = "llm-compact" if (args.report_type == "llm" and args.compact) \
             else args.report_type
         report = reports.render(files, rt, color=args.color)

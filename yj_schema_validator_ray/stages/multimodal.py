@@ -70,6 +70,68 @@ class MediaFeaturizer:
         })
 
 
+class ImageResizer:
+    """Actor-pool stage: decode -> resize -> re-encode (STUB kernels).
+
+    The resize kernel itself needs an image library (not in this
+    container): :func:`fake_resize` deterministically derives a
+    target-sized byte payload so the Ray plumbing — small batches,
+    binary in/binary out, per-actor setup — is real and testable.
+    """
+
+    def __init__(self, width: int = 64, height: int = 64,
+                 use_real_decoder: bool = False):
+        self.width = width
+        self.height = height
+        self.decode = decode_image if use_real_decoder else fake_decode
+
+    def _fake_resize(self, payload: bytes) -> bytes:
+        n = self.width * self.height
+        h = hashlib.sha256(payload).digest()
+        return (h * (n // len(h) + 1))[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        resized = [self._fake_resize(p) for p in payloads]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "mime": batch.column("mime"),
+            "payload": pa.array(resized, pa.binary()),
+            "width": pa.array([self.width] * len(resized), pa.int32()),
+            "height": pa.array([self.height] * len(resized), pa.int32()),
+        })
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every k-th 'frame' of a video payload.
+
+    STUB decode: payloads are treated as concatenated fixed-size frame
+    blocks; real codecs slot into ``__init__``.  Emits 1->N rows
+    (media_id, frame_index, frame payload) — the row-expansion layout a
+    real video pipeline needs.
+    """
+
+    def __init__(self, frame_bytes: int = 256, every_k: int = 2):
+        self.frame_bytes = frame_bytes
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, idxs = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            n_frames = max(1, len(payload) // self.frame_bytes)
+            for fi in range(0, n_frames, self.every_k):
+                ids.append(mid)
+                idxs.append(fi)
+                frames.append(
+                    payload[fi * self.frame_bytes:(fi + 1) * self.frame_bytes])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_index": pa.array(idxs, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
 def media_dataset_from_documents(sf_dir: str):
     """Synthesize a media table by treating document text bytes as opaque
     payloads (the plumbing-level stand-in for real image bytes)."""
