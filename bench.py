@@ -86,25 +86,27 @@ def run_bench() -> dict:
     assert summary["files"] >= n_files
 
     # -- constraints over a corpus-scale synthesized corpus --------------
+    # materialized ONCE (the real corpus is parquet on storage, page-
+    # cached across queries; re-synthesizing per query would bill the
+    # constraint timings for generator work)
+    corpus_mat = corpus_n(n_files, num_blocks=max(NUM_CPUS * 4, 32)).materialize()
+
     t0 = time.perf_counter()
-    corpus = corpus_n(n_files, num_blocks=max(NUM_CPUS * 4, 32))
-    n_dup = C.uniqueness_violations(corpus).count()
+    n_dup = C.uniqueness_violations(corpus_mat).count()
     timings["uniqueness"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    corpus = corpus_n(n_files, num_blocks=max(NUM_CPUS * 4, 32))
-    C.ref_integrity_violations(corpus).count()
+    C.ref_integrity_violations(corpus_mat).count()
     timings["ref_integrity"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    corpus = corpus_n(n_files, num_blocks=max(NUM_CPUS * 4, 32))
-    C.lang_histogram(corpus).count()
+    C.lang_histogram(corpus_mat).count()
     timings["lang_histogram"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    corpus = corpus_n(n_files, num_blocks=max(NUM_CPUS * 4, 32))
-    C.column_stats(corpus)
+    C.column_stats(corpus_mat)
     timings["column_stats"] = time.perf_counter() - t0
+    del corpus_mat
 
     # -- sf-table pipelines ---------------------------------------------
     def docs_ds():
