@@ -79,12 +79,12 @@ def uniqueness_violations(corpus_ds):
 
     class KeepCandidates:
         def __init__(self, ref):
-            self.dups = ray.get(ref)
+            # sorted array -> vectorized np.isin membership per batch
+            self.dups = np.array(sorted(ray.get(ref)), dtype=np.int64)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            kh = _key_hash64(batch)
-            mask = np.fromiter((int(h) in self.dups for h in kh.astype(np.int64)),
-                               dtype=bool, count=len(kh))
+            kh = _key_hash64(batch).astype(np.int64)
+            mask = np.isin(kh, self.dups)
             kept = batch.select(KEY_COLS).filter(pa.array(mask))
             return (kept.group_by(KEY_COLS).aggregate([([], "count_all")])
                     .rename_columns(KEY_COLS + ["n_rows"]))

@@ -24,10 +24,10 @@ import pyarrow as pa
 _MERGE_OP = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 
 
-def _key_hash(df_keys: pd.DataFrame) -> np.ndarray:
+def _key_hash(keys_tbl: pa.Table) -> np.ndarray:
     """Deterministic (cross-process) 64-bit hash of the key columns."""
-    h = pd.util.hash_pandas_object(df_keys, index=False).to_numpy()
-    return h.astype(np.uint64)
+    return pd.util.hash_pandas_object(
+        keys_tbl.to_pandas(), index=False).to_numpy().astype(np.uint64)
 
 
 def grouped_aggregate(ds, keys: list[str], aggs: list[tuple[str, str, str]],
@@ -54,7 +54,7 @@ def grouped_aggregate(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     def local(t: pa.Table) -> pa.Table:
         g = t.group_by(keys).aggregate(arrow_aggs)
         g = g.rename_columns(local_names)
-        kh = _key_hash(g.select(keys).to_pandas())
+        kh = _key_hash(g.select(keys))
         return g.append_column(
             "__coarse", pa.array((kh & np.uint64(coarse - 1)).astype(np.int64)))
 
