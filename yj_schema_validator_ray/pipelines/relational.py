@@ -19,7 +19,7 @@ def q1_pricing_summary(sf_dir: str):
     Pre-aggregation happens inside Ray's hash aggregate; input pruned to
     the 7 needed columns at the read."""
     import ray.data
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",

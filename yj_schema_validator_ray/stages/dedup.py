@@ -202,16 +202,14 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
-    from .exact_agg import grouped_aggregate
-
     raw_pairs = (banded.map_batches(add_coarse, batch_format="pyarrow")
                  .groupby("coarse", num_partitions=nsp)
                  .map_groups(emit_pairs_part, batch_format="pandas"))
-    pairs = grouped_aggregate(raw_pairs, ["a", "b"], [("", "count", "n")])
 
-    # verify: look up both sides' signatures in a broadcast (ids, matrix)
-    # pair — zero-copy flatten of the fixed-size-list column, searchsorted
-    # lookups (no Python per-row loop)
+    # verify FIRST (vectorized signature lookups — cheap even on the raw,
+    # duplicated candidate stream), dedup AFTER thresholding: the surviving
+    # pair set is orders of magnitude smaller than the candidate set, so
+    # this drops a whole shuffle stage from the hot path
     import ray
 
     sig_tbl = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
@@ -235,8 +233,14 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                           "jaccard_est": pa.array(est, pa.float64())})
             return t.filter(pc.greater_equal(t.column("jaccard_est"), threshold))
 
-    return pairs.map_batches(Verify, fn_constructor_args=(sig_ref,),
-                             batch_format="pyarrow", concurrency=(1, 2))
+    verified = raw_pairs.map_batches(Verify, fn_constructor_args=(sig_ref,),
+                                     batch_format="pyarrow", concurrency=(1, 2))
+
+    from .exact_agg import grouped_aggregate
+
+    return grouped_aggregate(verified, ["a", "b"],
+                             [("jaccard_est", "min", "jaccard_est")],
+                             num_partitions=4)
 
 
 # ---------------------------------------------------------------------------
