@@ -154,6 +154,12 @@ def _check_ipv6(s: str) -> bool:
         return False
 
 
+_DURATION_RE = re.compile(
+    r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$")
+_JSON_POINTER_RE = re.compile(r"^(?:/(?:[^~/]|~0|~1)*)*$")
+_REL_JSON_POINTER_RE = re.compile(r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~0|~1)*)*)$")
+
+
 _FORMAT_CHECKS: dict[str, Callable[[str], bool]] = {
     "email": lambda s: bool(_EMAIL_RE.match(s)),
     "uri": lambda s: bool(_URI_RE.match(s)),
@@ -166,6 +172,9 @@ _FORMAT_CHECKS: dict[str, Callable[[str], bool]] = {
     "regex": _check_regex,
     "ipv4": _check_ipv4,
     "ipv6": _check_ipv6,
+    "duration": lambda s: bool(_DURATION_RE.match(s)),
+    "json-pointer": lambda s: bool(_JSON_POINTER_RE.match(s)),
+    "relative-json-pointer": lambda s: bool(_REL_JSON_POINTER_RE.match(s)),
 }
 
 
