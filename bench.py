@@ -108,6 +108,19 @@ def run_bench() -> dict:
     timings["column_stats"] = time.perf_counter() - t0
     del corpus_mat
 
+    # -- sink throughput: verdicts to partitioned parquet ----------------
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="yjsv_bench_")
+    t0 = time.perf_counter()
+    corpus = corpus_n(n_files // 4, num_blocks=max(NUM_CPUS * 2, 16))
+    (V.validate_corpus(corpus, cfg, batch_size=4096)
+     .drop_columns(["violations"])
+     .write_parquet(out_dir))
+    timings["validate_write"] = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     # -- sf-table pipelines ---------------------------------------------
     def docs_ds():
         import ray.data
