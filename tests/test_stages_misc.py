@@ -165,3 +165,24 @@ def test_frame_sampler_row_expansion():
     assert [r["frame_index"] for r in out] == [0, 2, 4]
     assert all(len(r["frame"]) == 256 for r in out)
     assert all(r["media_id"] == 7 for r in out)
+
+
+def test_lang_drift_detects_shifted_mix(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.pipelines.constraints import lang_drift
+
+    def mk(langs):
+        return ray.data.from_pandas(pd.DataFrame({"lang": langs}))
+
+    # clean: matches the generator's 8/90 json/yaml mix -> no drift
+    clean = mk(["json"] * 8 + ["yaml"] * 90 + [None] * 2)
+    r = lang_drift(clean)
+    assert bool(r["drifted"].iloc[0]) is False
+    assert r["kl"].iloc[0] == pytest.approx(0.0, abs=1e-6)
+
+    # drifted: half json -> KL crosses the threshold
+    drifted = mk(["json"] * 50 + ["yaml"] * 50)
+    r2 = lang_drift(drifted)
+    assert bool(r2["drifted"].iloc[0]) is True
+    assert r2["kl"].iloc[0] > 0.3

@@ -13,7 +13,7 @@ the moral equivalent of the reference's bundled catalog snapshot
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .globs import CompiledGlob, compile_glob, glob_matches
 
