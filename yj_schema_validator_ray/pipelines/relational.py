@@ -269,28 +269,44 @@ FROM events
 GROUP BY 1, 2"""
 
 
-def events_sessionize(sf_dir: str, gap_s: int = 1800):
-    """Per-user sessionization (gap > {gap_s}s starts a new session):
-    groupby(user) -> sorted per-group pandas windowing (the documented
-    partitioning assumption: one user's events fit one group)."""
+def events_sessionize(sf_dir: str, gap_s: int = 1800, coarse: int = 64):
+    """Per-user sessionization (gap > ``gap_s`` s starts a new session).
+
+    Partitioning: users co-locate via a COARSE key (``user_id % coarse``)
+    — one Ray group per coarse bucket, never per user (Ray's per-group
+    reduce overhead makes key-per-user map_groups unusable at scale);
+    inside a bucket the windowing is one vectorized pandas
+    ``groupby.diff`` over the time-sorted frame.  Assumption: one user's
+    events fit one bucket's memory.
+    """
     import ray.data
-    from ray.data.aggregate import Sum
+
+    from ..util import shuffle_partitions
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0)
-        n_sessions = int((gaps > gap_s).sum()) + 1
-        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
-                             "n_sessions": pd.Series([n_sessions], dtype="int64"),
-                             "n_events": pd.Series([len(g)], dtype="int64")})
+    def add_coarse(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.bit_wise_and(t.column("user_id"), coarse - 1), pa.int64())
+        return t.append_column("coarse", c)
 
-    from ..util import shuffle_partitions
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        gaps = g.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        new_session = (gaps > gap_s).astype("int64")
+        out = (pd.DataFrame({"user_id": g["user_id"], "new": new_session})
+               .groupby("user_id", sort=False)
+               .agg(n_sessions=("new", "sum"), n_events=("new", "size"))
+               .reset_index())
+        out["n_sessions"] = (out["n_sessions"] + 1).astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
 
-    return ds.groupby("user_id", num_partitions=shuffle_partitions()).map_groups(
-        sessions, batch_format="pandas")
+    return (ds.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("coarse", num_partitions=min(coarse, shuffle_partitions()))
+            .map_groups(sessions_bucket, batch_format="pandas")
+            .map_batches(lambda t: t.select(["user_id", "n_sessions", "n_events"]),
+                         batch_format="pyarrow"))
 
 
 def events_sessionize_sql(gap_s: int = 1800) -> str:
