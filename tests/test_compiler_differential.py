@@ -54,6 +54,16 @@ SCHEMAS = [
     {"type": "object", "propertyNames": {"maxLength": 4}},
     {"type": "array", "contains": {"type": "integer"},
      "minContains": 2, "maxContains": 3},
+    # annotation-dependent keywords (dynamic evaluated-set semantics)
+    {"allOf": [{"properties": {"name": {}}},
+               {"patternProperties": {"^n_": {}}}],
+     "unevaluatedProperties": False},
+    {"anyOf": [{"required": ["k"], "properties": {"k": {}}},
+               {"required": ["v"], "properties": {"v": {}}}],
+     "unevaluatedProperties": {"type": "string"}},
+    {"prefixItems": [{"type": "string"}],
+     "contains": {"type": "integer"},
+     "unevaluatedItems": {"type": "boolean"}},
 ]
 
 json_scalars = st.one_of(

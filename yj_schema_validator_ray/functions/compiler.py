@@ -249,6 +249,113 @@ class CompiledSchema:
         self._ref_cache[ref] = indirect
         return indirect
 
+    # -- annotation collection (unevaluatedProperties / unevaluatedItems) -----
+    def _node_valid(self, schema: Any, value: Any) -> bool:
+        """Cheap validity test of a subschema (compiled + memoized)."""
+        key = id(schema)
+        fn = self._ref_cache.get(("valid", key))
+        if fn is None:
+            fn = self._compile(schema, "", None)
+            self._ref_cache[("valid", key)] = fn
+        return fn(value, "", "", [])
+
+    def _evaluated_props(self, schema: Any, value: dict) -> set | None:
+        """Property names evaluated at ``schema`` for ``value``, following
+        the in-place applicators' annotation semantics (branches only
+        contribute when they validate).  Returns None for 'all evaluated'
+        (an applicable additionalProperties evaluates every remaining key).
+        """
+        if schema is True or schema is False or not isinstance(schema, dict):
+            return set()
+        if "additionalProperties" in schema:
+            return None  # evaluates every key not covered elsewhere
+        ev: set = set()
+        props = schema.get("properties")
+        if props:
+            ev |= (set(props) & set(value))
+        for pat in schema.get("patternProperties", ()):  # keys of the dict
+            rx = re.compile(pat)
+            ev |= {k for k in value if rx.search(k)}
+        if "$ref" in schema:
+            target = self._resolve_pointer(schema["$ref"])
+            sub = self._evaluated_props(target, value)
+            if sub is None:
+                return None
+            ev |= sub
+        for sub in schema.get("allOf", ()):
+            s = self._evaluated_props(sub, value)
+            if s is None:
+                return None
+            ev |= s
+        for branch_kw in ("anyOf", "oneOf"):
+            for sub in schema.get(branch_kw, ()):
+                if self._node_valid(sub, value):
+                    s = self._evaluated_props(sub, value)
+                    if s is None:
+                        return None
+                    ev |= s
+        if "if" in schema:
+            cond = self._node_valid(schema["if"], value)
+            branches = ([schema["if"], schema.get("then")] if cond
+                        else [schema.get("else")])
+            for sub in branches:
+                if sub is not None:
+                    s = self._evaluated_props(sub, value)
+                    if s is None:
+                        return None
+                    ev |= s
+        for trigger, sub in schema.get("dependentSchemas", {}).items():
+            if trigger in value:
+                s = self._evaluated_props(sub, value)
+                if s is None:
+                    return None
+                ev |= s
+        return ev
+
+    def _evaluated_items(self, schema: Any, value: list) -> tuple:
+        """(prefix_len_evaluated, all_evaluated: bool, contains_idx: set)."""
+        if schema is True or schema is False or not isinstance(schema, dict):
+            return 0, False, set()
+        if "items" in schema:  # applies to every element past prefixItems
+            return 0, True, set()
+        n_prefix = min(len(schema.get("prefixItems", ())), len(value))
+        contains_idx: set = set()
+        if "contains" in schema:
+            sub = schema["contains"]
+            contains_idx = {i for i, item in enumerate(value)
+                            if self._node_valid(sub, item)}
+        all_items = False
+        for kw in ("allOf",):
+            for sub in schema.get(kw, ()):
+                p, a, c = self._evaluated_items(sub, value)
+                n_prefix = max(n_prefix, p)
+                all_items = all_items or a
+                contains_idx |= c
+        for kw in ("anyOf", "oneOf"):
+            for sub in schema.get(kw, ()):
+                if self._node_valid(sub, value):
+                    p, a, c = self._evaluated_items(sub, value)
+                    n_prefix = max(n_prefix, p)
+                    all_items = all_items or a
+                    contains_idx |= c
+        if "$ref" in schema:
+            p, a, c = self._evaluated_items(
+                self._resolve_pointer(schema["$ref"]), value)
+            n_prefix = max(n_prefix, p)
+            all_items = all_items or a
+            contains_idx |= c
+        if "if" in schema:
+            cond = self._node_valid(schema["if"], value)
+            branches = ([schema["if"], schema.get("then")] if cond
+                        else [schema.get("else")])
+            for sub in branches:
+                if sub is not None:
+                    p, a, c = self._evaluated_items(sub, value)
+                    n_prefix = max(n_prefix, p)
+                    all_items = all_items or a
+                    contains_idx |= c
+        return n_prefix, all_items, contains_idx
+
     # -- node compiler --------------------------------------------------------
     def _compile(self, schema: Any, spath: str, _epath_unused: Any) -> CheckFn:
         """Compile one schema node at schema-pointer ``spath``.
@@ -811,6 +918,69 @@ class CompiledSchema:
                     return ok
 
                 checks.append(contains_bounds_fn)
+
+        if "unevaluatedProperties" in schema:
+            up = schema["unevaluatedProperties"]
+            up_fn = (None if isinstance(up, bool)
+                     else self._compile(up, f"{spath}/unevaluatedProperties", None))
+            this_schema = schema
+
+            def uneval_props_fn(v, ipath, epath, out, _s=this_schema,
+                                _up=up, _fn=up_fn, _loc=loc):
+                if not isinstance(v, dict):
+                    return True
+                ev = self._evaluated_props(_s, v)
+                if ev is None:
+                    return True  # additionalProperties covered everything
+                ok = True
+                for key in v:
+                    if key in ev:
+                        continue
+                    kesc = key.replace("~", "~0").replace("/", "~1")
+                    if _up is False:
+                        out.append(Violation(
+                            epath, _loc, ipath, "unevaluatedProperties",
+                            f"property '{key}' is not evaluated and the "
+                            "schema does not allow unevaluated properties"))
+                        ok = False
+                    elif _fn is not None:
+                        if not _fn(v[key], f"{ipath}/{kesc}",
+                                   f"{epath}/unevaluatedProperties", out):
+                            ok = False
+                return ok
+
+            checks.append(uneval_props_fn)
+
+        if "unevaluatedItems" in schema:
+            ui = schema["unevaluatedItems"]
+            ui_fn = (None if isinstance(ui, bool)
+                     else self._compile(ui, f"{spath}/unevaluatedItems", None))
+            this_schema = schema
+
+            def uneval_items_fn(v, ipath, epath, out, _s=this_schema,
+                                _ui=ui, _fn=ui_fn, _loc=loc):
+                if not isinstance(v, list):
+                    return True
+                n_prefix, all_items, contains_idx = self._evaluated_items(_s, v)
+                if all_items:
+                    return True
+                ok = True
+                for i in range(n_prefix, len(v)):
+                    if i in contains_idx:
+                        continue
+                    if _ui is False:
+                        out.append(Violation(
+                            epath, _loc, ipath, "unevaluatedItems",
+                            f"item at index {i} is not evaluated and the "
+                            "schema does not allow unevaluated items"))
+                        ok = False
+                    elif _fn is not None:
+                        if not _fn(v[i], f"{ipath}/{i}",
+                                   f"{epath}/unevaluatedItems", out):
+                            ok = False
+                return ok
+
+            checks.append(uneval_items_fn)
 
         if "not" in schema:
             n_fn = self._compile(schema["not"], f"{spath}/not", None)
