@@ -119,3 +119,36 @@ def test_catalog_autodetect_path():
     out = SchemaValidator(cfg)(batch).to_pylist()
     assert out[0]["valid"] is False
     assert out[0]["violations"][0]["keyword"] == "required"
+
+
+def test_content_cache_equivalence_and_path_dependence():
+    """Fork-heavy corpora validate once per distinct content; contents
+    with ./-relative $schema stay keyed by parent dir."""
+    import pyarrow.compute as pc
+
+    base = corpus_rows(30)
+    forks = [base.set_column(1, "path", pc.binary_join_element_wise(
+        pa.array([f"fork{r}/"] * base.num_rows), base.column("path"), ""))
+        for r in range(5)]
+    corpus = pa.concat_tables(forks)
+    cfg = ValidatorConfig(schemas=schema_registry())
+    cached = SchemaValidator(cfg)(corpus).to_pandas() \
+        .sort_values(["path", "doc_index"]).reset_index(drop=True)
+    plain = SchemaValidator(cfg, content_cache_size=0)(corpus).to_pandas() \
+        .sort_values(["path", "doc_index"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(cached.drop(columns=["violations"]),
+                                  plain.drop(columns=["violations"]))
+
+    # relative $schema: same content, different dirs -> different schemas
+    reg = {"configs/s.json": {"type": "object", "required": ["a"]},
+           "other/s.json": {"type": "object"}}
+    v = SchemaValidator(ValidatorConfig(schemas=reg))
+
+    def mk(p):
+        return pa.table({"repo": ["r"], "path": [p], "commit": ["c"],
+                         "lang": ["yaml"],
+                         "content": ["$schema: ./s.json\nb: 1\n"]})
+
+    assert v(mk("configs/app.yaml")).to_pylist()[0]["valid"] is False
+    assert v(mk("other/app.yaml")).to_pylist()[0]["valid"] is True

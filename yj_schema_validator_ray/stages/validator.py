@@ -56,7 +56,7 @@ VERDICT_SCHEMA = pa.schema([
 class SchemaValidator:
     """Stateful validator for an actor pool (see module docstring)."""
 
-    def __init__(self, config: ValidatorConfig):
+    def __init__(self, config: ValidatorConfig, content_cache_size: int = 65536):
         self.config = config
         # eager compile — the whole point of actor state
         self._compiled: dict[str, CompiledSchema] = {
@@ -64,6 +64,14 @@ class SchemaValidator:
             for sid, s in config.schemas.items()
         }
         self._detector = SchemaDetector(config.catalog) if config.auto_detect else None
+        # content-addressed verdict cache: real corpora are fork-heavy
+        # (identical files across repos/commits), so each distinct
+        # (content, parent-dir) validates once per worker.  Disabled when
+        # catalog autodetect is on (verdicts then depend on the full path).
+        from collections import OrderedDict
+
+        self._content_cache: "OrderedDict[tuple, list]" = OrderedDict()
+        self._content_cache_size = 0 if config.auto_detect else content_cache_size
 
     # -- schema resolution (validateJsonNode precedence,
     #    YamlSchemaValidator.java:123-141) --------------------------------
@@ -88,6 +96,43 @@ class SchemaValidator:
             if resolved in self._compiled:
                 return resolved
         return ref
+
+    def _validate_content(self, content, path: str) -> tuple[list, bool]:
+        """Per-document results for one file's content: a list of
+        (valid, error, violations) tuples, plus whether any doc resolved a
+        RELATIVE ``$schema`` (only then do results depend on the parent
+        dir — the caller keys the content cache accordingly)."""
+        if content is None:
+            return [(False, NO_NODES_MSG, [])], False
+        try:
+            docs = parse_documents(content)
+        except ParseError as ex:
+            # file-level error result (genericError funnel,
+            # YamlSchemaValidator.java:95-103,209-214)
+            return [(False, str(ex), [])], False
+        if len(docs) == 0:
+            return [(False, NO_NODES_MSG, [])], False
+        results = []
+        path_dependent = False
+        for doc in docs:
+            ref = extract_schema_ref(doc)
+            if ref is not None and ref.startswith(("./", "../")):
+                path_dependent = True
+            sid = self._resolve_schema_id(path, doc)
+            if sid is None:
+                results.append((False, NO_SCHEMA_MSG, []))
+                continue
+            compiled = self._compiled.get(sid)
+            if compiled is None:
+                results.append((False, f"Schema not found: {sid}", []))
+                continue
+            try:
+                viols = compiled.validate(doc)
+            except Exception as ex:  # per-row fault isolation
+                results.append((False, str(ex), []))
+                continue
+            results.append((len(viols) == 0, None, viols))
+        return results, path_dependent
 
     # -- per-batch entry ---------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -123,36 +168,28 @@ class SchemaValidator:
             path = paths[i]
             sha = hashlib.sha256(
                 content.encode("utf-8") if content is not None else b"").hexdigest()
-            if content is None:
-                emit(i, path, 1, False, NO_NODES_MSG, [], sha)
-                continue
-            try:
-                docs = parse_documents(content)
-            except ParseError as ex:
-                # file-level error result (genericError funnel,
-                # YamlSchemaValidator.java:95-103,209-214)
-                emit(i, path, 1, False, str(ex), [], sha)
-                continue
-            if len(docs) == 0:
-                emit(i, path, 1, False, NO_NODES_MSG, [], sha)
-                continue
-            keys = doc_keys(path, len(docs))
-            for j, doc in enumerate(docs):
-                sid = self._resolve_schema_id(path, doc)
-                if sid is None:
-                    emit(i, keys[j], j + 1, False, NO_SCHEMA_MSG, [], sha)
+            if self._content_cache_size:
+                # path-independent contents cache on (sha, None); contents
+                # with ./-relative $schema refs cache on (sha, parent dir)
+                cached = self._content_cache.get((sha, None))
+                if cached is None:
+                    cached = self._content_cache.get(
+                        (sha, posixpath.dirname(path)))
+                if cached is not None:
+                    keys = doc_keys(path, len(cached)) if len(cached) > 1 else [path]
+                    for j, (valid, err, viols) in enumerate(cached):
+                        emit(i, keys[j], j + 1, valid, err, viols, sha)
                     continue
-                compiled = self._compiled.get(sid)
-                if compiled is None:
-                    emit(i, keys[j], j + 1, False,
-                         f"Schema not found: {sid}", [], sha)
-                    continue
-                try:
-                    viols = compiled.validate(doc)
-                except Exception as ex:  # per-row fault isolation, never fail the block
-                    emit(i, keys[j], j + 1, False, str(ex), [], sha)
-                    continue
-                emit(i, keys[j], j + 1, len(viols) == 0, None, viols, sha)
+            doc_results, path_dependent = self._validate_content(content, path)
+            if self._content_cache_size:
+                key = (sha, posixpath.dirname(path) if path_dependent else None)
+                self._content_cache[key] = doc_results
+                if len(self._content_cache) > self._content_cache_size:
+                    self._content_cache.popitem(last=False)
+            keys = (doc_keys(path, len(doc_results))
+                    if len(doc_results) > 1 else [path])
+            for j, (valid, err, viols) in enumerate(doc_results):
+                emit(i, keys[j], j + 1, valid, err, viols, sha)
 
         viol_struct = pa.StructArray.from_arrays(
             [pa.array(v_ep, pa.string()), pa.array(v_sp, pa.string()),
