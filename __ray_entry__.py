@@ -180,6 +180,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_media_features(sf_dir):
         return M.media_features(M.media_dataset_from_documents(sf_dir))
 
+    def q_media_meta(sf_dir):
+        # metadata projection (sha256 + size of the opaque payload) —
+        # SQL-oracle-able since payloads are the documents' UTF-8 bytes
+        return (M.media_features(M.media_dataset_from_documents(sf_dir))
+                .drop_columns(["feature"]))
+
     return {
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -212,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         # multimodal plumbing
         "media_features": q_media_features,
+        "media_meta": q_media_meta,
         # curation composition pipeline
         "curation_report": q_curation_report,
         # relational / windows
@@ -225,6 +232,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessionize,
         "events_top_users": R.events_top_users,
     }
+
+
+def _lang_id_sql() -> str:
+    from yj_schema_validator_ray.stages.text import lang_id_sql
+
+    return lang_id_sql()
 
 
 def _curation_sql() -> str:
@@ -254,6 +267,10 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),
+        "lang_id": _lang_id_sql(),
+        "media_meta": ("SELECT doc_id AS media_id, sha256(text) AS payload_sha256, "
+                       "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) "
+                       "AS payload_bytes FROM documents"),
         # similarity
         "ann_topk": oracles.ann_topk_sql(),
         "embedding_dups": oracles.embedding_dups_sql(),

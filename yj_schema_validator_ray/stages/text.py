@@ -156,3 +156,30 @@ def fingerprints(docs_ds):
         })
 
     return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def lang_id_sql() -> str:
+    """DuckDB oracle for :func:`lang_id`: same stopword tables, same
+    first-200-token window, same first-max-wins tie-break (languages
+    iterated in sorted order with strict '>' replacement)."""
+    langs = sorted(_STOPWORDS)
+    hit_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        hit_cols.append(
+            f"len(list_filter(ws, x -> list_contains([{words}], x))) AS {lang}")
+    greatest = f"greatest({', '.join(langs)})"
+    whens = " ".join(f"WHEN {lang} = {greatest} THEN '{lang}'"
+                     for lang in langs)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_slice(regexp_extract_all(lower(text), '\w+'), 1, 200) AS ws
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, {', '.join(hit_cols)} FROM toks
+)
+SELECT doc_id,
+       CASE WHEN {greatest} = 0 THEN 'unknown' {whens} END AS lang_pred
+FROM hits"""
