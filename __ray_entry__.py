@@ -240,6 +240,12 @@ def _lang_id_sql() -> str:
     return lang_id_sql()
 
 
+def _quality_scores_sql() -> str:
+    from yj_schema_validator_ray.stages.text import quality_scores_sql
+
+    return quality_scores_sql()
+
+
 def _curation_sql() -> str:
     from yj_schema_validator_ray.oracles import _DOCS_AUG3
     from yj_schema_validator_ray.pipelines.curation import curation_report_sql
@@ -268,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),
         "lang_id": _lang_id_sql(),
+        "quality_scores": _quality_scores_sql(),
         "media_meta": ("SELECT doc_id AS media_id, sha256(text) AS payload_sha256, "
                        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) "
                        "AS payload_bytes FROM documents"),

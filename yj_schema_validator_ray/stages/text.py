@@ -88,11 +88,15 @@ class QualityScorer:
         length_score = (n_chars.clip(upper=2000) / 2000.0)
         score = (0.4 * alpha_ratio + 0.3 * stop_ratio.clip(upper=0.5) / 0.5
                  + 0.3 * length_score)
+        # explicit half-away rounding: identical formula in the SQL
+        # oracle (numpy's round is half-even, DuckDB's is half-away —
+        # midpoints would flip by 1e-6 otherwise)
+        r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "stop_ratio": stop_ratio.round(6),
-            "alpha_ratio": alpha_ratio.round(6),
-            "quality_score": score.round(6),
+            "stop_ratio": r6(stop_ratio),
+            "alpha_ratio": r6(alpha_ratio),
+            "quality_score": r6(score),
         })
 
 
@@ -183,3 +187,33 @@ hits AS (
 SELECT doc_id,
        CASE WHEN {greatest} = 0 THEN 'unknown' {whens} END AS lang_pred
 FROM hits"""
+
+
+def quality_scores_sql() -> str:
+    """DuckDB oracle for :func:`quality_scores` — identical operand order
+    so the unrounded doubles match bit-for-bit before round(6)."""
+    union = sorted(frozenset().union(*_STOPWORDS.values()))
+    words = ", ".join(f"'{w}'" for w in union)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '\w+') AS ws,
+         greatest(length(text), 1) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(ws, x -> list_contains([{words}], x))) AS DOUBLE)
+           / CAST(greatest(len(ws), 1) AS DOUBLE) AS stop_ratio_raw,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS alpha_ratio_raw,
+         CAST(least(n_chars, 2000) AS DOUBLE) / 2000.0 AS length_score
+  FROM t
+)
+SELECT doc_id,
+       floor(stop_ratio_raw * 1e6 + 0.5) / 1e6 AS stop_ratio,
+       floor(alpha_ratio_raw * 1e6 + 0.5) / 1e6 AS alpha_ratio,
+       floor((0.4 * alpha_ratio_raw
+              + (0.3 * least(stop_ratio_raw, 0.5)) / 0.5
+              + 0.3 * length_score) * 1e6 + 0.5) / 1e6 AS quality_score
+FROM m"""
