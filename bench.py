@@ -41,8 +41,10 @@ def corpus_n(n_rows: int, num_blocks: int):
     def to_doc_id(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.column("id")})
 
-    return ds.map_batches(to_doc_id, batch_format="pyarrow") \
-             .map_batches(synthesize_batch, batch_format="pyarrow")
+    return (ds.map_batches(to_doc_id, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(synthesize_batch, batch_format="pyarrow",
+                         zero_copy_batch=True))
 
 
 def run_bench() -> dict:

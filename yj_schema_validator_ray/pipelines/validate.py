@@ -33,7 +33,8 @@ def validate_corpus(corpus_ds, config: ValidatorConfig, *,
     if not use_actors:
         return corpus_ds.map_batches(
             make_validator_fn(config), batch_format="pyarrow",
-            batch_size=batch_size, num_cpus=num_cpus)
+            batch_size=batch_size, num_cpus=num_cpus,
+            zero_copy_batch=True)
     if concurrency is None:
         # autoscaling pool that leaves CPUs for the read / downstream
         # stages so the pipeline neither serializes nor deadlocks
@@ -59,7 +60,8 @@ def violations_table(verdicts_ds):
     """Flat violation rows: (repo, path, commit, doc_key, evaluation_path,
     schema_path, instance_path, keyword, message).  File-level errors are
     rows with keyword='error' and empty paths (FilesOutputToLlm.java:112-144)."""
-    return verdicts_ds.map_batches(explode_violations, batch_format="pyarrow")
+    return verdicts_ds.map_batches(explode_violations, batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
 
 def summary(verdicts_ds):

@@ -169,7 +169,8 @@ def corpus_dataset(sf_dir: str, override_num_blocks: int | None = None):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"],
         override_num_blocks=override_num_blocks)
-    return ds.map_batches(synthesize_batch, batch_format="pyarrow")
+    return ds.map_batches(synthesize_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
