@@ -152,3 +152,27 @@ def test_content_cache_equivalence_and_path_dependence():
 
     assert v(mk("configs/app.yaml")).to_pylist()[0]["valid"] is False
     assert v(mk("other/app.yaml")).to_pylist()[0]["valid"] is True
+
+
+def test_validator_never_crashes_on_arbitrary_content():
+    """Robustness: any string content yields exactly >=1 verdict row per
+    input row, never an exception (per-row fault isolation)."""
+    from hypothesis import given, settings, strategies as st
+
+    v = SchemaValidator(ValidatorConfig(schemas=schema_registry()))
+
+    @settings(max_examples=150, deadline=None)
+    @given(content=st.text(max_size=300))
+    def check(content):
+        batch = pa.table({
+            "repo": ["r"], "path": ["f.yaml"], "commit": ["c"],
+            "lang": ["yaml"], "content": [content],
+        })
+        out = v(batch)
+        assert out.num_rows >= 1
+        row = out.to_pylist()[0]
+        assert isinstance(row["valid"], bool)
+        assert row["content_sha256"] == hashlib.sha256(
+            content.encode("utf-8")).hexdigest()
+
+    check()

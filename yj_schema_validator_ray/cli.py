@@ -124,6 +124,8 @@ def main(argv=None) -> int:
         corpus = ray.data.read_parquet(args.input)
 
     if args.resume:
+        if corpus is None:
+            parser.error("no readable inputs for --resume")
         from .state.lineage import run_resumable_validation
 
         summary = run_resumable_validation(corpus, args.out or "./out",
