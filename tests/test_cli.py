@@ -99,3 +99,28 @@ def test_cli_missing_file_error_result(tmp_path, schema_file,
     out = capsys.readouterr().out
     assert code == 1
     assert "NoSuchFileException: nope.yaml" in out
+
+
+def test_cli_schema_override_requires_schema(corpus_parquet, ray_session):
+    # reference rejects the combination at startup
+    # (YamlSchemaValidatorRunner.java:152-157)
+    with pytest.raises(SystemExit):
+        run_cli(["--input", corpus_parquet, "--schema-override"], ray_session)
+
+
+def test_cli_out_report_keeps_details(corpus_parquet, schema_file,
+                                      tmp_path, capsys, ray_session,
+                                      monkeypatch):
+    # with --out, the rendered report must still carry keyword-violation
+    # details (it used to be rebuilt from the written parquet with
+    # details=[]), and the verdict/violation tables must land on disk
+    monkeypatch.chdir(tmp_path)
+    out_dir = tmp_path / "tables"
+    code = run_cli(["--input", corpus_parquet,
+                    "--schema", "schemas/sample-schema.json",
+                    "--out", str(out_dir)], ray_session)
+    out = capsys.readouterr().out
+    assert code == 1
+    assert "integer found, boolean expected" in out  # detail line present
+    assert list(out_dir.glob("verdicts/*.parquet"))
+    assert list(out_dir.glob("violations/*.parquet"))

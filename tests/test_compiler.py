@@ -140,6 +140,36 @@ def test_unique_items_and_const_and_contains():
     assert first({"contains": {"type": "string"}}, [1, "a"]) is None
 
 
+def test_json_equality_semantics():
+    # draft 2020-12: numbers compare mathematically, booleans never equal
+    # numbers — for BOTH const and enum
+    assert first({"const": 1}, 1.0) is None
+    assert first({"const": 1.0}, 1) is None
+    assert first({"const": 1}, True) is not None
+    assert first({"enum": [1]}, True) is not None
+    assert first({"enum": [1]}, 1.0) is None
+    assert first({"enum": [0]}, False) is not None
+    assert first({"enum": [True]}, True) is None
+    assert first({"enum": ["a", "b"]}, "a") is None
+    assert first({"enum": ["1"]}, 1) is not None
+    # containers apply the same rules element-wise
+    assert first({"const": [1, 2]}, [1.0, 2]) is None
+    assert first({"const": [1]}, [True]) is not None
+    assert first({"const": {"a": 1}}, {"a": 1.0}) is None
+    assert first({"const": {"a": 1}}, {"a": True}) is not None
+
+
+def test_multiple_of_exact_semantics():
+    # tiny divisors must not accept everything (old float-quotient
+    # tolerance did); BigDecimal-style exactness instead
+    assert first({"multipleOf": 1e-10}, 0.00000000015) is not None
+    assert first({"multipleOf": 1e-10}, 0.0000000002) is None
+    assert first({"multipleOf": 0.01}, 19.99) is None
+    assert first({"multipleOf": 0.01}, 19.995) is not None
+    assert first({"multipleOf": 2}, 10**20) is None
+    assert first({"multipleOf": 3}, 10**20 + 1) is not None
+
+
 def test_nested_eval_and_ref_paths():
     schema = {"$id": "urn:x", "properties": {
         "lv": {"$ref": "#/$defs/L"}},

@@ -72,6 +72,11 @@ def main(argv=None) -> int:
         parser.set_defaults(**defaults)
         args = parser.parse_args(argv)  # CLI flags win over file values
 
+    if args.schema_override and not args.schema:
+        # reference rejects the combination at startup
+        # (YamlSchemaValidatorRunner.java:152-157)
+        parser.error("--schema-override requires --schema")
+
     import ray
 
     owns_session = not ray.is_initialized()
@@ -140,13 +145,15 @@ def main(argv=None) -> int:
         if corpus is None:
             pass
         elif args.out:
+            # materialize once so the write and the report render don't
+            # re-execute the pipeline; render BEFORE dropping violations so
+            # text/json/junit/sarif keep their per-keyword details (the
+            # report is inherently driver-side either way)
+            verdicts = verdicts.materialize()
             verdicts.drop_columns(["violations"]).write_parquet(
                 f"{args.out}/verdicts")
             violations_table(verdicts).write_parquet(f"{args.out}/violations")
-            verdicts = ray.data.read_parquet(f"{args.out}/verdicts")
-            files = {r["doc_key"]: {"valid": bool(r["valid"]),
-                                    "error": r["error"], "details": []}
-                     for r in verdicts.take_all()}
+            files = reports.collect_results(verdicts)
         else:
             files = reports.collect_results(verdicts)
         for path, msg in missing.items():

@@ -88,6 +88,24 @@ def _is_num(v: Any) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
+def json_equal(a: Any, b: Any) -> bool:
+    """Draft 2020-12 instance equality: booleans are never equal to
+    numbers, numbers compare mathematically (1 == 1.0), containers
+    compare element-wise with the same rules (NetworkNT/BigDecimal
+    semantics — shared by ``const`` and ``enum``)."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if _is_num(a) and _is_num(b):
+        return a == b  # Python int/float == is exact mathematical compare
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(json_equal(v, b[k]) for k, v in a.items())
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(json_equal(x, y) for x, y in zip(a, b))
+    if type(a) is not type(b):
+        return False
+    return a == b
+
+
 def _fmt_num(n: Any) -> str:
     """Render a schema number the way the schema author wrote it."""
     if isinstance(n, float) and n.is_integer():
@@ -412,27 +430,20 @@ class CompiledSchema:
         if "enum" in schema:
             vals = schema["enum"]
             rendered = _enum_render(vals)
-            # frozenset fast-path for hashables; fall back to list compare
-            try:
-                vset = frozenset(vals)
+            # fast path: strings (the overwhelmingly common enum type) hit
+            # a frozenset; everything else goes through json_equal so
+            # True never matches enum [1] and 1.0 matches enum [1]
+            str_set = frozenset(x for x in vals if isinstance(x, str))
 
-                def enum_fn(v, ipath, epath, out, _s=vset, _vals=vals, _r=rendered, _loc=loc):
-                    try:
-                        if v in _s or (v in _vals):
-                            return True
-                    except TypeError:
-                        if v in _vals:
-                            return True
-                    out.append(Violation(epath, _loc, ipath, "enum",
-                                         f"does not have a value in the enumeration {_r}"))
-                    return False
-            except TypeError:
-                def enum_fn(v, ipath, epath, out, _vals=vals, _r=rendered, _loc=loc):
-                    if v in _vals:
+            def enum_fn(v, ipath, epath, out, _ss=str_set, _vals=vals, _r=rendered, _loc=loc):
+                if isinstance(v, str):
+                    if v in _ss:
                         return True
-                    out.append(Violation(epath, _loc, ipath, "enum",
-                                         f"does not have a value in the enumeration {_r}"))
-                    return False
+                elif any(json_equal(v, e) for e in _vals):
+                    return True
+                out.append(Violation(epath, _loc, ipath, "enum",
+                                     f"does not have a value in the enumeration {_r}"))
+                return False
 
             checks.append(enum_fn)
 
@@ -440,7 +451,7 @@ class CompiledSchema:
             cv = schema["const"]
 
             def const_fn(v, ipath, epath, out, _c=cv, _loc=loc):
-                if v == _c and json_type_name(v) == json_type_name(_c):
+                if json_equal(v, _c):
                     return True
                 out.append(Violation(epath, _loc, ipath, "const",
                                      f"must be the constant value '{_c}'"))
@@ -554,9 +565,21 @@ class CompiledSchema:
             def mult_fn(v, ipath, epath, out, _n=n, _loc=loc, _r=_fmt_num(n)):
                 if not _is_num(v):
                     return True
-                q = v / _n
-                if abs(q - round(q)) < 1e-9:
-                    return True
+                # exact semantics (NetworkNT uses BigDecimal): int/int via
+                # modulo, otherwise Decimal over the decimal literals — a
+                # float-quotient tolerance accepts everything for tiny
+                # divisors (multipleOf: 1e-10) and drifts for large values
+                if isinstance(v, int) and isinstance(_n, int):
+                    if v % _n == 0:
+                        return True
+                else:
+                    from decimal import Decimal, InvalidOperation
+
+                    try:
+                        if Decimal(str(v)) % Decimal(str(_n)) == 0:
+                            return True
+                    except InvalidOperation:
+                        pass  # e.g. inf — fall through to violation
                 out.append(Violation(epath, _loc, ipath, "multipleOf",
                                      f"must be multiple of {_r}"))
                 return False

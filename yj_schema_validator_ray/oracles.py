@@ -145,11 +145,17 @@ def lang_drift_sql() -> str:
 
     case = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in BASELINE_LANG_P.items())
     kl = f"sum((n / t) * ln((n / t) / (CASE lang {case} END)))"
+    # sign-aware half-away rounding (matches the engine formula exactly;
+    # the partial-support 'KL' can be negative)
     return f"""WITH {corpus_sql_cte()},
 h AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM corpus
       WHERE lang IS NOT NULL GROUP BY lang),
-tot AS (SELECT sum(n) AS t FROM h)
-SELECT round({kl}, 6) AS kl, ({kl} > 0.05) AS drifted FROM h, tot"""
+tot AS (SELECT sum(n) AS t FROM h),
+k AS (SELECT {kl} AS kl_raw FROM h, tot)
+SELECT CASE WHEN kl_raw >= 0 THEN floor(kl_raw * 1e6 + 0.5) / 1e6
+            ELSE -floor(-kl_raw * 1e6 + 0.5) / 1e6 END AS kl,
+       (kl_raw > 0.05) AS drifted
+FROM k"""
 
 
 def repo_stats_salted_sql() -> str:
@@ -230,8 +236,9 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
        CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
-       round(CAST(len(regexp_extract_all(text, '\w')) AS DOUBLE)
-             / greatest(len(regexp_extract_all(text, '\w+')), 1), 6) AS mean_token_len
+       floor(CAST(len(regexp_extract_all(text, '\w')) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '\w+')), 1) * 1e6 + 0.5)
+         / 1e6 AS mean_token_len
 FROM documents"""
 
 

@@ -388,7 +388,10 @@ def lang_drift(corpus_ds, baseline_p=None, threshold: float = 0.05):
     observed = {row["lang"]: int(row["n"]) for _, row in hist.iterrows()
                 if row["lang"] is not None}
     kl = kl_divergence(observed, baseline_p)
-    return pd.DataFrame({"kl": [round(kl, 6)], "drifted": [kl > threshold]})
+    # sign-aware half-away rounding, mirrored in lang_drift_sql (Python
+    # round() is half-to-even)
+    kl6 = math.floor(abs(kl) * 1e6 + 0.5) / 1e6 * (1 if kl >= 0 else -1)
+    return pd.DataFrame({"kl": [kl6], "drifted": [kl > threshold]})
 
 
 # ---------------------------------------------------------------------------

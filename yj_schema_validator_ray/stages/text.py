@@ -44,10 +44,13 @@ def quality_stats(docs_ds):
         n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.int64())
         n_upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.int64())
         tok_chars = pc.cast(pc.count_substring_regex(text, r"\w"), pa.int64())
-        mean_tok = pc.round(
-            pc.divide(pc.cast(tok_chars, pa.float64()),
-                      pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64())),
-            ndigits=6)
+        # explicit half-away-from-zero rounding (same formula as the SQL
+        # oracle; pc.round is half-to-even — a 6-decimal tie would flip)
+        mean_tok = pc.divide(
+            pc.floor(pc.add(pc.multiply(
+                pc.divide(pc.cast(tok_chars, pa.float64()),
+                          pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64())),
+                1e6), 0.5)), 1e6)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_tokens": n_tokens, "n_chars": n_chars,
