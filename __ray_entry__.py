@@ -177,6 +177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_embedding_dups(sf_dir):
         return A.embedding_dup_pairs(_augment(emb(sf_dir), "vec_id"))
 
+    def q_embedding_dups_lsh(sf_dir):
+        # LSH-bucketed default path; checked against the SAME exact-SQL
+        # oracle as embedding_dups (identical vectors share every code,
+        # so recall at 0.99 is 1 on this corpus)
+        return A.embedding_dup_pairs_lsh(_augment(emb(sf_dir), "vec_id"))
+
     def q_media_features(sf_dir):
         return M.media_features(M.media_dataset_from_documents(sf_dir))
 
@@ -216,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
         # multimodal plumbing
         "media_features": q_media_features,
         "media_meta": q_media_meta,
@@ -281,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         # similarity
         "ann_topk": oracles.ann_topk_sql(),
         "embedding_dups": oracles.embedding_dups_sql(),
+        "embedding_dups_lsh": oracles.embedding_dups_sql(),
         # curation composition pipeline
         "curation_report": _curation_sql(),
         # relational / windows

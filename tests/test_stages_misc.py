@@ -186,3 +186,61 @@ def test_lang_drift_detects_shifted_mix(ray_session):
     r2 = lang_drift(drifted)
     assert bool(r2["drifted"].iloc[0]) is True
     assert r2["kl"].iloc[0] > 0.3
+
+
+def test_minhash_pipeline_distributed_verify(ray_session):
+    """End-to-end minhash near-dup: exact duplicates are found with
+    jaccard_est 1.0 and signatures are joined distributed (no driver
+    materialization on the path)."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.dedup import minhash_lsh_pairs
+
+    base = [f"the quick brown fox jumps over the lazy dog number {i} "
+            f"with plenty of shared shingle material to hash" for i in range(30)]
+    texts = base + base[:5]  # ids 30..34 duplicate 0..4
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    out = minhash_lsh_pairs(ds, threshold=0.9).to_pandas()
+    found = {(int(a), int(b)): j
+             for a, b, j in zip(out["a"], out["b"], out["jaccard_est"])}
+    for i in range(5):
+        assert found[(i, 30 + i)] == 1.0  # exact dup -> identical signature
+
+
+def test_ngram_jaccard_distributed(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = ["alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon zeta",
+             "one two three four five six seven", "totally different words here now ok"]
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(4), "text": texts}))
+    cands = ray.data.from_pandas(pd.DataFrame(
+        {"a": [0, 2], "b": [1, 3]}))
+    out = ngram_jaccard_pairs(docs, cands, n=3, threshold=0.5).to_pandas()
+    assert len(out) == 1
+    assert (int(out["a"].iloc[0]), int(out["b"].iloc[0])) == (0, 1)
+    assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_embedding_dups_lsh_matches_exact(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.ann import (embedding_dup_pairs,
+                                                    embedding_dup_pairs_lsh)
+
+    rng = np.random.RandomState(3)
+    M = rng.normal(size=(60, 16))
+    M[50:] = M[:10]  # ids 50..59 duplicate 0..9
+    df = pd.DataFrame({"vec_id": range(60),
+                       "embedding": [list(map(float, r)) for r in M]})
+    mk = lambda: ray.data.from_pandas(df)
+    exact = embedding_dup_pairs(mk()).to_pandas().sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    lsh = embedding_dup_pairs_lsh(mk()).to_pandas().sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact[["a", "b", "sim"]],
+                                  lsh[["a", "b", "sim"]])
+    assert len(exact) == 10

@@ -161,62 +161,67 @@ def ref_integrity_violations(corpus_ds, known_ref=None):
 def column_stats(corpus_ds, columns=("repo", "path", "commit", "lang")):
     """One row per column: row_count, null_count, min/max, exact distinct.
 
-    Single pass for the scalar stats (per-block partials, driver combine);
-    exact distinct via ONE shuffle over per-batch-deduped (column, value)
-    pairs for all columns together — not a shuffle per column.
+    ONE corpus pass: each batch emits a union-shaped partial table with
+    both the per-column scalar row ('s') and the per-batch-deduped
+    distinct value hashes ('d').  The partials (tiny: 4 scalar rows +
+    key-cardinality hashes per block) are materialized once and both
+    combines read them — the corpus is never scanned twice.
     """
-    from ray.data.aggregate import Sum
 
     cols = list(columns)
 
-    def scalar_partial(batch: pa.Table) -> pa.Table:
-        names, counts, nulls, mins, maxs = [], [], [], [], []
+    def fused_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n_, v_ = [], []
+        counts, nulls, mins, maxs = [], [], [], []
         for c in cols:
             arr = batch.column(c)
-            names.append(c)
             counts.append(len(arr))
             nulls.append(arr.null_count)
             mm = pc.min_max(arr)
             mins.append(mm["min"].as_py())
             maxs.append(mm["max"].as_py())
+            # distinct side: shuffle 64-bit VALUE HASHES, not value
+            # strings (~10x lighter; a collision miscounts by 1 with
+            # probability ~n^2/2^65 — 1e-7 at 2M distinct values)
+            u = pc.unique(arr).drop_null()
+            if len(u):
+                h = pd.util.hash_array(u.to_numpy(zero_copy_only=False)
+                                       .astype(object)).astype(np.int64)
+                n_.append(np.full(len(h), c, dtype=object))
+                v_.append(h)
+        d_names = list(np.concatenate(n_)) if n_ else []
+        d_vals = list(np.concatenate(v_)) if v_ else []
+        nd = len(d_vals)
         return pa.table({
-            "column_name": pa.array(names, pa.string()),
-            "row_count": pa.array(counts, pa.int64()),
-            "null_count": pa.array(nulls, pa.int64()),
-            "min_value": pa.array([str(m) if m is not None else None for m in mins], pa.string()),
-            "max_value": pa.array([str(m) if m is not None else None for m in maxs], pa.string()),
+            "kind": pa.array(["s"] * len(cols) + ["d"] * nd, pa.string()),
+            "column_name": pa.array(cols + d_names, pa.string()),
+            "row_count": pa.array(counts + [None] * nd, pa.int64()),
+            "null_count": pa.array(nulls + [None] * nd, pa.int64()),
+            "min_value": pa.array(
+                [str(m) if m is not None else None for m in mins] + [None] * nd,
+                pa.string()),
+            "max_value": pa.array(
+                [str(m) if m is not None else None for m in maxs] + [None] * nd,
+                pa.string()),
+            "value": pa.array([None] * len(cols) + d_vals, pa.int64()),
         })
 
-    def distinct_partial(batch: pa.Table) -> pa.Table:
-        # shuffle 64-bit VALUE HASHES, not value strings (~10x lighter;
-        # a collision miscounts by 1 with probability ~n^2/2^65 — 1e-7
-        # at 2M distinct values)
-        import pandas as pd
+    parts = corpus_ds.map_batches(
+        fused_partial, batch_format="pyarrow").materialize()
 
-        names, hashes = [], []
-        for c in cols:
-            u = pc.unique(batch.column(c)).drop_null()
-            if len(u) == 0:
-                continue
-            h = pd.util.hash_array(u.to_numpy(zero_copy_only=False)
-                                   .astype(object)).astype(np.int64)
-            names.append(np.full(len(h), c, dtype=object))
-            hashes.append(h)
-        if not names:
-            return pa.table({"column_name": pa.array([], pa.string()),
-                             "value": pa.array([], pa.int64())})
-        return pa.table({
-            "column_name": pa.array(np.concatenate(names), pa.string()),
-            "value": pa.array(np.concatenate(hashes), pa.int64())})
-
-    scal = corpus_ds.map_batches(scalar_partial, batch_format="pyarrow").to_pandas()
+    scal = (parts.filter(expr="kind == 's'")
+            .select_columns(["column_name", "row_count", "null_count",
+                             "min_value", "max_value"]).to_pandas())
     scal = scal.groupby("column_name").agg(
         row_count=("row_count", "sum"), null_count=("null_count", "sum"),
         min_value=("min_value", "min"), max_value=("max_value", "max")).reset_index()
 
     from ..stages.exact_agg import grouped_aggregate
 
-    dist_pairs = corpus_ds.map_batches(distinct_partial, batch_format="pyarrow")
+    dist_pairs = (parts.filter(expr="kind == 'd'")
+                  .select_columns(["column_name", "value"]))
     distinct_rows = grouped_aggregate(dist_pairs, ["column_name", "value"],
                                       [("", "count", "n")])
 

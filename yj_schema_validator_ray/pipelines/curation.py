@@ -45,11 +45,11 @@ def curated_documents(docs_ds):
 
     class QualityGate:
         def __init__(self, ref):
-            self.kept = ray.get(ref)
+            # Arrow value-set once per actor -> vectorized pc.is_in
+            self.kept = pa.array(sorted(ray.get(ref)), pa.int64())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_pylist()
-            mask = pa.array([i in self.kept for i in ids], pa.bool_())
+            mask = pc.is_in(batch.column("doc_id"), value_set=self.kept)
             b = batch.filter(mask)
             text = b.column("text")
             n_tokens = pc.cast(pc.count_substring_regex(text, WORD_RE), pa.int64())

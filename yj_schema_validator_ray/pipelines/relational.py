@@ -130,22 +130,29 @@ def top_customers(sf_dir: str, k: int = 10):
         ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                               columns=["c_custkey", "c_name", "c_mktsegment"])
         .to_arrow_refs()))
-    name_of = dict(zip(cust_tbl.column("c_custkey").to_pylist(),
-                       zip(cust_tbl.column("c_name").to_pylist(),
-                           cust_tbl.column("c_mktsegment").to_pylist())))
-    ref = ray.put(name_of)
+    _ck = cust_tbl.column("c_custkey").to_numpy()
+    _order = np.argsort(_ck)
+    ref = ray.put((_ck[_order],
+                   cust_tbl.column("c_name").to_numpy(zero_copy_only=False)[_order],
+                   cust_tbl.column("c_mktsegment").to_numpy(zero_copy_only=False)[_order]))
 
     class AttachName:
+        """Broadcast dim lookup, vectorized: sorted-key searchsorted per
+        batch instead of a per-row dict get."""
+
         def __init__(self, r):
-            self.names = ray.get(r)
+            self.ids, self.names, self.mkts = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("o_custkey").to_pylist()
-            looked = [self.names.get(k, (None, None)) for k in keys]
+            keys = t.column("o_custkey").to_numpy()
+            pos = np.searchsorted(self.ids, keys).clip(max=len(self.ids) - 1)
+            hit = self.ids[pos] == keys
+            names = np.where(hit, self.names[pos], None)
+            mkts = np.where(hit, self.mkts[pos], None)
             return pa.table({
                 "c_custkey": pa.array(keys, pa.int64()),
-                "c_name": pa.array([x[0] for x in looked], pa.string()),
-                "c_mktsegment": pa.array([x[1] for x in looked], pa.string()),
+                "c_name": pa.array(names, pa.string()),
+                "c_mktsegment": pa.array(mkts, pa.string()),
                 "total_price_cents": t.column("total_price_cents"),
             })
 
@@ -449,13 +456,14 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     class OrderFilter:
         def __init__(self, ref):
-            self.keys = ref_set = ray.get(ref)
+            # Arrow value-set built ONCE per actor -> vectorized pc.is_in
+            # (same pattern as constraints.OrphanFilter)
+            self.keys = pa.array(sorted(ray.get(ref)), pa.int64())
 
         def __call__(self, t: pa.Table) -> pa.Table:
             m1 = pc.less(t.column("o_orderdate"), pa.scalar(cut))
             t = t.filter(m1)
-            keys = t.column("o_custkey").to_pylist()
-            mask = pa.array([k_ in self.keys for k_ in keys], pa.bool_())
+            mask = pc.is_in(t.column("o_custkey"), value_set=self.keys)
             return pa.table({"o_orderkey": t.filter(mask).column("o_orderkey")})
 
     orders = (ray.data.read_parquet(

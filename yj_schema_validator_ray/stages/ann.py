@@ -238,12 +238,104 @@ def ann_topk_ivf(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
     return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.99, nbits: int = 16,
+                            ntables: int = 4, seed: int = 29,
+                            max_bucket: int = 4096):
+    """Cosine near-dup pairs via hyperplane LSH bucketing — the 100 TB
+    default path (:func:`embedding_dup_pairs` is the exact sf-small
+    oracle baseline).
+
+    vectors -> ``ntables`` independent hyperplane codes (seeds derived,
+    shared across actors) -> explode (table, code, vec_id, embedding) ->
+    coarse-hash groupby co-locates each bucket -> EXACT all-pairs cosine
+    inside each bucket (vectorized matmul) -> cross-table pair dedup.
+    Identical vectors always share every code, so recall at
+    threshold≈0.99 is ~1; only candidate buckets are ever scored, and
+    nothing is materialized on the driver.  Shuffle volume is
+    ntables x corpus — the standard LSH recall/IO trade.
+    """
+    from .exact_agg import grouped_aggregate
+    from ..util import default_pool, shuffle_partitions
+
+    class CodeExplode:
+        """Stateful: hyperplane tables built once per actor (same seeds
+        everywhere, so codes agree across actors)."""
+
+        def __init__(self):
+            self.coders = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(batch)
+            if self.coders is None:
+                self.coders = [LSHCoder(m.shape[1], nbits, seed + 97 * t)
+                               for t in range(ntables)]
+            out = []
+            for t, coder in enumerate(self.coders):
+                out.append(pa.table({
+                    "tbl": pa.array(np.full(len(ids), t, dtype=np.int64)),
+                    "code": pa.array(coder.code(m), pa.int64()),
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": batch.column("embedding"),
+                }))
+            return pa.concat_tables(out)
+
+    coded = emb_ds.map_batches(CodeExplode, batch_format="pyarrow",
+                               concurrency=default_pool())
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        coarse = pc.bit_wise_and(
+            pc.bit_wise_xor(t.column("code"),
+                            pc.multiply(t.column("tbl"), 2654435761)), 1023)
+        return t.append_column("coarse", coarse)
+
+    def emit_bucket_pairs(g: pa.Table) -> pa.Table:
+        tb = g.column("tbl").to_numpy()
+        cd = g.column("code").to_numpy()
+        order = np.lexsort((cd, tb))
+        tb, cd = tb[order], cd[order]
+        ids = g.column("vec_id").to_numpy()[order]
+        M = np.asarray(g.column("embedding").to_pylist(), dtype=np.float64)[order]
+        change = np.flatnonzero((tb[1:] != tb[:-1]) | (cd[1:] != cd[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(ids)]))
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run_ids = ids[s:e][:max_bucket]
+            mn = _normalize(M[s:e][:max_bucket])
+            sims = mn @ mn.T
+            iu, ju = np.triu_indices(len(run_ids), k=1)
+            keep = sims[iu, ju] >= threshold
+            a, b = run_ids[iu[keep]], run_ids[ju[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(np.round(sims[iu, ju][keep], 6))
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "b": pa.array(np.concatenate(out_b), pa.int64()),
+                         "sim": pa.array(np.concatenate(out_s), pa.float64())})
+
+    raw = (coded.map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("coarse", num_partitions=shuffle_partitions())
+           .map_groups(emit_bucket_pairs, batch_format="pyarrow"))
+    # a pair found in k tables appears k times with the same sim
+    return grouped_aggregate(raw, ["a", "b"], [("sim", "max", "sim")])
+
+
 def embedding_dup_pairs(emb_ds, threshold: float = 0.99, concurrency=None):
     """Exact cosine near-dup pairs (a < b, sim >= threshold).
 
     The full normalized matrix is broadcast once (fine up to ~10M x 128
-    float32 = 5 GB object-store; beyond that switch to LSH-bucketed
-    pairing, cf. :func:`ann_topk_lsh`); each batch multiplies against it.
+    float32 = 5 GB object-store; beyond that
+    :func:`embedding_dup_pairs_lsh` is the default scale path); each
+    batch multiplies against it.  Kept as the exact oracle baseline.
     """
     import ray
 

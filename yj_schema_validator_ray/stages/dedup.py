@@ -121,6 +121,23 @@ class MinHasher:
         })
 
 
+_PROCESS_HASHERS: dict = {}
+
+
+def _process_minhasher(num_perm: int, k: int = 5):
+    """Plain map_batches fn that lazily builds (and process-caches) the
+    ``MinHasher`` on each Ray worker — cheap state, no actor pool."""
+    def f(batch: pa.Table) -> pa.Table:
+        key = ("minhash", num_perm, k)
+        mh = _PROCESS_HASHERS.get(key)
+        if mh is None:
+            mh = MinHasher(num_perm, k)
+            _PROCESS_HASHERS[key] = mh
+        return mh(batch)
+
+    return f
+
+
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
     ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
     sig = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
@@ -150,13 +167,12 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     (fraction of equal minhashes estimates Jaccard; text never shuffles).
     Returns (a, b, jaccard_est) with a < b, jaccard_est >= threshold.
     """
-    from ..util import default_pool
-
-    if concurrency is None:
-        concurrency = default_pool()
     rows_per_band = num_perm // bands
-    sigs = docs_ds.map_batches(MinHasher, fn_constructor_args=(num_perm,),
-                               batch_format="pyarrow", concurrency=concurrency)
+    # stateless tasks + per-worker-process hasher cache: MinHasher state
+    # is two small permutation arrays, so warm task workers beat the
+    # ~5 s actor-pool spin-up (same trade as validator task mode)
+    sigs = docs_ds.map_batches(_process_minhasher(num_perm),
+                               batch_format="pyarrow")
     # keep the signatures for the verify stage (small: num_perm ints/doc)
     sigs = sigs.materialize()
     banded = sigs.map_batches(
@@ -206,41 +222,153 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
                  .groupby("coarse", num_partitions=nsp)
                  .map_groups(emit_pairs_part, batch_format="pandas"))
 
-    # verify FIRST (vectorized signature lookups — cheap even on the raw,
-    # duplicated candidate stream), dedup AFTER thresholding: the surviving
-    # pair set is orders of magnitude smaller than the candidate set, so
-    # this drops a whole shuffle stage from the hot path
-    import ray
+    # verify via a DISTRIBUTED pair<->signature join: signatures are never
+    # collected on the driver (at 10^9 docs x 64 perms that would be
+    # ~0.5 TB on one node).  Multi-band duplicate candidates are deduped
+    # in-flight inside the join's first exchange.
+    verified = join_pairs_with_signatures(
+        raw_pairs, sigs, "sig", num_partitions=nsp)
 
-    sig_tbl = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
-    ids_arr = sig_tbl.column("doc_id").to_numpy()
-    sig_col = sig_tbl.column("sig").combine_chunks()
-    sig_mat = sig_col.flatten().to_numpy().reshape(-1, num_perm).astype(np.uint64)
-    order = np.argsort(ids_arr)
-    sig_ref = ray.put((ids_arr[order], sig_mat[order]))
+    def score(batch: pa.Table) -> pa.Table:
+        sa = _unpack_binary_matrix(batch.column("sig_a"))
+        sb = _unpack_binary_matrix(batch.column("sig_b"))
+        est = (sa == sb).mean(axis=1) if len(sa) else np.zeros(0)
+        t = pa.table({"a": batch.column("a"), "b": batch.column("b"),
+                      "jaccard_est": pa.array(est, pa.float64())})
+        return t.filter(pc.greater_equal(t.column("jaccard_est"), threshold))
 
-    class Verify:
-        def __init__(self, ref):
-            self.ids, self.mat = ray.get(ref)
+    return verified.map_batches(score, batch_format="pyarrow")
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("a").to_numpy()
-            b = batch.column("b").to_numpy()
-            ia = np.searchsorted(self.ids, a)
-            ib = np.searchsorted(self.ids, b)
-            est = (self.mat[ia] == self.mat[ib]).mean(axis=1)
-            t = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
-                          "jaccard_est": pa.array(est, pa.float64())})
-            return t.filter(pc.greater_equal(t.column("jaccard_est"), threshold))
 
-    verified = raw_pairs.map_batches(Verify, fn_constructor_args=(sig_ref,),
-                                     batch_format="pyarrow", concurrency=(1, 2))
+def _fixed_list_matrix(col) -> np.ndarray:
+    """Zero-copy (doc, k) matrix from a fixed-size-list column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 1), dtype=np.int64)
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), -1)
 
-    from .exact_agg import grouped_aggregate
 
-    return grouped_aggregate(verified, ["a", "b"],
-                             [("jaccard_est", "min", "jaccard_est")],
-                             num_partitions=4)
+def _pack_list_binary(col) -> pa.Array:
+    """list<int64> column (fixed or variable size) -> one little-endian
+    binary blob per row (Acero hash joins accept binary payloads but not
+    list columns)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype("<i8")
+    lens = pc.list_value_length(col).fill_null(0).to_numpy().astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32) * 8
+    return pa.Array.from_buffers(
+        pa.binary(), len(col),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())])
+
+
+def _unpack_binary_matrix(col) -> np.ndarray:
+    """Inverse of :func:`_pack_binary` (handles sliced/taken arrays)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.int64)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    width = int(offs[1] - offs[0])
+    idx = offs[:-1, None] + np.arange(width)[None, :]
+    return np.ascontiguousarray(data[idx]).view("<i8").reshape(n, width // 8)
+
+
+def join_pairs_with_signatures(pairs_ds, attrs_ds, attr_col: str,
+                               num_partitions: int | None = None,
+                               id_col: str = "doc_id", coarse: int = 1024):
+    """Distributed attachment of a per-doc attribute to both sides of a
+    candidate-pair dataset: ``(a, b)`` ⋈ ``(doc_id, attr)`` — nothing on
+    the driver.  Duplicate candidate pairs (multi-band hits) are deduped
+    in-flight.
+
+    Implemented as two coarse-hash groupby exchanges (the same sort-based
+    shuffle machinery as :mod:`.exact_agg`; Ray's dedicated hash-shuffle
+    join operator costs seconds of aggregator-actor spin-up per join,
+    which dominates at interactive scale and adds nothing at cluster
+    scale):
+
+    1. union(pair requests keyed by each side, attr rows keyed by id)
+       -> groupby(coarse(key)) -> vectorized pandas merge per partition
+       -> (a, b, slot, attr)
+    2. groupby(coarse(pair)) -> slot pivot -> (a, b, attr_a, attr_b).
+
+    List attributes are packed to per-row binary blobs (unpack with
+    :func:`_unpack_binary_matrix`); shuffles move ids + blobs only.
+    """
+    from ..util import shuffle_partitions
+
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
+
+    def mix(arr: np.ndarray) -> np.ndarray:
+        h = arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(33)) & np.uint64(coarse - 1)).astype(np.int64)
+
+    def to_requests(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        key = np.concatenate([a, b])
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "slot": pa.array(np.repeat([0, 1], len(a)), pa.int64()),
+            "sig": pa.array([b""] * (2 * len(a)), pa.binary()),
+            "coarse": pa.array(mix(key), pa.int64()),
+        })
+
+    def to_attr_rows(t: pa.Table) -> pa.Table:
+        attr = t.column(attr_col)
+        if pa.types.is_fixed_size_list(attr.type) or pa.types.is_list(attr.type):
+            attr = _pack_list_binary(attr)
+        elif isinstance(attr, pa.ChunkedArray):
+            attr = attr.combine_chunks()
+        key = t.column(id_col).to_numpy()
+        minus1 = pa.array(np.full(len(key), -1, dtype=np.int64))
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "a": minus1, "b": minus1, "slot": minus1,
+            "sig": attr,
+            "coarse": pa.array(mix(key), pa.int64()),
+        })
+
+    u = (pairs_ds.map_batches(to_requests, batch_format="pyarrow")
+         .union(attrs_ds.map_batches(to_attr_rows, batch_format="pyarrow")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        is_attr = g["slot"] < 0
+        sig_rows = g.loc[is_attr, ["key", "sig"]]
+        req = g.loc[~is_attr, ["key", "a", "b", "slot"]].drop_duplicates()
+        m = req.merge(sig_rows, on="key", how="inner")
+        return m[["a", "b", "slot", "sig"]]
+
+    stage1 = (u.groupby("coarse", num_partitions=num_partitions)
+              .map_groups(attach, batch_format="pandas"))
+
+    def add_pair_coarse(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.uint64)
+        b = t.column("b").to_numpy().astype(np.uint64)
+        return t.append_column(
+            "coarse2", pa.array(mix((a * np.uint64(1000003)) ^ b), pa.int64()))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s0 = g.loc[g["slot"] == 0, ["a", "b", "sig"]].rename(
+            columns={"sig": attr_col + "_a"})
+        s1 = g.loc[g["slot"] == 1, ["a", "b", "sig"]].rename(
+            columns={"sig": attr_col + "_b"})
+        return s0.merge(s1, on=["a", "b"], how="inner")
+
+    return (stage1.map_batches(add_pair_coarse, batch_format="pyarrow")
+            .groupby("coarse2", num_partitions=num_partitions)
+            .map_groups(combine, batch_format="pandas")
+            .map_batches(lambda t: t.select(
+                ["a", "b", attr_col + "_a", attr_col + "_b"]),
+                batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -353,48 +481,101 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, concurrency=None):
 # n-gram Jaccard verification (exact, for candidate pairs)
 # ---------------------------------------------------------------------------
 
+class NGramHasher:
+    """Actor-pool stage: text -> sorted unique 64-bit word n-gram hashes
+    for the broadcast candidate doc-id subset (ids only — 8 bytes each;
+    texts never leave their blocks, gram sets shuffle through the pair
+    join instead of being collected on the driver)."""
+
+    def __init__(self, ids_ref, n: int):
+        import ray
+        import re
+
+        self.wanted = pa.array(np.sort(ray.get(ids_ref)), pa.int64())
+        self.tok = re.compile(r"\w+")
+        self.n = n
+
+    def gram_hashes(self, text: str) -> np.ndarray:
+        ws = self.tok.findall(text.lower())
+        if len(ws) < self.n:
+            return np.zeros(0, dtype=np.int64)
+        # deterministic token hashes (pandas SipHash, fixed key), then a
+        # rolling polynomial combine over each n-window — vectorized
+        th = pd.util.hash_array(np.array(ws, dtype=object)).astype(np.uint64)
+        h = np.zeros(len(ws) - self.n + 1, dtype=np.uint64)
+        mult = np.uint64(1099511628211)
+        for i in range(self.n):
+            h = h * mult + th[i:len(ws) - self.n + 1 + i]
+        return np.unique(h).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("doc_id"), value_set=self.wanted)
+        b = batch.filter(keep)
+        grams = [self.gram_hashes(t) for t in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "grams": pa.array(grams, pa.list_(pa.int64())),
+        })
+
+
 def ngram_jaccard_pairs(docs_ds, candidate_pairs_ds, n: int = 3,
                         threshold: float = 0.5):
-    """Exact word n-gram Jaccard for candidate pairs.
+    """Exact word n-gram Jaccard for candidate pairs — fully distributed.
 
-    Pair verification ships texts ONLY for candidate doc_ids (broadcast of
-    the candidate subset — small by construction), never the full corpus.
+    Candidate doc IDS (not texts) are broadcast to filter the corpus;
+    gram-hash sets are computed per block and attached to both pair sides
+    via the same hash-shuffle join as the MinHash verify
+    (:func:`join_pairs_with_signatures`); Jaccard is computed per
+    partition on sorted unique hash arrays.  Nothing text-sized ever
+    reaches the driver.
     """
     import ray
 
-    cand = candidate_pairs_ds.select_columns(["a", "b"]).to_pandas()
-    needed = set(cand["a"]) | set(cand["b"])
-    if not needed:
+    from ..util import default_pool, shuffle_partitions
+
+    # pairs are consumed twice (id collection + join): materialize the
+    # small pair set once so the upstream candidate pipeline runs once
+    pairs = candidate_pairs_ds.select_columns(["a", "b"]).materialize()
+    ids: set = set()
+    for t in pairs.iter_batches(batch_format="pyarrow"):
+        ids.update(t.column("a").to_pylist())
+        ids.update(t.column("b").to_pylist())
+    if not ids:
         return ray.data.from_pandas(pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
              "jaccard": pd.Series(dtype="float64")}))
+    ids_ref = ray.put(np.fromiter(ids, dtype=np.int64, count=len(ids)))
 
-    def grams_partial(batch: pa.Table) -> pa.Table:
-        ids, texts = [], []
-        for i, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            if i in needed:
-                ids.append(i)
-                texts.append(t)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "text": pa.array(texts, pa.string())})
+    grams = docs_ds.map_batches(
+        NGramHasher, fn_constructor_args=(ids_ref, n),
+        batch_format="pyarrow", concurrency=default_pool())
 
-    subset = docs_ds.map_batches(grams_partial, batch_format="pyarrow").to_pandas()
-    import re
-    tok = re.compile(r"\w+")
+    joined = join_pairs_with_signatures(
+        pairs, grams, "grams", num_partitions=shuffle_partitions())
 
-    def gramset(text):
-        ws = tok.findall(text.lower())
-        return {tuple(ws[i:i + n]) for i in range(max(0, len(ws) - n + 1))}
+    def score(batch: pa.Table) -> pa.Table:
+        ga = batch.column("grams_a")
+        gb = batch.column("grams_b")
+        if isinstance(ga, pa.ChunkedArray):
+            ga = ga.combine_chunks()
+        if isinstance(gb, pa.ChunkedArray):
+            gb = gb.combine_chunks()
+        out_a, out_b, out_j = [], [], []
+        a_ids = batch.column("a").to_pylist()
+        b_ids = batch.column("b").to_pylist()
+        for i in range(batch.num_rows):
+            sa = np.frombuffer(ga[i].as_py(), dtype="<i8")
+            sb = np.frombuffer(gb[i].as_py(), dtype="<i8")
+            u = len(sa) + len(sb)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            u -= inter
+            j = inter / u if u else 0.0
+            if j >= threshold:
+                out_a.append(a_ids[i])
+                out_b.append(b_ids[i])
+                out_j.append(round(j, 6))
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
 
-    gs = {int(r.doc_id): gramset(r.text) for r in subset.itertuples()}
-    rows = []
-    for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = gs.get(int(a), set()), gs.get(int(b), set())
-        u = len(sa | sb)
-        j = (len(sa & sb) / u) if u else 0.0
-        if j >= threshold:
-            rows.append((int(a), int(b), round(j, 6)))
-    return ray.data.from_pandas(pd.DataFrame(
-        rows, columns=["a", "b", "jaccard"]).astype(
-        {"a": "int64", "b": "int64", "jaccard": "float64"}))
+    return joined.map_batches(score, batch_format="pyarrow")

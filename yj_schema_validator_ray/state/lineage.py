@@ -98,20 +98,26 @@ def run_resumable_validation(corpus_ds, out_dir: str, config, *,
         # flat violations table for the shard (F1 rows; empty shards too,
         # so a resumed reader never distinguishes fresh from resumed)
         if "violations" in g.columns:
-            vrows = []
-            for _, row in g.iterrows():
-                for v in (row["violations"] if row["violations"] is not None else []):
-                    vrows.append((row["repo"], row["path"], row["commit"],
-                                  row["doc_key"], v["evaluation_path"],
-                                  v["schema_path"], v["instance_path"],
-                                  v["keyword"], v["message"]))
-                if row["error"] is not None:
-                    vrows.append((row["repo"], row["path"], row["commit"],
-                                  row["doc_key"], "", "", "", "error",
-                                  row["error"]))
-            vdf = pd.DataFrame(vrows, columns=[
-                "repo", "path", "commit", "doc_key", "evaluation_path",
-                "schema_path", "instance_path", "keyword", "message"])
+            keys = ["repo", "path", "commit", "doc_key"]
+            # vectorized explode of the list<struct> column (was iterrows)
+            ex = g.loc[g["violations"].map(
+                lambda v: v is not None and len(v) > 0), keys + ["violations"]]
+            ex = ex.explode("violations", ignore_index=True)
+            detail = (pd.DataFrame(ex["violations"].tolist())
+                      if len(ex) else pd.DataFrame(columns=[
+                          "evaluation_path", "schema_path", "instance_path",
+                          "keyword", "message"]))
+            vdf = pd.concat([ex[keys], detail], axis=1)
+            errs = g.loc[g["error"].notna(), keys + ["error"]].reset_index(drop=True)
+            if len(errs):
+                edf = errs[keys].copy()
+                edf[["evaluation_path", "schema_path", "instance_path"]] = ""
+                edf["keyword"] = "error"
+                edf["message"] = errs["error"]
+                vdf = pd.concat([vdf, edf], ignore_index=True)
+            vdf = vdf[["repo", "path", "commit", "doc_key", "evaluation_path",
+                       "schema_path", "instance_path", "keyword", "message"]]
+            vdf = vdf.astype({c: "object" for c in vdf.columns})
             vtmp = Path(out_str) / f".violations-{p}.parquet.tmp"
             vfinal = Path(out_str) / f"violations-{p}.parquet"
             vdf.to_parquet(vtmp, index=False)
