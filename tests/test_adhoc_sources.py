@@ -36,5 +36,5 @@ def test_multidoc_stdin_explodes(ray_session):
 
 
 def test_http_fetch_gated_offline():
-    with pytest.raises(RuntimeError, match="Schema fetch failed"):
+    with pytest.raises(RuntimeError, match="Error fetching schema from URL"):
         fetch_schema_http("http://127.0.0.1:9/schema.json", timeout_s=0.2)

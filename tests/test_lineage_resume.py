@@ -74,3 +74,51 @@ def test_corrupt_manifest_triggers_recompute(corpus_ds, tmp_path):
     (Path(tmp_path / "out") / MANIFEST_DIR / "part-1.json").write_text("{broken")
     s = run_resumable_validation(corpus_ds, out, cfg, nparts=2)
     assert set(s.loc[~s["skipped"], "partition_id"]) == {1}
+
+
+def test_changed_input_revalidates_only_changed_shards(ray_session, tmp_path):
+    """--resume must not serve stale shard outputs: a shard whose input
+    fingerprint changed is re-validated; untouched shards stay skipped."""
+    import ray.data
+
+    from yj_schema_validator_ray.sources.corpus import synthesize_batch
+
+    def base():
+        docs = pa.table({"doc_id": pa.array(list(range(100)), pa.int64())})
+        return ray.data.from_arrow(docs).map_batches(
+            synthesize_batch, batch_format="pyarrow")
+
+    target = base().take(1)[0]["path"]  # one fixed path -> one shard changes
+
+    def corpus(mutate: bool):
+        ds = base()
+        if not mutate:
+            return ds
+
+        def tweak(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.equal(t.column("path"), target)
+            new_content = pc.if_else(
+                mask, pa.scalar("not: [valid, yaml"), t.column("content"))
+            return t.set_column(t.schema.get_field_index("content"),
+                                "content", new_content)
+
+        return ds.map_batches(tweak, batch_format="pyarrow")
+
+    cfg = ValidatorConfig(schemas=schema_registry())
+    out = str(tmp_path / "out")
+    run_resumable_validation(corpus(False), out, cfg, nparts=4)
+
+    s2 = run_resumable_validation(corpus(True), out, cfg, nparts=4)
+    redone = set(s2.loc[~s2["skipped"], "partition_id"])
+    assert len(redone) >= 1          # the mutated shard(s) re-ran
+    assert len(redone) < 4           # untouched shards stayed skipped
+    # the re-validated output reflects the NEW content (parse error rows)
+    df = read_all(out)
+    assert (df["error"].notna() & df["error"].str.contains("Parse", na=False)).any() or \
+        (~df["valid"]).any()
+
+    # and a third run with the same mutated input skips everything
+    s3 = run_resumable_validation(corpus(True), out, cfg, nparts=4)
+    assert s3["skipped"].all()

@@ -29,6 +29,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force --schema even when documents embed $schema")
     p.add_argument("--auto-detect", action="store_true",
                    help="detect schemas from the catalog by path globs")
+    p.add_argument("--catalog-url", default=None, metavar="URL",
+                   help="live schema-catalog URL for --auto-detect "
+                        "(default: the public JSON Schema Store catalog; "
+                        "pass an empty string to skip the live fetch and "
+                        "use the bundled snapshot only)")
+    p.add_argument("--http-timeout", type=float, default=10.0,
+                   help="timeout (seconds) for catalog/schema HTTP fetches")
+    p.add_argument("--ignore-ssl-errors", action="store_true",
+                   help="skip SSL certificate validation on schema fetches")
+    p.add_argument("--no-remote-schemas", action="store_true",
+                   help="never fetch http(s) $schema refs; unresolved "
+                        "refs become per-document error results")
     p.add_argument("--report-type", default="text",
                    choices=["text", "json", "yaml", "junit", "sarif", "llm"])
     p.add_argument("--compact", action="store_true",
@@ -95,9 +107,21 @@ def main(argv=None) -> int:
     if args.schema:
         schemas[args.schema] = load_schema_file(args.schema)
         default_schema = args.schema
+    catalog_kwargs = {}
+    if args.auto_detect:
+        from .functions.catalog import DEFAULT_CATALOG_URL, load_catalog
+
+        url = DEFAULT_CATALOG_URL if args.catalog_url is None else args.catalog_url
+        catalog_kwargs["catalog"] = load_catalog(
+            url or None, http_timeout=args.http_timeout,
+            ignore_ssl_errors=args.ignore_ssl_errors)
     config = ValidatorConfig(schemas=schemas, default_schema=default_schema,
                              schema_override=args.schema_override,
-                             auto_detect=args.auto_detect)
+                             auto_detect=args.auto_detect,
+                             allow_remote_schemas=not args.no_remote_schemas,
+                             http_timeout=args.http_timeout,
+                             ignore_ssl_errors=args.ignore_ssl_errors,
+                             **catalog_kwargs)
 
     if not args.input and not args.files:
         parser.error("provide --input PARQUET or positional files")

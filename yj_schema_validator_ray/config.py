@@ -27,6 +27,11 @@ class ValidatorConfig:
     schema_override: bool = False         # --schema-override (wins over embedded $schema)
     auto_detect: bool = False             # catalog path detection (--auto-detect)
     catalog: tuple[CatalogEntry, ...] = BUILTIN_CATALOG
+    # remote $schema resolution (YamlSchemaValidator.java:319-377): http(s)
+    # refs not in the registry are fetched+compiled+cached per actor
+    allow_remote_schemas: bool = True
+    http_timeout: float = 10.0            # --http-timeout (seconds)
+    ignore_ssl_errors: bool = False       # --ignore-ssl-errors
 
     def __post_init__(self):
         if self.schema_override and self.default_schema is None:

@@ -181,18 +181,25 @@ def to_sarif(files: dict[str, dict], start_time: str = "1970-01-01T00:00:00Z",
     for name, f in files.items():
         if f["valid"]:
             continue
-        errs = ([("", "error", f["error"])] if f["error"] is not None else []) + [
+        # file-level errors carry an EMPTY region and the bare message;
+        # keyword violations carry the snippet + "At path ..." text
+        # (golden: multi3invalidyaml.sarif vs invalidyaml.sarif)
+        errs = ([(None, "error", f["error"])] if f["error"] is not None else []) + [
             (d["instance_path"], d["keyword"], d["message"]) for d in f["details"]]
         for pointer, _kw, message in errs:
+            region = ({} if pointer is None
+                      else {"snippet": {"text": f"Path: {pointer}"}})
+            text = (message if pointer is None
+                    else f"At path '{pointer}': {message}")
             results.append({
                 "level": "error",
                 "locations": [{
                     "physicalLocation": {
                         "artifactLocation": {"uri": name},
-                        "region": {"snippet": {"text": f"Path: {pointer}"}},
+                        "region": region,
                     },
                 }],
-                "message": {"text": f"At path '{pointer}': {message}"},
+                "message": {"text": text},
                 "ruleId": "schema-validation",
             })
     doc = {

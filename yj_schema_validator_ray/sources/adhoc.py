@@ -40,11 +40,15 @@ def validate_strings(contents: list[str], config, **kwargs):
 def fetch_schema_http(url: str, timeout_s: float = 10.0,
                       ignore_ssl_errors: bool = False) -> str:
     """GET a schema over HTTP(S) with a timeout (reference defaults:
-    10 s timeout, optional SSL-ignore — ``YamlSchemaValidatorConfig.java:42``).
+    10 s timeout, optional SSL-ignore — ``YamlSchemaValidatorConfig.java:42``;
+    fetch logic ``YamlSchemaValidator.java:319-377``).
 
-    Raises RuntimeError in this offline sandbox; in production the caller
-    catches and funnels it into a per-doc error result
-    (``genericError``, ``YamlSchemaValidator.java:209-214``).
+    Raises RuntimeError with the reference's message shapes — the caller
+    funnels it into a per-doc error result (``genericError``,
+    ``YamlSchemaValidator.java:209-214``; asserted message fragments
+    ``YamlSchemaValidatorTest.java:48-55``):
+    - non-200 -> "HTTP request failed with status code <n> for <url>"
+    - transport failure -> "Error fetching schema from URL: <url>: ..."
     """
     import urllib.error
     import urllib.request
@@ -58,6 +62,14 @@ def fetch_schema_http(url: str, timeout_s: float = 10.0,
         ctx.verify_mode = ssl.CERT_NONE
     try:
         with urllib.request.urlopen(url, timeout=timeout_s, context=ctx) as r:
+            if getattr(r, "status", 200) != 200:
+                raise RuntimeError("HTTP request failed with status code "
+                                   f"{r.status} for {url}")
             return r.read().decode("utf-8")
+    except urllib.error.HTTPError as ex:
+        raise RuntimeError("HTTP request failed with status code "
+                           f"{ex.code} for {url}") from ex
     except (urllib.error.URLError, OSError) as ex:
-        raise RuntimeError(f"Schema fetch failed: {url}: {ex}") from ex
+        reason = getattr(ex, "reason", ex)
+        raise RuntimeError(
+            f"Error fetching schema from URL: {url}: {reason}") from ex

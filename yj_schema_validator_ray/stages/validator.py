@@ -64,6 +64,11 @@ class SchemaValidator:
             for sid, s in config.schemas.items()
         }
         self._detector = SchemaDetector(config.catalog) if config.auto_detect else None
+        # per-actor remote-schema caches: compiled schemas land in
+        # self._compiled (the reference's schemaCache); FAILED fetches are
+        # remembered too, so a dead URL costs one request per actor, not
+        # one per document (YamlSchemaValidator.java:319-377,184-202)
+        self._fetch_errors: dict[str, str] = {}
         # content-addressed verdict cache: real corpora are fork-heavy
         # (identical files across repos/commits), so each distinct
         # (content, parent-dir) validates once per worker.  Disabled when
@@ -97,6 +102,41 @@ class SchemaValidator:
                 return resolved
         return ref
 
+    def _fetch_and_compile(self, url: str) -> str | None:
+        """Fetch, parse (JSON-else-YAML) and compile a remote schema into
+        the per-actor cache; returns the funneled error message on
+        failure, None on success (``getSchemaByPath`` + ``getSchema``,
+        ``YamlSchemaValidator.java:184-202,300-377``)."""
+        cached_err = self._fetch_errors.get(url)
+        if cached_err is not None:
+            return cached_err
+        from ..sources.adhoc import fetch_schema_http
+
+        try:
+            text = fetch_schema_http(url, timeout_s=self.config.http_timeout,
+                                     ignore_ssl_errors=self.config.ignore_ssl_errors)
+        except RuntimeError as ex:
+            self._fetch_errors[url] = str(ex)
+            return str(ex)
+        try:
+            import json
+
+            try:
+                schema = json.loads(text)
+            except ValueError:
+                import yaml
+
+                schema = yaml.safe_load(text)
+            if not isinstance(schema, (dict, bool)):
+                raise ValueError("schema document is not an object")
+            self._compiled[url] = compile_schema(
+                schema, uri=schema.get("$id", url) if isinstance(schema, dict) else url)
+            return None
+        except Exception as ex:  # compile/parse failure -> error funnel
+            msg = f"Error parsing schema from URL: {url}: {ex}"
+            self._fetch_errors[url] = msg
+            return msg
+
     def _validate_content(self, content, path: str) -> tuple[list, bool]:
         """Per-document results for one file's content: a list of
         (valid, error, violations) tuples, plus whether any doc resolved a
@@ -123,6 +163,13 @@ class SchemaValidator:
                 results.append((False, NO_SCHEMA_MSG, []))
                 continue
             compiled = self._compiled.get(sid)
+            if compiled is None and sid.startswith(("http://", "https://")) \
+                    and self.config.allow_remote_schemas:
+                err = self._fetch_and_compile(sid)
+                if err is not None:
+                    results.append((False, err, []))
+                    continue
+                compiled = self._compiled[sid]
             if compiled is None:
                 results.append((False, f"Schema not found: {sid}", []))
                 continue

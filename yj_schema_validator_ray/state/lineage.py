@@ -56,9 +56,51 @@ def load_manifests(out_dir: str) -> dict[int, dict]:
     return out
 
 
+def current_input_fingerprints(corpus_ds, shard_ids, nparts: int) -> dict[int, str]:
+    """Per-shard fingerprint of the CURRENT input for the given shards —
+    a sha-only pass (no validation): distinct sha256(content) per shard,
+    reduced to the same digest ``write_shard`` records.  Distributed:
+    per-batch (part, sha) pairs pre-deduped, one small groupby."""
+    import hashlib as _h
+
+    import pyarrow as pa
+
+    wanted = sorted(shard_ids)
+
+    def sha_partial(batch: pa.Table) -> pa.Table:
+        paths = pd.Series(batch.column("path").to_pylist())
+        parts = _shard_of(paths, nparts)
+        mask = parts.isin(wanted).to_numpy()
+        kept = batch.filter(pa.array(mask))
+        kparts = parts[mask].to_numpy()
+        shas = [_h.sha256((c or "").encode("utf-8")).hexdigest()
+                for c in kept.column("content").to_pylist()]
+        t = pa.table({"part": pa.array(kparts, pa.int64()),
+                      "sha": pa.array(shas, pa.string())})
+        return t.group_by(["part", "sha"]).aggregate([]).select(["part", "sha"])
+
+    def fp_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": [int(g["part"].iloc[0])],
+            "fingerprint": [_fingerprint(g["sha"].drop_duplicates())],
+        })
+
+    res = (corpus_ds.map_batches(sha_partial, batch_format="pyarrow")
+           .groupby("part").map_groups(fp_group, batch_format="pandas")
+           .to_pandas())
+    return dict(zip(res["part"].astype(int), res["fingerprint"]))
+
+
 def run_resumable_validation(corpus_ds, out_dir: str, config, *,
-                             nparts: int = 16, validate_kwargs=None):
+                             nparts: int = 16, validate_kwargs=None,
+                             verify_fingerprints: bool = True):
     """Validate ``corpus_ds`` into ``out_dir`` resumably.
+
+    A shard is skipped only when its manifest is present AND (by default)
+    its recorded input fingerprint matches the current input — a changed
+    corpus re-validates exactly the changed shards instead of silently
+    serving stale outputs.  ``verify_fingerprints=False`` skips the
+    sha-only verification pass for corpora known to be immutable.
 
     Returns a summary DataFrame (partition_id, n_rows, n_violations,
     skipped) covering ALL partitions (completed ones report skipped=True).
@@ -74,6 +116,12 @@ def run_resumable_validation(corpus_ds, out_dir: str, config, *,
     def assign(batch: pa.Table) -> pa.Table:
         parts = _shard_of(pd.Series(batch.column("path").to_pylist()), nparts)
         return batch.append_column("part", pa.array(parts.to_numpy(), pa.int64()))
+
+    if completed and verify_fingerprints:
+        current = current_input_fingerprints(corpus_ds, completed, nparts)
+        stale = {p for p, m in completed.items()
+                 if current.get(p) != m.get("input_fingerprint")}
+        completed = {p: m for p, m in completed.items() if p not in stale}
 
     with_part = corpus_ds.map_batches(assign, batch_format="pyarrow")
     todo = with_part.filter(expr=f"part not in {sorted(completed)}") \
