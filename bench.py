@@ -115,6 +115,19 @@ def run_bench() -> dict:
     timings["column_stats"] = time.perf_counter() - t0
     del corpus_mat
 
+    # -- catalog autodetect throughput: the full bundled schemastore
+    # snapshot (1,223 entries / 2,630 compiled globs) resolved per ROW
+    # during validation (remote fetch off -> pure detect + validate cost)
+    from yj_schema_validator_ray.functions.catalog import load_bundled_catalog
+
+    auto_cfg = ValidatorConfig(schemas=schema_registry(), auto_detect=True,
+                               catalog=load_bundled_catalog(),
+                               allow_remote_schemas=False)
+    t0 = time.perf_counter()
+    corpus = corpus_n(n_files // 4, num_blocks=max(NUM_CPUS * 2, 16))
+    V.summary(V.validate_corpus(corpus, auto_cfg, batch_size=4096))
+    timings["validate_autodetect"] = time.perf_counter() - t0
+
     # -- sink throughput: verdicts to partitioned parquet ----------------
     import shutil
     import tempfile

@@ -67,7 +67,20 @@ def uniqueness_violations(corpus_ds):
     cand = (grouped_aggregate(
         corpus_ds.map_batches(hash_partial, batch_format="pyarrow"),
         ["kh"], [("n", "sum", "n")])
-        .filter(expr="n > 1"))
+        .filter(expr="n > 1")).materialize()
+    # the broadcast-prefilter plan assumes duplicates are RARE (the normal
+    # uniqueness-check regime: candidates ~ violations).  A pathological
+    # corpus (everything duplicated) would pull every distinct key hash to
+    # the driver, so above a bound we skip the prefilter and aggregate the
+    # exact key triples dataset-side (one heavier shuffle, no driver state)
+    if cand.count() > 2_000_000:
+        return grouped_aggregate(
+            corpus_ds.map_batches(
+                lambda b: (b.select(KEY_COLS).group_by(KEY_COLS)
+                           .aggregate([([], "count_all")])
+                           .rename_columns(KEY_COLS + ["n_rows"])),
+                batch_format="pyarrow"),
+            KEY_COLS, [("n_rows", "sum", "n_rows")]).filter(expr="n_rows > 1")
     dup_hashes = frozenset(r["kh"] for r in cand.take_all())
     if not dup_hashes:
         import pandas as pd

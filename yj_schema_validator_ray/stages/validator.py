@@ -183,14 +183,18 @@ class SchemaValidator:
 
     # -- per-batch entry ---------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
-        repos = batch.column("repo").to_pylist()
-        paths = batch.column("path").to_pylist()
-        commits = batch.column("commit").to_pylist()
-        langs = (batch.column("lang").to_pylist()
-                 if "lang" in batch.column_names else [None] * len(repos))
-        contents = batch.column("content").to_pylist()
+        import pyarrow.compute as pc
 
-        o_repo: list = []; o_path: list = []; o_commit: list = []; o_lang: list = []
+        paths = batch.column("path").to_pylist()
+        # bytes, not str: string->binary cast is zero-copy (same buffers),
+        # sha256 hashes the bytes directly, and json/yaml parse bytes —
+        # this drops one full utf-8 decode + one encode per document
+        contents = pc.cast(batch.column("content"), pa.binary()).to_pylist()
+
+        # passthrough columns (repo/commit/lang) are never touched in
+        # Python: emitted rows record their input-row index and the
+        # columns are gathered with ONE vectorized take at the end
+        parent: list = []
         o_key: list = []; o_idx: list = []; o_valid: list = []; o_err: list = []
         o_nv: list = []; o_sha: list = []
         # violations as flat columns + offsets (ListArray.from_arrays) —
@@ -200,8 +204,7 @@ class SchemaValidator:
         v_kw: list = []; v_msg: list = []
 
         def emit(i, key, idx, valid, err, viols, sha):
-            o_repo.append(repos[i]); o_path.append(paths[i])
-            o_commit.append(commits[i]); o_lang.append(langs[i])
+            parent.append(i)
             o_key.append(key); o_idx.append(idx); o_valid.append(valid)
             o_err.append(err); o_nv.append(len(viols) if err is None else 1)
             o_sha.append(sha)
@@ -213,8 +216,7 @@ class SchemaValidator:
 
         for i, content in enumerate(contents):
             path = paths[i]
-            sha = hashlib.sha256(
-                content.encode("utf-8") if content is not None else b"").hexdigest()
+            sha = hashlib.sha256(content if content is not None else b"").hexdigest()
             if self._content_cache_size:
                 # path-independent contents cache on (sha, None); contents
                 # with ./-relative $schema refs cache on (sha, parent dir)
@@ -245,9 +247,15 @@ class SchemaValidator:
             fields=list(VIOLATION_STRUCT))
         viol_col = pa.ListArray.from_arrays(pa.array(v_off, pa.int32()),
                                             viol_struct)
+        idx = pa.array(parent, pa.int32())
+        lang_col = (pc.take(batch.column("lang"), idx)
+                    if "lang" in batch.column_names
+                    else pa.nulls(len(parent), pa.string()))
         return pa.Table.from_arrays(
-            [pa.array(o_repo, pa.string()), pa.array(o_path, pa.string()),
-             pa.array(o_commit, pa.string()), pa.array(o_lang, pa.string()),
+            [pc.take(batch.column("repo"), idx),
+             pc.take(batch.column("path"), idx),
+             pc.take(batch.column("commit"), idx),
+             lang_col,
              pa.array(o_key, pa.string()), pa.array(o_idx, pa.int32()),
              pa.array(o_valid, pa.bool_()), pa.array(o_err, pa.string()),
              pa.array(o_nv, pa.int64()), pa.array(o_sha, pa.string()),
