@@ -102,9 +102,12 @@ def uniqueness_violations(corpus_ds):
             return (kept.group_by(KEY_COLS).aggregate([([], "count_all")])
                     .rename_columns(KEY_COLS + ["n_rows"]))
 
+    from ..util import process_cached, ref_key
+
     agg = grouped_aggregate(
-        corpus_ds.map_batches(KeepCandidates, fn_constructor_args=(dup_ref,),
-                              batch_format="pyarrow", concurrency=(1, 4)),
+        corpus_ds.map_batches(
+            process_cached(KeepCandidates, ref_key(dup_ref), dup_ref),
+            batch_format="pyarrow"),
         KEY_COLS, [("n_rows", "sum", "n_rows")], num_partitions=4)
     return agg.filter(expr="n_rows > 1")
 
@@ -155,13 +158,13 @@ class OrphanFilter:
 def ref_integrity_violations(corpus_ds, known_ref=None):
     from ray.data.aggregate import Sum
 
-    from ..util import default_pool
+    from ..util import process_cached, ref_key
 
     if known_ref is None:
         known_ref = known_repos_ref()
     parts = corpus_ds.map_batches(
-        OrphanFilter, fn_constructor_args=(known_ref,),
-        batch_format="pyarrow", concurrency=default_pool())
+        process_cached(OrphanFilter, ref_key(known_ref), known_ref),
+        batch_format="pyarrow")
     # partials are <= n_distinct_repos rows per block -> tiny final shuffle
     return parts.groupby("repo", num_partitions=4).aggregate(
         Sum("n_orphan_rows", alias_name="n_orphan_rows"))

@@ -66,8 +66,11 @@ def curated_documents(docs_ds):
             })
             return out.filter(keep)
 
-    return docs_ds.map_batches(QualityGate, fn_constructor_args=(kept_ref,),
-                               batch_format="pyarrow", concurrency=(1, 4))
+    from ..util import process_cached, ref_key
+
+    return docs_ds.map_batches(
+        process_cached(QualityGate, ref_key(kept_ref), kept_ref),
+        batch_format="pyarrow")
 
 
 def curation_report(docs_ds):

@@ -156,8 +156,10 @@ def top_customers(sf_dir: str, k: int = 10):
                 "total_price_cents": t.column("total_price_cents"),
             })
 
-    joined = per_cust.map_batches(AttachName, fn_constructor_args=(ref,),
-                                  batch_format="pyarrow", concurrency=(1, 2))
+    from ..util import process_cached, ref_key
+
+    joined = per_cust.map_batches(process_cached(AttachName, ref_key(ref), ref),
+                                  batch_format="pyarrow")
     top = joined.sort(["total_price_cents", "c_custkey"], descending=[True, False]).limit(k)
 
     def add_rank(df: pd.DataFrame) -> pd.DataFrame:
@@ -454,6 +456,11 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         if s == segment)
     seg_ref = ray.put(seg_keys)
 
+    from ..util import process_cached as _pcached, ref_key as _rkey
+
+    def _pc_of(cls, r):
+        return _pcached(cls, _rkey(r), r)
+
     class OrderFilter:
         def __init__(self, ref):
             # Arrow value-set built ONCE per actor -> vectorized pc.is_in
@@ -469,8 +476,7 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     orders = (ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .map_batches(OrderFilter, fn_constructor_args=(seg_ref,),
-                     batch_format="pyarrow", concurrency=(1, 2)))
+        .map_batches(_pc_of(OrderFilter, seg_ref), batch_format="pyarrow"))
 
     def li_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cut)))

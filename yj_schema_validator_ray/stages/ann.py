@@ -62,12 +62,14 @@ def ann_topk_bruteforce(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
     """
     import ray
 
-    from ..util import default_pool
+    from ..util import process_cached, ref_key
 
     qref = ray.put(queries)
+    # cheap state (normalized query matrix) -> stateless tasks with a
+    # per-worker-process cache; warm workers skip the actor-pool ramp
     scored = emb_ds.map_batches(
-        BruteForceScorer, fn_constructor_args=(qref,),
-        batch_format="pyarrow", concurrency=concurrency or default_pool())
+        process_cached(BruteForceScorer, ref_key(qref), qref),
+        batch_format="pyarrow")
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -115,7 +117,7 @@ def ann_topk_lsh(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
     set shrinks ~2^-nbits per bucket)."""
     import ray
 
-    from ..util import default_pool
+    from ..util import process_cached, ref_key
 
     dim = len(next(iter(queries.values())))
     coder = LSHCoder(dim, nbits)
@@ -153,8 +155,8 @@ def ann_topk_lsh(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
             })
 
     scored = emb_ds.map_batches(
-        BucketScorer, fn_constructor_args=(qref, nbits),
-        batch_format="pyarrow", concurrency=concurrency or default_pool())
+        process_cached(BucketScorer, (ref_key(qref), nbits), qref, nbits),
+        batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
@@ -175,7 +177,7 @@ def ann_topk_ivf(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
     """
     import ray
 
-    from ..util import default_pool
+    from ..util import process_cached, ref_key
 
     # train centroids on the driver from a deterministic prefix sample
     sample = emb_ds.limit(sample_size)
@@ -226,8 +228,7 @@ def ann_topk_ivf(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
                 "sim": pa.array(np.concatenate(out_s), pa.float64())})
 
     scored = emb_ds.map_batches(
-        IVFScorer, fn_constructor_args=(ref,), batch_format="pyarrow",
-        concurrency=concurrency or default_pool())
+        process_cached(IVFScorer, ref_key(ref), ref), batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
@@ -255,7 +256,7 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.99, nbits: int = 16,
     ntables x corpus — the standard LSH recall/IO trade.
     """
     from .exact_agg import grouped_aggregate
-    from ..util import default_pool, shuffle_partitions
+    from ..util import process_cached, shuffle_partitions
 
     class CodeExplode:
         """Stateful: hyperplane tables built once per actor (same seeds
@@ -279,8 +280,9 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.99, nbits: int = 16,
                 }))
             return pa.concat_tables(out)
 
-    coded = emb_ds.map_batches(CodeExplode, batch_format="pyarrow",
-                               concurrency=default_pool())
+    coded = emb_ds.map_batches(
+        process_cached(CodeExplode, (nbits, ntables, seed)),
+        batch_format="pyarrow")
 
     def add_coarse(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -339,7 +341,7 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.99, concurrency=None):
     """
     import ray
 
-    from ..util import default_pool
+    from ..util import process_cached, ref_key
 
     # build the broadcast side once on the driver (small: ids + vectors)
     tbl = pa.concat_tables(
@@ -366,6 +368,5 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.99, concurrency=None):
                 "sim": pa.array(np.round(sims[bi, ni][keep], 6), pa.float64()),
             })
 
-    return emb_ds.map_batches(PairScorer, fn_constructor_args=(ref,),
-                              batch_format="pyarrow",
-                              concurrency=concurrency or default_pool())
+    return emb_ds.map_batches(
+        process_cached(PairScorer, ref_key(ref), ref), batch_format="pyarrow")

@@ -405,12 +405,10 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, concurrency=None):
     """Near-dup pairs by simhash: band the 64 bits into 4 x 16-bit chunks
     (any chunk equal -> candidate; Hamming<=3 guarantees a chunk match),
     verify Hamming distance on the full hash."""
-    from ..util import default_pool
+    from ..util import process_cached
 
-    if concurrency is None:
-        concurrency = default_pool()
-    sigs = docs_ds.map_batches(SimHasher, batch_format="pyarrow",
-                               concurrency=concurrency)
+    sigs = docs_ds.map_batches(process_cached(SimHasher, ()),
+                               batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
@@ -531,7 +529,7 @@ def ngram_jaccard_pairs(docs_ds, candidate_pairs_ds, n: int = 3,
     """
     import ray
 
-    from ..util import default_pool, shuffle_partitions
+    from ..util import process_cached, ref_key, shuffle_partitions
 
     # pairs are consumed twice (id collection + join): materialize the
     # small pair set once so the upstream candidate pipeline runs once
@@ -547,8 +545,8 @@ def ngram_jaccard_pairs(docs_ds, candidate_pairs_ds, n: int = 3,
     ids_ref = ray.put(np.fromiter(ids, dtype=np.int64, count=len(ids)))
 
     grams = docs_ds.map_batches(
-        NGramHasher, fn_constructor_args=(ids_ref, n),
-        batch_format="pyarrow", concurrency=default_pool())
+        process_cached(NGramHasher, (ref_key(ids_ref), n), ids_ref, n),
+        batch_format="pyarrow")
 
     joined = join_pairs_with_signatures(
         pairs, grams, "grams", num_partitions=shuffle_partitions())

@@ -104,10 +104,11 @@ class QualityScorer:
 
 
 def quality_scores(docs_ds, concurrency=None):
-    from ..util import default_pool
+    from ..util import process_cached
 
-    return docs_ds.map_batches(QualityScorer, batch_format="pandas",
-                               concurrency=concurrency or default_pool())
+    # cheap state (regex + stopword sets) -> task mode, per-process cache
+    return docs_ds.map_batches(process_cached(QualityScorer, ()),
+                               batch_format="pandas")
 
 
 class LangId:
@@ -134,10 +135,10 @@ class LangId:
 
 
 def lang_id(docs_ds, concurrency=None):
-    from ..util import default_pool
+    from ..util import process_cached
 
-    return docs_ds.map_batches(LangId, batch_format="pandas",
-                               concurrency=concurrency or default_pool())
+    return docs_ds.map_batches(process_cached(LangId, ()),
+                               batch_format="pandas")
 
 
 def _fnv1a_rolling(norm) -> np.ndarray:

@@ -18,6 +18,39 @@ def default_pool(max_fraction: float = 0.5, floor: int = 1) -> tuple[int, int]:
     return (floor, hi)
 
 
+_PROCESS_INSTANCES: dict = {}
+
+
+def process_cached(cls, key, *args):
+    """A plain ``map_batches`` fn that lazily builds (and caches per Ray
+    worker PROCESS) an instance of a callable-class stage.
+
+    For CHEAP state (broadcast refs, compiled regexes, small matrices)
+    stateless tasks on warm workers beat an actor pool's ~5-7 s spin-up
+    while keeping the same once-per-process amortization — the pattern
+    the validator's task mode uses (``stages/validator.py:
+    make_validator_fn``).  Keep real actor pools for heavy state (models,
+    remote sessions).  ``key`` must uniquely identify the constructed
+    state (include ObjectRef hexes for broadcast args)."""
+    cache_key = (cls.__module__, cls.__qualname__, key)
+
+    def f(batch):
+        inst = _PROCESS_INSTANCES.get(cache_key)
+        if inst is None:
+            if len(_PROCESS_INSTANCES) > 256:  # bound long-lived workers
+                _PROCESS_INSTANCES.clear()
+            inst = cls(*args)
+            _PROCESS_INSTANCES[cache_key] = inst
+        return inst(batch)
+
+    return f
+
+
+def ref_key(ref) -> str:
+    """Stable cache-key fragment for an ObjectRef."""
+    return ref.hex() if hasattr(ref, "hex") else str(ref)
+
+
 def shuffle_partitions() -> int:
     """Shuffle (groupby/sort) partition count scaled to the session's CPUs.
 
