@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "positional args; '-' reads stdin)")
     p.add_argument("--input",
                    help="parquet path(s) of the corpus (repo,path,commit,lang,content)")
+    p.add_argument("--input-dir",
+                   help="validate a directory tree of YAML/JSON files "
+                        "(ray.data.read_binary_files; paths relative to the "
+                        "dir; relative $schema refs load lazily from it)")
     p.add_argument("--schema", help="schema file (JSON or YAML) used as default")
     p.add_argument("--schema-override", action="store_true",
                    help="force --schema even when documents embed $schema")
@@ -121,10 +125,12 @@ def main(argv=None) -> int:
                              allow_remote_schemas=not args.no_remote_schemas,
                              http_timeout=args.http_timeout,
                              ignore_ssl_errors=args.ignore_ssl_errors,
+                             schema_base_dir=args.input_dir,
                              **catalog_kwargs)
 
-    if not args.input and not args.files:
-        parser.error("provide --input PARQUET or positional files")
+    if not args.input and not args.input_dir and not args.files:
+        parser.error("provide --input PARQUET, --input-dir DIR, "
+                     "or positional files")
 
     missing: dict[str, str] = {}
     if args.files:
@@ -149,6 +155,10 @@ def main(argv=None) -> int:
                 rows.append({"repo": "", "path": f, "commit": "",
                              "lang": None, "content": content})
         corpus = ray.data.from_items(rows) if rows else None
+    elif args.input_dir:
+        from .sources.files import corpus_from_directory
+
+        corpus = corpus_from_directory(args.input_dir)
     else:
         corpus = ray.data.read_parquet(args.input)
 

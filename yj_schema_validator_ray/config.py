@@ -32,6 +32,11 @@ class ValidatorConfig:
     allow_remote_schemas: bool = True
     http_timeout: float = 10.0            # --http-timeout (seconds)
     ignore_ssl_errors: bool = False       # --ignore-ssl-errors
+    # lazy local schema files (readSchemaFromFile,
+    # YamlSchemaValidator.java:389-403): $schema paths not in the registry
+    # are read from this directory per worker (requires shared storage on
+    # a multi-node cluster; set by the CLI's --input-dir)
+    schema_base_dir: str | None = None
 
     def __post_init__(self):
         if self.schema_override and self.default_schema is None:

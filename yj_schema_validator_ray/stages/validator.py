@@ -98,7 +98,7 @@ class SchemaValidator:
             return ref
         if ref.startswith(("./", "../")):
             resolved = posixpath.normpath(posixpath.join(posixpath.dirname(path), ref))
-            if resolved in self._compiled:
+            if resolved in self._compiled or self.config.schema_base_dir:
                 return resolved
         return ref
 
@@ -137,6 +137,48 @@ class SchemaValidator:
             self._fetch_errors[url] = msg
             return msg
 
+    def _load_local_schema(self, sid: str) -> str | None:
+        """Lazy per-worker schema-file load from ``schema_base_dir``
+        (``readSchemaFromFile``, ``YamlSchemaValidator.java:389-403``):
+        parse JSON-else-YAML, compile, cache; missing file funnels the
+        reference's "NoSuchFileException: <path>" message."""
+        cached_err = self._fetch_errors.get(sid)
+        if cached_err is not None:
+            return cached_err
+        import os
+
+        full = sid if os.path.isabs(sid) else os.path.join(
+            self.config.schema_base_dir, sid)
+        try:
+            with open(full, encoding="utf-8") as f:
+                text = f.read()
+        except FileNotFoundError:
+            msg = f"NoSuchFileException: {sid}"
+            self._fetch_errors[sid] = msg
+            return msg
+        except OSError as ex:
+            msg = f"Error reading schema from file: {sid}: {ex}"
+            self._fetch_errors[sid] = msg
+            return msg
+        try:
+            import json
+
+            try:
+                schema = json.loads(text)
+            except ValueError:
+                import yaml
+
+                schema = yaml.safe_load(text)
+            if not isinstance(schema, (dict, bool)):
+                raise ValueError("schema document is not an object")
+            self._compiled[sid] = compile_schema(
+                schema, uri=schema.get("$id", sid) if isinstance(schema, dict) else sid)
+            return None
+        except Exception as ex:
+            msg = f"Error parsing schema from file: {sid}: {ex}"
+            self._fetch_errors[sid] = msg
+            return msg
+
     def _validate_content(self, content, path: str) -> tuple[list, bool]:
         """Per-document results for one file's content: a list of
         (valid, error, violations) tuples, plus whether any doc resolved a
@@ -163,16 +205,19 @@ class SchemaValidator:
                 results.append((False, NO_SCHEMA_MSG, []))
                 continue
             compiled = self._compiled.get(sid)
-            if compiled is None and sid.startswith(("http://", "https://")) \
-                    and self.config.allow_remote_schemas:
-                err = self._fetch_and_compile(sid)
+            if compiled is None:
+                if sid.startswith(("http://", "https://")) \
+                        and self.config.allow_remote_schemas:
+                    err = self._fetch_and_compile(sid)
+                elif self.config.schema_base_dir is not None \
+                        and not sid.startswith(("http://", "https://")):
+                    err = self._load_local_schema(sid)
+                else:
+                    err = f"Schema not found: {sid}"
                 if err is not None:
                     results.append((False, err, []))
                     continue
                 compiled = self._compiled[sid]
-            if compiled is None:
-                results.append((False, f"Schema not found: {sid}", []))
-                continue
             try:
                 viols = compiled.validate(doc)
             except Exception as ex:  # per-row fault isolation
