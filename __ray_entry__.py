@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_fingerprints(sf_dir):
         return T.fingerprints(docs(sf_dir))
 
+    def q_winnowing(sf_dir):
+        # MOSS winnowing fingerprints (rows-only: rolling-hash selection
+        # is not SQL-expressible); deterministic row count per corpus
+        return T.winnowing_fingerprints(docs(sf_dir))
+
     def q_ann_topk(sf_dir):
         return A.ann_topk_bruteforce(emb(sf_dir), _query_vectors(sf_dir))
 
@@ -217,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint_md5,
         "fingerprints": q_fingerprints,
+        "winnowing_fingerprints": q_winnowing,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,

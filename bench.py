@@ -269,8 +269,36 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print ``Dataset.stats()`` for the headline validate pipeline — the
+    per-stage wall/cpu evidence that time goes to useful compute (the
+    validator map), not shuffles or overhead."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from yj_schema_validator_ray.config import ValidatorConfig
+    from yj_schema_validator_ray.pipelines import validate as V
+    from yj_schema_validator_ray.sources.corpus import schema_registry
+
+    cfg = ValidatorConfig(schemas=schema_registry())
+    V.summary(V.validate_corpus(corpus_n(20_000, NUM_CPUS), cfg,
+                                batch_size=4096))  # warm-up
+    verdicts = V.validate_corpus(
+        corpus_n(1_000_000, max(NUM_CPUS * 4, 32)), cfg, batch_size=4096)
+    verdicts = verdicts.materialize()
+    print(verdicts.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))

@@ -244,3 +244,29 @@ def test_embedding_dups_lsh_matches_exact(ray_session):
     pd.testing.assert_frame_equal(exact[["a", "b", "sim"]],
                                   lsh[["a", "b", "sim"]])
     assert len(exact) == 10
+
+
+def test_winnowing_fingerprints_properties(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.text import winnowing_fingerprints
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "the quick brown fox jumps over the lazy dog " * 3,  # dup of 0
+             "completely different content with other words here",
+             "ab"]  # shorter than k -> no fingerprints
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(4), "text": texts}))
+    out = winnowing_fingerprints(ds, k=5, w=4).to_pandas()
+    by_doc = {d: g.sort_values("pos") for d, g in out.groupby("doc_id")}
+    # identical docs -> identical fingerprint sets (positions included)
+    pd.testing.assert_frame_equal(
+        by_doc[0].drop(columns="doc_id").reset_index(drop=True),
+        by_doc[1].drop(columns="doc_id").reset_index(drop=True))
+    assert 3 not in by_doc  # too short
+    # winnowing guarantee: gaps between selected positions <= w
+    pos = by_doc[0]["pos"].to_numpy()
+    assert (np.diff(pos) <= 4).all()
+    # different docs share (essentially) no fingerprints
+    inter = set(by_doc[0]["fingerprint"]) & set(by_doc[2]["fingerprint"])
+    assert len(inter) <= 1

@@ -21,56 +21,62 @@ MAX_PUNCT_RATIO = 0.1  # n_punct / n_tokens
 
 
 def curated_documents(docs_ds):
-    """Kept doc_ids + quality metrics after dedup + quality gate.
+    """Kept docs + quality metrics after dedup + quality gate — ONE pass
+    over text, nothing on the driver.
 
-    Dedup = hash-shuffle on sha256(text), keep min doc_id; the kept-id
-    set is tiny relative to text, so the second pass filters by broadcast
-    membership instead of joining text back across the cluster.
+    Duplicates have IDENTICAL text, hence identical metrics, so the
+    quality metrics are computed per row UP FRONT (text is dropped right
+    there) and dedup becomes take-first-by-doc_id per sha over the small
+    metric rows: per-batch local first -> coarse-hash shuffle (~60 B/row,
+    never text) -> per-group vectorized first.  (The previous design
+    broadcast the kept-id set, which is O(distinct docs) — NOT small at
+    corpus scale.)
     """
-    import ray
+    import numpy as np
+    import pandas as pd
 
-    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
 
-    def sha_rows(batch: pa.Table) -> pa.Table:
+    def metric_rows(batch: pa.Table) -> pa.Table:
         shas = [hashlib.sha256(t.encode()).hexdigest()
                 for t in batch.column("text").to_pylist()]
-        return pa.table({"text_sha": pa.array(shas, pa.string()),
-                         "doc_id": batch.column("doc_id")})
+        text = batch.column("text")
+        t = pa.table({
+            "text_sha": pa.array(shas, pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tokens": pc.cast(pc.count_substring_regex(text, WORD_RE), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_punct": pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.int64()),
+        })
+        # local pre-dedup: min doc_id per sha within the batch (metrics
+        # ride along — identical across duplicates by construction)
+        df = t.to_pandas().sort_values(["text_sha", "doc_id"], kind="stable")
+        df = df.drop_duplicates("text_sha", keep="first")
+        coarse = (pd.util.hash_array(df["text_sha"].to_numpy(dtype=object))
+                  & np.uint64(1023)).astype("int64")
+        df["__coarse"] = coarse
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    kept = grouped_aggregate(
-        docs_ds.map_batches(sha_rows, batch_format="pyarrow"),
-        ["text_sha"], [("doc_id", "min", "doc_id")])
-    kept_ids = frozenset(r["doc_id"] for r in kept.take_all())
-    kept_ref = ray.put(kept_ids)
+    def first_per_sha(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_sha", "doc_id"], kind="stable")
+        g = g.drop_duplicates("text_sha", keep="first")
+        return g.drop(columns="__coarse")
 
-    class QualityGate:
-        def __init__(self, ref):
-            # Arrow value-set once per actor -> vectorized pc.is_in
-            self.kept = pa.array(sorted(ray.get(ref)), pa.int64())
+    kept = (docs_ds.map_batches(metric_rows, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(first_per_sha, batch_format="pandas"))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column("doc_id"), value_set=self.kept)
-            b = batch.filter(mask)
-            text = b.column("text")
-            n_tokens = pc.cast(pc.count_substring_regex(text, WORD_RE), pa.int64())
-            n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.int64())
-            n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-            keep = pc.and_(
-                pc.greater_equal(n_tokens, MIN_TOKENS),
-                pc.less_equal(pc.cast(n_punct, pa.float64()),
-                              pc.multiply(pc.cast(n_tokens, pa.float64()),
-                                          MAX_PUNCT_RATIO)))
-            out = pa.table({
-                "doc_id": b.column("doc_id"), "source": b.column("source"),
-                "n_tokens": n_tokens, "n_chars": n_chars, "n_punct": n_punct,
-            })
-            return out.filter(keep)
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("n_tokens"), MIN_TOKENS),
+            pc.less_equal(pc.cast(t.column("n_punct"), pa.float64()),
+                          pc.multiply(pc.cast(t.column("n_tokens"), pa.float64()),
+                                      MAX_PUNCT_RATIO)))
+        return t.filter(keep).select(
+            ["doc_id", "source", "n_tokens", "n_chars", "n_punct"])
 
-    from ..util import process_cached, ref_key
-
-    return docs_ds.map_batches(
-        process_cached(QualityGate, ref_key(kept_ref), kept_ref),
-        batch_format="pyarrow")
+    return kept.map_batches(gate, batch_format="pyarrow")
 
 
 def curation_report(docs_ds):

@@ -193,6 +193,54 @@ def fingerprints(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow")
 
 
+def winnowing_fingerprints(docs_ds, k: int = 5, w: int = 4):
+    """MOSS-style winnowing fingerprints: char k-gram rolling hashes, one
+    selected minimum per sliding window of ``w`` hashes (rightmost-min
+    rule), deduped by (position, hash) — the classic local-similarity
+    fingerprint (Schleimer, Wilkerson, Aiken, SIGMOD'03).
+
+    Output: exploded rows (doc_id, pos, fingerprint) — guaranteed to
+    share fingerprints with any document that shares a substring of
+    length >= w + k - 1.  Vectorized per document with a sliding-window
+    view; per-batch work is numpy only.
+    """
+    def f(batch: pa.Table) -> pa.Table:
+        out_id, out_pos, out_fp = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            data = text.encode("utf-8", "ignore")
+            n = len(data)
+            if n < k:
+                continue
+            arr = np.frombuffer(data, dtype=np.uint8)
+            h = np.zeros(n - k + 1, dtype=np.uint64)
+            mult = np.uint64(1099511628211)
+            for i in range(k):
+                h = h * mult + arr[i:n - k + 1 + i].astype(np.uint64)
+            if len(h) < w:
+                sel = np.array([int(np.flatnonzero(h == h.min())[-1])])
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, w)
+                # rightmost minimum per window: argmin on the reversed
+                # window picks the LAST minimal element
+                rev_arg = np.argmin(win[:, ::-1], axis=1)
+                sel = np.unique(np.arange(len(win)) + (w - 1 - rev_arg))
+            out_id.append(np.full(len(sel), doc_id, dtype=np.int64))
+            out_pos.append(sel.astype(np.int64))
+            out_fp.append(h[sel].astype(np.int64))
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "fingerprint": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+            "fingerprint": pa.array(np.concatenate(out_fp), pa.int64()),
+        })
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
 def lang_id_sql() -> str:
     """DuckDB oracle for :func:`lang_id`: same stopword tables, same
     first-200-token window, same first-max-wins tie-break (languages
