@@ -177,3 +177,24 @@ def test_nested_eval_and_ref_paths():
     v = first(schema, {"lv": 1})
     assert v.evaluation_path == "/properties/lv/$ref"
     assert v.schema_location == "urn:x#/$defs/L"
+
+
+def test_anchor_and_dynamic_ref():
+    # $anchor plain-name fragment resolution
+    s = {"$id": "urn:a", "$defs": {"x": {"$anchor": "node", "type": "integer"}},
+         "$ref": "#node"}
+    c = compile_schema(s, "urn:a")
+    assert c.validate(5) == []
+    assert c.validate("s")[0].message == "string found, integer expected"
+    # $dynamicRef/$dynamicAnchor (single-resource recursive tree)
+    t = {"$id": "urn:tree", "$dynamicAnchor": "node", "type": "object",
+         "properties": {"v": {"type": "integer"},
+                        "kids": {"type": "array",
+                                 "items": {"$dynamicRef": "#node"}}}}
+    c2 = compile_schema(t, "urn:tree")
+    assert c2.validate({"v": 1, "kids": [{"v": 2, "kids": []}]}) == []
+    assert c2.validate({"v": 1, "kids": [{"v": "x"}]})[0].keyword == "type"
+    # same-document absolute-URI self ref
+    u = {"$id": "urn:b", "$defs": {"s": {"type": "string"}},
+         "$ref": "urn:b#/$defs/s"}
+    assert compile_schema(u, "urn:b").validate("ok") == []

@@ -21,7 +21,9 @@ common structural ones): type, enum, const, pattern, format, minimum,
 maximum, exclusiveMinimum, exclusiveMaximum, multipleOf, minLength,
 maxLength, required, properties, patternProperties, additionalProperties,
 minItems, maxItems, uniqueItems, prefixItems, items, allOf, anyOf, oneOf,
-not, $ref/$defs (incl. recursive refs via lazy indirection).
+not, $ref/$defs (incl. recursive refs via lazy indirection), $anchor /
+$dynamicAnchor plain-name fragments and $dynamicRef (single-resource
+dynamic-scope approximation), same-document absolute-URI self refs.
 """
 
 from __future__ import annotations
@@ -235,11 +237,42 @@ class CompiledSchema:
         return out
 
     # -- ref resolution -------------------------------------------------------
+    def _anchor_index(self) -> dict:
+        """Plain-name fragment targets: every ``$anchor`` /
+        ``$dynamicAnchor`` in the document (built lazily, once)."""
+        idx = getattr(self, "_anchors", None)
+        if idx is None:
+            idx = {}
+
+            def walk(node):
+                if isinstance(node, dict):
+                    for kw in ("$anchor", "$dynamicAnchor"):
+                        a = node.get(kw)
+                        if isinstance(a, str):
+                            idx.setdefault(a, node)
+                    for v in node.values():
+                        walk(v)
+                elif isinstance(node, list):
+                    for v in node:
+                        walk(v)
+
+            walk(self.schema)
+            self._anchors = idx
+        return idx
+
     def _resolve_pointer(self, pointer: str) -> Any:
         node: Any = self.schema
         if pointer in ("", "#"):
             return node
-        parts = pointer.lstrip("#").lstrip("/").split("/")
+        frag = pointer.lstrip("#")
+        if frag and not frag.startswith("/"):
+            # plain-name fragment -> $anchor / $dynamicAnchor target
+            try:
+                return self._anchor_index()[frag]
+            except KeyError:
+                raise SchemaCompileError(
+                    f"cannot resolve anchor {pointer!r}") from None
+        parts = frag.lstrip("/").split("/")
         for p in parts:
             p = p.replace("~1", "/").replace("~0", "~")
             if isinstance(node, dict):
@@ -398,15 +431,25 @@ class CompiledSchema:
         loc = f"{self._base}#{spath}"
         checks: list[CheckFn] = []
 
-        # ---- $ref (evaluated alongside sibling keywords per 2020-12) ----
-        if "$ref" in schema:
-            ref = schema["$ref"]
+        # ---- $ref / $dynamicRef (evaluated alongside siblings per 2020-12;
+        # $dynamicRef resolves like $ref against this document's anchors —
+        # the single-resource approximation of dynamic scoping) ----
+        for ref_kw in ("$ref", "$dynamicRef"):
+            if ref_kw not in schema:
+                continue
+            ref = schema[ref_kw]
+            if isinstance(ref, str) and ref.startswith(self._base):
+                # same-document absolute ref: urn:x#/defs -> #/defs
+                ref = ref[len(self._base):] or "#"
+                if not ref.startswith("#"):
+                    ref = "#" + ref.lstrip("#")
             if not isinstance(ref, str) or not ref.startswith("#"):
-                raise SchemaCompileError(f"only local '#/...' $refs supported, got {ref!r}")
+                raise SchemaCompileError(
+                    f"only document-local {ref_kw}s supported, got {schema[ref_kw]!r}")
             target = self._compiled_ref(ref)
 
-            def ref_fn(v, ipath, epath, out, _t=target):
-                return _t(v, ipath, epath + "/$ref", out)
+            def ref_fn(v, ipath, epath, out, _t=target, _kw=ref_kw):
+                return _t(v, ipath, epath + "/" + _kw, out)
 
             checks.append(ref_fn)
 
