@@ -208,7 +208,7 @@ from yj_schema_validator_ray.sources.corpus import schema_registry
 cfg = ValidatorConfig(schemas=schema_registry())
 V.summary(V.validate_corpus(corpus_n(50000, {ncpu} * 2), cfg, batch_size=4096))
 best = 1e18
-for _ in range(2):
+for _ in range(3):
     t0 = time.time()
     s = V.summary(V.validate_corpus(corpus_n({n}, max({ncpu} * 8, 16)), cfg,
                                     batch_size=4096))
@@ -220,7 +220,10 @@ ray.shutdown()
 
 def _probe(ncpu: int, n: int) -> tuple[float, int]:
     """Headline validate pipeline in a FRESH process at ``ncpu`` CPUs
-    (best of 2 after an untimed warm-up; identical input at every level)."""
+    (best of 3 after an untimed warm-up — this box shows intermittent
+    multi-second noisy-neighbor steal, and steal only ever slows a run
+    down, so best-of-N converges on the machine's true capability;
+    identical input at every level)."""
     code = _PROBE_CODE.format(ncpu=ncpu, n=n,
                               repo=os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,

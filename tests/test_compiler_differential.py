@@ -64,6 +64,15 @@ SCHEMAS = [
     {"prefixItems": [{"type": "string"}],
      "contains": {"type": "integer"},
      "unevaluatedItems": {"type": "boolean"}},
+    # $anchor plain-name fragment + const/enum numeric-equality edges
+    {"$defs": {"leaf": {"$anchor": "leaf", "type": "integer"}},
+     "type": "object", "properties": {"v": {"$ref": "#leaf"}}},
+    {"properties": {"c": {"const": 1}, "e": {"enum": [0, 1.5, "x", True]}}},
+    # $dynamicRef resolving within a single resource (tree recursion)
+    {"$dynamicAnchor": "node", "type": "object",
+     "properties": {"value": {"type": "integer"},
+                    "next": {"$dynamicRef": "#node"}},
+     "additionalProperties": False},
 ]
 
 json_scalars = st.one_of(
