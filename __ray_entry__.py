@@ -165,6 +165,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_fingerprints(sf_dir):
         return T.fingerprints(docs(sf_dir))
 
+    def q_scrub_pii(sf_dir):
+        return T.scrub_pii(docs(sf_dir))
+
+
+    def q_sample_uniform(sf_dir):
+        from yj_schema_validator_ray.stages.sampling import hash_sample
+
+        return hash_sample(docs(sf_dir), 0.3).select_columns(["doc_id"])
+
+    def q_sample_mixture(sf_dir):
+        from yj_schema_validator_ray.stages.sampling import mixture_sample
+
+        return mixture_sample(docs3(sf_dir), _MIX_RATES).select_columns(
+            ["doc_id", "source"])
+
     def q_winnowing(sf_dir):
         # MOSS winnowing fingerprints (rows-only: rolling-hash selection
         # is not SQL-expressible); deterministic row count per corpus
@@ -223,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": q_fingerprint_md5,
         "fingerprints": q_fingerprints,
         "winnowing_fingerprints": q_winnowing,
+        "scrub_pii": q_scrub_pii,
+        "sample_uniform": q_sample_uniform,
+        "sample_mixture": q_sample_mixture,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -259,6 +277,28 @@ def _quality_scores_sql() -> str:
     return quality_scores_sql()
 
 
+# training-mix rates over the corpus's actual sources (src1..srcN)
+_MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+
+
+def _scrub_pii_sql() -> str:
+    from yj_schema_validator_ray.stages.text import scrub_pii_sql
+
+    return scrub_pii_sql()
+
+
+def _sample_uniform_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import hash_sample_sql
+
+    return hash_sample_sql(0.3)
+
+
+def _sample_mixture_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import mixture_sample_sql
+
+    return mixture_sample_sql(_MIX_RATES)
+
+
 def _curation_sql() -> str:
     from yj_schema_validator_ray.oracles import _DOCS_AUG3
     from yj_schema_validator_ray.pipelines.curation import curation_report_sql
@@ -287,6 +327,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),
         "lang_id": _lang_id_sql(),
+        "scrub_pii": _scrub_pii_sql(),
+        "sample_uniform": _sample_uniform_sql(),
+        "sample_mixture": _sample_mixture_sql(),
         "quality_scores": _quality_scores_sql(),
         "media_meta": ("SELECT doc_id AS media_id, sha256(text) AS payload_sha256, "
                        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) "

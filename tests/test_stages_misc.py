@@ -270,3 +270,53 @@ def test_winnowing_fingerprints_properties(ray_session):
     # different docs share (essentially) no fingerprints
     inter = set(by_doc[0]["fingerprint"]) & set(by_doc[2]["fingerprint"])
     assert len(inter) <= 1
+
+
+def test_hash_sample_deterministic_and_rate(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.sampling import hash_sample
+
+    df = pd.DataFrame({"doc_id": range(10_000)})
+    mk = lambda: ray.data.from_pandas(df)
+    a = sorted(r["doc_id"] for r in hash_sample(mk(), 0.3).take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(mk(), 0.3).take_all())
+    assert a == b  # pure per-row decision -> rerun-stable
+    assert 0.27 < len(a) / 10_000 < 0.33  # close to the nominal rate
+    # a higher rate strictly grows the kept set (nested samples)
+    c = set(r["doc_id"] for r in hash_sample(mk(), 0.5).take_all())
+    assert set(a) <= c
+
+
+def test_mixture_sample_per_source(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.sampling import mixture_sample
+
+    df = pd.DataFrame({"doc_id": range(6000),
+                       "source": ["a", "b", "c"] * 2000})
+    out = mixture_sample(ray.data.from_pandas(df),
+                         {"a": 1.0, "b": 0.5}).to_pandas()
+    by = out.groupby("source").size()
+    assert by.get("a", 0) == 2000          # rate 1.0 keeps everything
+    assert 850 < by.get("b", 0) < 1150     # ~0.5
+    assert "c" not in by.index             # absent source dropped
+
+
+def test_scrub_pii_counts(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.text import scrub_pii
+
+    texts = ["contact me at a.person@example.com or b@x.io",
+             "card 1234567890123456 and pin 123",
+             "nothing sensitive here"]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": range(3), "text": texts}))
+    out = {r["doc_id"]: r for r in scrub_pii(ds).take_all()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_longnums"] == 0
+    assert out[1]["n_emails"] == 0 and out[1]["n_longnums"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_longnums"] == 0
+    # scrubbed length reflects the replacements
+    assert out[0]["clean_len"] == len(
+        "contact me at <EMAIL> or <EMAIL>")
+    assert out[1]["clean_len"] == len("card <NUM> and pin 123")

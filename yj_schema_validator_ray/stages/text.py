@@ -193,6 +193,43 @@ def fingerprints(docs_ds):
     return docs_ds.map_batches(f, batch_format="pyarrow")
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{6,}"
+
+
+def scrub_pii(docs_ds):
+    """PII-style scrubbing pass (emails, long digit runs): per-doc match
+    counts + the scrubbed text length — fully vectorized RE2 kernels
+    (pc.count_substring_regex / pc.replace_substring_regex), mirrored
+    exactly by the DuckDB RE2 oracle.  The scrubbed text itself stays in
+    the pipeline in production; the query surfaces the accounting."""
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_emails = pc.cast(pc.count_substring_regex(text, EMAIL_RE), pa.int64())
+        n_longnums = pc.cast(pc.count_substring_regex(text, LONGNUM_RE), pa.int64())
+        clean = pc.replace_substring_regex(
+            pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>"),
+            LONGNUM_RE, "<NUM>")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_emails": n_emails,
+            "n_longnums": n_longnums,
+            "clean_len": pc.cast(pc.utf8_length(clean), pa.int64()),
+        })
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def scrub_pii_sql() -> str:
+    return rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+       CAST(length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{LONGNUM_RE}', '<NUM>', 'g')) AS BIGINT) AS clean_len
+FROM documents"""
+
+
 def winnowing_fingerprints(docs_ds, k: int = 5, w: int = 4):
     """MOSS-style winnowing fingerprints: char k-gram rolling hashes, one
     selected minimum per sliding window of ``w`` hashes (rightmost-min
