@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": R.events_hopping_window,
         "events_sessions": R.events_sessionize,
         "events_top_users": R.events_top_users,
+        "events_asof_join": R.events_asof_join,
     }
 
 
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_window": R.events_hopping_window_sql(),
         "events_sessions": R.events_sessionize_sql(),
         "events_top_users": R.events_top_users_sql(),
+        "events_asof_join": R.events_asof_join_sql(),
         # intentionally no SQL oracle (approximate / non-SQL-expressible):
         # distinct_sketch (HLL), dedup_minhash / dedup_simhash /
         # dedup_ngram_jaccard (LSH candidates), quality_scores / lang_id

@@ -35,3 +35,36 @@ def test_late_event_accounting(ray_session):
     assert ("k", 1100, 1, 7) in rows
     assert late == 1
     ray.kill(a)
+
+
+def test_events_asof_join_semantics(ray_session, tmp_path):
+    """As-of join: each click matches the most recent view of the same
+    user at-or-before its ts; clicks with no prior view drop (inner)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.pipelines.relational import events_asof_join
+
+    ts = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+    rows = [
+        # user 1: view@0, click@5 -> match; view@10, click@10 (exact) -> match
+        (0, ts(0), 1, "view"), (1, ts(5), 1, "click"),
+        (2, ts(10), 1, "view"), (3, ts(10), 1, "click"),
+        # user 2: click before any view -> dropped; later view+click match
+        (4, ts(1), 2, "click"), (5, ts(2), 2, "view"), (6, ts(3), 2, "click"),
+        # user 3: other event types ignored
+        (7, ts(1), 3, "error"), (8, ts(2), 3, "click"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = events_asof_join(str(d)).to_pandas()
+    got = {(int(r.event_id), int(r.view_event_id)) for r in out.itertuples()}
+    assert got == {(1, 0), (3, 2), (6, 5)}

@@ -570,3 +570,78 @@ FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = '{flag}')
 GROUP BY o.o_orderpriority"""
+
+
+def events_asof_join(sf_dir: str, left_type: str = "click",
+                     right_type: str = "view"):
+    """Per-user AS-OF join: each `left_type` event joined to the most
+    recent `right_type` event of the SAME user at or before its
+    timestamp (inner — unmatched lefts drop).
+
+    Ray Data has no as-of join; the distributed shape is the standard
+    co-partition-then-merge plan: both sides tagged in ONE pruned read,
+    hash-co-partitioned by user (coarse key so all of a user's events of
+    both types land in one group), and merged per partition with
+    pandas.merge_asof (vectorized sort-merge).  Partitioning assumption:
+    one user's events fit in one group — users are fine-grained, so no
+    salting is needed; a pathological single-user stream would need
+    time-range chunking with boundary carryover.
+    DuckDB's native ASOF JOIN is the oracle.
+    """
+    import ray.data
+
+    from ..util import shuffle_partitions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array([left_type, right_type]))
+        t = t.filter(m)
+        side = pc.equal(t.column("event_type"), left_type)  # True = left
+        coarse = pc.bit_wise_and(t.column("user_id"), 255)
+        return pa.table({"event_id": t.column("event_id"),
+                         "ts": t.column("ts"),
+                         "user_id": t.column("user_id"),
+                         "is_left": side,
+                         "coarse": coarse})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = (g[g["is_left"]]
+                .sort_values("ts", kind="stable")[["event_id", "user_id", "ts"]])
+        right = (g[~g["is_left"]]
+                 .sort_values("ts", kind="stable")
+                 .rename(columns={"event_id": "view_event_id", "ts": "view_ts"})
+                 [["view_event_id", "user_id", "view_ts"]])
+        if left.empty or right.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "view_event_id": pd.Series(dtype="int64")})
+        m = pd.merge_asof(left, right, left_on="ts", right_on="view_ts",
+                          by="user_id", direction="backward",
+                          allow_exact_matches=True)
+        m = m.dropna(subset=["view_event_id"])
+        return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
+                             "user_id": m["user_id"].astype("int64"),
+                             "view_event_id": m["view_event_id"].astype("int64")})
+
+    return (ev.map_batches(tag, batch_format="pyarrow")
+            .groupby("coarse", num_partitions=min(8, shuffle_partitions()))
+            .map_groups(merge, batch_format="pandas"))
+
+
+def events_asof_join_sql(left_type: str = "click",
+                         right_type: str = "view") -> str:
+    return f"""
+WITH lefts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = '{left_type}'
+),
+rights AS (
+  SELECT event_id AS view_event_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = '{right_type}'
+)
+SELECT l.event_id, l.user_id, r.view_event_id
+FROM lefts l ASOF JOIN rights r
+  ON l.user_id = r.user_id AND r.view_ts <= l.ts"""
