@@ -198,3 +198,19 @@ def test_anchor_and_dynamic_ref():
     u = {"$id": "urn:b", "$defs": {"s": {"type": "string"}},
          "$ref": "urn:b#/$defs/s"}
     assert compile_schema(u, "urn:b").validate("ok") == []
+
+
+def test_absolute_ref_uri_boundary():
+    import pytest as _pt
+
+    from yj_schema_validator_ray.functions.compiler import SchemaCompileError
+
+    # a SIBLING URI sharing the base as a prefix must NOT be treated as
+    # same-document (urn:b vs urn:b2)
+    s = {"$id": "urn:b", "$defs": {"t": {"type": "string"}},
+         "properties": {"x": {"$ref": "urn:b2#/$defs/t"}}}
+    with _pt.raises(SchemaCompileError):
+        compile_schema(s, "urn:b")
+    # with an empty base, remote refs still fail AT COMPILE TIME
+    with _pt.raises(SchemaCompileError):
+        compile_schema({"$ref": "https://x.y/s.json#/a"}, "")

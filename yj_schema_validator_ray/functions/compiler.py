@@ -438,11 +438,14 @@ class CompiledSchema:
             if ref_kw not in schema:
                 continue
             ref = schema[ref_kw]
-            if isinstance(ref, str) and ref.startswith(self._base):
-                # same-document absolute ref: urn:x#/defs -> #/defs
-                ref = ref[len(self._base):] or "#"
-                if not ref.startswith("#"):
-                    ref = "#" + ref.lstrip("#")
+            if isinstance(ref, str) and self._base:
+                # same-document absolute ref: urn:x#/defs -> #/defs — only
+                # on an exact URI boundary ('urn:x' or 'urn:x#...'), never
+                # a bare prefix (would mangle sibling URIs like 'urn:x2')
+                if ref == self._base:
+                    ref = "#"
+                elif ref.startswith(self._base + "#"):
+                    ref = ref[len(self._base):]
             if not isinstance(ref, str) or not ref.startswith("#"):
                 raise SchemaCompileError(
                     f"only document-local {ref_kw}s supported, got {schema[ref_kw]!r}")

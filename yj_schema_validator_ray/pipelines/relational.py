@@ -145,10 +145,14 @@ def top_customers(sf_dir: str, k: int = 10):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = t.column("o_custkey").to_numpy()
-            pos = np.searchsorted(self.ids, keys).clip(max=len(self.ids) - 1)
-            hit = self.ids[pos] == keys
-            names = np.where(hit, self.names[pos], None)
-            mkts = np.where(hit, self.mkts[pos], None)
+            if len(self.ids) == 0:  # empty dimension -> all misses
+                names = np.full(len(keys), None, dtype=object)
+                mkts = np.full(len(keys), None, dtype=object)
+            else:
+                pos = np.searchsorted(self.ids, keys).clip(max=len(self.ids) - 1)
+                hit = self.ids[pos] == keys
+                names = np.where(hit, self.names[pos], None)
+                mkts = np.where(hit, self.mkts[pos], None)
             return pa.table({
                 "c_custkey": pa.array(keys, pa.int64()),
                 "c_name": pa.array(names, pa.string()),
@@ -611,9 +615,12 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         left = (g[g["is_left"]]
                 .sort_values("ts", kind="stable")[["event_id", "user_id", "ts"]])
+        # secondary sort on event_id: merge_asof takes the LAST tied right
+        # row, so equal-(user, ts) views resolve to the max event_id
+        # deterministically regardless of shuffle/block order
         right = (g[~g["is_left"]]
-                 .sort_values("ts", kind="stable")
                  .rename(columns={"event_id": "view_event_id", "ts": "view_ts"})
+                 .sort_values(["view_ts", "view_event_id"], kind="stable")
                  [["view_event_id", "user_id", "view_ts"]])
         if left.empty or right.empty:
             return pd.DataFrame({"event_id": pd.Series(dtype="int64"),

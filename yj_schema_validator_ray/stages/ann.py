@@ -51,8 +51,7 @@ class BruteForceScorer:
         })
 
 
-def ann_topk_bruteforce(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
-                        concurrency=None):
+def ann_topk_bruteforce(emb_ds, queries: dict[int, np.ndarray], k: int = 10):
     """Exact cosine top-k per query vector.
 
     Per-batch partial top-k (sort inside the map, keep k rows per query
@@ -111,7 +110,7 @@ class LSHCoder:
 
 
 def ann_topk_lsh(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
-                 nbits: int = 8, concurrency=None):
+                 nbits: int = 8):
     """Approximate top-k: only vectors whose LSH code matches a query's
     code are scored (IVF-style bucketing; the 100 TB path — candidate
     set shrinks ~2^-nbits per bucket)."""
@@ -169,7 +168,7 @@ def ann_topk_lsh(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
 
 def ann_topk_ivf(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
                  n_centroids: int = 16, n_probe: int = 4,
-                 sample_size: int = 2048, seed: int = 13, concurrency=None):
+                 sample_size: int = 2048, seed: int = 13):
     """IVF top-k: k-means centroids trained on a deterministic sample,
     vectors assigned to their nearest centroid per batch, queries probe
     only the ``n_probe`` nearest cells — the classic inverted-file scale
@@ -310,12 +309,13 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.99, nbits: int = 16,
             mn = _normalize(M[s:e][:max_bucket])
             sims = mn @ mn.T
             iu, ju = np.triu_indices(len(run_ids), k=1)
-            keep = sims[iu, ju] >= threshold
+            v = sims[iu, ju]  # gather once, reuse for filter + output
+            keep = v >= threshold
             a, b = run_ids[iu[keep]], run_ids[ju[keep]]
             lo, hi = np.minimum(a, b), np.maximum(a, b)
             out_a.append(lo)
             out_b.append(hi)
-            out_s.append(np.round(sims[iu, ju][keep], 6))
+            out_s.append(np.round(v[keep], 6))
         if not out_a:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
@@ -331,7 +331,7 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.99, nbits: int = 16,
     return grouped_aggregate(raw, ["a", "b"], [("sim", "max", "sim")])
 
 
-def embedding_dup_pairs(emb_ds, threshold: float = 0.99, concurrency=None):
+def embedding_dup_pairs(emb_ds, threshold: float = 0.99):
     """Exact cosine near-dup pairs (a < b, sim >= threshold).
 
     The full normalized matrix is broadcast once (fine up to ~10M x 128

@@ -121,23 +121,6 @@ class MinHasher:
         })
 
 
-_PROCESS_HASHERS: dict = {}
-
-
-def _process_minhasher(num_perm: int, k: int = 5):
-    """Plain map_batches fn that lazily builds (and process-caches) the
-    ``MinHasher`` on each Ray worker — cheap state, no actor pool."""
-    def f(batch: pa.Table) -> pa.Table:
-        key = ("minhash", num_perm, k)
-        mh = _PROCESS_HASHERS.get(key)
-        if mh is None:
-            mh = MinHasher(num_perm, k)
-            _PROCESS_HASHERS[key] = mh
-        return mh(batch)
-
-    return f
-
-
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
     ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
     sig = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
@@ -159,7 +142,7 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
 
 
 def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5, concurrency=None):
+                      threshold: float = 0.5):
     """Near-duplicate candidate pairs with signature-estimated Jaccard.
 
     docs -> MinHasher actor pool -> band explode -> groupby(band, bucket)
@@ -167,12 +150,15 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     (fraction of equal minhashes estimates Jaccard; text never shuffles).
     Returns (a, b, jaccard_est) with a < b, jaccard_est >= threshold.
     """
+    from ..util import process_cached
+
     rows_per_band = num_perm // bands
     # stateless tasks + per-worker-process hasher cache: MinHasher state
     # is two small permutation arrays, so warm task workers beat the
     # ~5 s actor-pool spin-up (same trade as validator task mode)
-    sigs = docs_ds.map_batches(_process_minhasher(num_perm),
-                               batch_format="pyarrow")
+    sigs = docs_ds.map_batches(
+        process_cached(MinHasher, (num_perm, 5), num_perm),
+        batch_format="pyarrow")
     # keep the signatures for the verify stage (small: num_perm ints/doc)
     sigs = sigs.materialize()
     banded = sigs.map_batches(
@@ -401,7 +387,7 @@ class SimHasher:
                                              pa.int64())})
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3, concurrency=None):
+def simhash_pairs(docs_ds, max_hamming: int = 3):
     """Near-dup pairs by simhash: band the 64 bits into 4 x 16-bit chunks
     (any chunk equal -> candidate; Hamming<=3 guarantees a chunk match),
     verify Hamming distance on the full hash."""

@@ -103,7 +103,7 @@ class QualityScorer:
         })
 
 
-def quality_scores(docs_ds, concurrency=None):
+def quality_scores(docs_ds):
     from ..util import process_cached
 
     # cheap state (regex + stopword sets) -> task mode, per-process cache
@@ -134,7 +134,7 @@ class LangId:
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
 
 
-def lang_id(docs_ds, concurrency=None):
+def lang_id(docs_ds):
     from ..util import process_cached
 
     return docs_ds.map_batches(process_cached(LangId, ()),

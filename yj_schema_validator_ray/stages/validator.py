@@ -334,7 +334,13 @@ def make_validator_fn(config: ValidatorConfig):
     key = hashlib.md5(_json.dumps(
         {"schemas": config.schemas, "default": config.default_schema,
          "override": config.schema_override, "auto": config.auto_detect,
-         "catalog": [(e.name, e.file_match, e.schema_id) for e in config.catalog]},
+         "catalog": [(e.name, e.file_match, e.schema_id) for e in config.catalog],
+         # behavior-bearing resolution fields: a warm worker must never
+         # reuse a validator built under a different fetch policy/base dir
+         "remote": config.allow_remote_schemas,
+         "timeout": config.http_timeout,
+         "ssl": config.ignore_ssl_errors,
+         "base_dir": config.schema_base_dir},
         sort_keys=True, default=str).encode()).hexdigest()
 
     def validate_batch(batch: pa.Table) -> pa.Table:
