@@ -298,10 +298,61 @@ def run_stats() -> None:
     ray.shutdown()
 
 
+_CTRL_VALIDATE = None
+
+
+def _control_init():
+    global _CTRL_VALIDATE
+    from yj_schema_validator_ray.config import ValidatorConfig
+    from yj_schema_validator_ray.sources.corpus import schema_registry
+    from yj_schema_validator_ray.stages.validator import make_validator_fn
+
+    _CTRL_VALIDATE = make_validator_fn(ValidatorConfig(schemas=schema_registry()))
+
+
+def _control_chunk(args) -> int:
+    start, n = args
+    import pyarrow as pa
+
+    from yj_schema_validator_ray.sources.corpus import synthesize_batch
+
+    batch = synthesize_batch(pa.table(
+        {"doc_id": pa.array(range(start, start + n), pa.int64())}))
+    return _CTRL_VALIDATE(batch).num_rows
+
+
+def run_controls(n_docs: int = 2_000_000, chunk: int = 4096) -> dict:
+    """The honesty control for the 8->32 scaling pair: raw
+    ``multiprocessing.Pool`` running the IDENTICAL per-batch work
+    (synthesize + parse + validate + Arrow assembly) with NO Ray — it
+    measures this box's shared-memory-system ceiling for the workload.
+    The engine's Ray number should sit at or above this."""
+    import multiprocessing as mp
+
+    work = [(s, min(chunk, n_docs - s)) for s in range(0, n_docs, chunk)]
+    out = {}
+    for procs in (8, 32):
+        best = float("inf")
+        for _ in range(2):
+            with mp.Pool(procs, initializer=_control_init) as pool:
+                pool.map(_control_chunk, work[:8])  # warm-up (compile)
+                t0 = time.perf_counter()
+                total = sum(pool.map(_control_chunk, work, chunksize=4))
+                best = min(best, time.perf_counter() - t0)
+        out[procs] = {"sec": round(best, 3),
+                      "files_per_sec": round(total / best, 1)}
+    eff = (out[32]["files_per_sec"]) / (4 * out[8]["files_per_sec"])
+    return {"metric": "raw multiprocessing control (no Ray), identical work",
+            "n_docs": n_docs, "procs_8": out[8], "procs_32": out[32],
+            "scaling_efficiency_8_32": round(eff, 3)}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--stats" in sys.argv:
         run_stats()
+    elif "--controls" in sys.argv:
+        print(json.dumps(run_controls()))
     else:
         print(json.dumps(run_bench()))
