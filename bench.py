@@ -80,10 +80,11 @@ def run_bench() -> dict:
     corpus_dataset(SF_DIR).count()
 
     # -- headline: validate n_files docs end-to-end (verdict consume);
-    # best of 2 — this box shows intermittent noisy-neighbor steal that
-    # can double a single run's wall time
+    # best of 3 — this box shows intermittent noisy-neighbor steal that
+    # can double a single run's wall time, and steal only ever slows a
+    # run down, so best-of-N converges on the machine's capability
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         corpus = corpus_n(n_files, num_blocks=max(NUM_CPUS * 4, 32))
         verdicts = V.validate_corpus(corpus, cfg, batch_size=4096)
