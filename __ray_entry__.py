@@ -147,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cand = D.minhash_lsh_pairs(docs(sf_dir), threshold=0.3)
         return D.ngram_jaccard_pairs(docs(sf_dir), cand, threshold=0.3)
 
+    def q_dedup_ngram_exact(sf_dir):
+        # EXACT all-pairs Jaccard via AllPairs prefix filtering — the
+        # hash-checked member of the near-dup family (full SQL oracle)
+        return D.ngram_jaccard_exact_pairs(docs(sf_dir), threshold=0.3)
+
     def q_token_counts(sf_dir):
         return T.token_counts(docs(sf_dir))
 
@@ -180,6 +185,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return mixture_sample(docs3(sf_dir), _MIX_RATES).select_columns(
             ["doc_id", "source"])
 
+    def q_vocab_top_terms(sf_dir):
+        return T.vocab_top_terms(docs(sf_dir))
+
+    def q_pack_sequences(sf_dir):
+        from yj_schema_validator_ray.stages.sampling import pack_sequences
+
+        return pack_sequences(docs(sf_dir))
+
     def q_winnowing(sf_dir):
         # MOSS winnowing fingerprints (rows-only: rolling-hash selection
         # is not SQL-expressible); deterministic row count per corpus
@@ -202,6 +215,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle as embedding_dups (identical vectors share every code,
         # so recall at 0.99 is 1 on this corpus)
         return A.embedding_dup_pairs_lsh(_augment(emb(sf_dir), "vec_id"))
+
+    def q_events_quantiles(sf_dir):
+        from yj_schema_validator_ray.stages.quantiles import (
+            grouped_exact_quantiles)
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+        return grouped_exact_quantiles(ev, "event_type", "value")
 
     def q_media_features(sf_dir):
         return M.media_features(M.media_dataset_from_documents(sf_dir))
@@ -230,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_exact": q_dedup_ngram_exact,
         # text analysis
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
@@ -241,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": q_scrub_pii,
         "sample_uniform": q_sample_uniform,
         "sample_mixture": q_sample_mixture,
+        "vocab_top_terms": q_vocab_top_terms,
+        "pack_sequences": q_pack_sequences,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -263,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessionize,
         "events_top_users": R.events_top_users,
         "events_asof_join": R.events_asof_join,
+        "events_range_join": R.events_range_join,
+        "events_quantiles": q_events_quantiles,
     }
 
 
@@ -300,6 +326,31 @@ def _sample_mixture_sql() -> str:
     return mixture_sample_sql(_MIX_RATES)
 
 
+def _events_quantiles_sql() -> str:
+    from yj_schema_validator_ray.stages.quantiles import (
+        grouped_exact_quantiles_sql)
+
+    return grouped_exact_quantiles_sql("events", "event_type", "value")
+
+
+def _vocab_top_terms_sql() -> str:
+    from yj_schema_validator_ray.stages.text import vocab_top_terms_sql
+
+    return vocab_top_terms_sql()
+
+
+def _pack_sequences_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import pack_sequences_sql
+
+    return pack_sequences_sql()
+
+
+def _dedup_ngram_exact_sql() -> str:
+    from yj_schema_validator_ray.stages.dedup import ngram_jaccard_exact_sql
+
+    return ngram_jaccard_exact_sql(threshold=0.3)
+
+
 def _curation_sql() -> str:
     from yj_schema_validator_ray.oracles import _DOCS_AUG3
     from yj_schema_validator_ray.pipelines.curation import curation_report_sql
@@ -324,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup / text
         "dedup_exact_groups": oracles.exact_dup_groups_sql(),
         "dedup_exact": oracles.dedup_exact_sql(),
+        "dedup_ngram_exact": _dedup_ngram_exact_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),
@@ -331,6 +383,8 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": _scrub_pii_sql(),
         "sample_uniform": _sample_uniform_sql(),
         "sample_mixture": _sample_mixture_sql(),
+        "vocab_top_terms": _vocab_top_terms_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "quality_scores": _quality_scores_sql(),
         "media_meta": ("SELECT doc_id AS media_id, sha256(text) AS payload_sha256, "
                        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) "
@@ -352,6 +406,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": R.events_sessionize_sql(),
         "events_top_users": R.events_top_users_sql(),
         "events_asof_join": R.events_asof_join_sql(),
+        "events_range_join": R.events_range_join_sql(),
+        "events_quantiles": _events_quantiles_sql(),
         # intentionally no SQL oracle (approximate / non-SQL-expressible):
         # distinct_sketch (HLL), dedup_minhash / dedup_simhash /
         # dedup_ngram_jaccard (LSH candidates), quality_scores / lang_id

@@ -225,6 +225,45 @@ def test_ngram_jaccard_distributed(ray_session):
     assert out["jaccard"].iloc[0] == 1.0
 
 
+def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
+    """The AllPairs prefix-filter plan finds EXACTLY the pairs a naive
+    all-pairs Jaccard over word trigram sets finds (no candidate loss
+    from prefix/length filtering)."""
+    import itertools
+
+    import ray.data
+
+    from yj_schema_validator_ray.stages.dedup import ngram_jaccard_exact_pairs
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(20)]
+    texts += [texts[0], texts[1] + " extra tail words appended here",
+              "short"]  # exact dup, near dup, sub-n-gram doc
+    t = 0.3
+
+    def grams(s):
+        ws = [w.lower() for w in __import__("re").findall(r"\w+", s)]
+        return {tuple(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    expect = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        if not ga or not gb:
+            continue
+        j = len(ga & gb) / len(ga | gb)
+        if j >= t:
+            expect[(a, b)] = np.floor(j * 1e6 + 0.5) / 1e6
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    out = ngram_jaccard_exact_pairs(ds, threshold=t).to_pandas()
+    got = {(int(a), int(b)): j
+           for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    assert got == expect
+    assert (20, 0) in got or (0, 20) in got  # the exact dup surfaced
+
+
 def test_embedding_dups_lsh_matches_exact(ray_session):
     import ray.data
 
@@ -301,6 +340,43 @@ def test_mixture_sample_per_source(ray_session):
     assert by.get("a", 0) == 2000          # rate 1.0 keeps everything
     assert 850 < by.get("b", 0) < 1150     # ~0.5
     assert "c" not in by.index             # absent source dropped
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """The distributed two-phase prefix sum equals a single-process
+    cumsum, across bucket boundaries and shuffled input blocks."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.sampling import pack_sequences
+
+    rng = np.random.RandomState(11)
+    n = 700  # spans multiple 256-doc buckets
+    texts = [" ".join(["tok"] * rng.randint(1, 40)) for _ in range(n)]
+    df = pd.DataFrame({"doc_id": range(n), "text": texts})
+    ds = ray.data.from_pandas(df).random_shuffle(seed=5)  # order-insensitive
+    out = (pack_sequences(ds, budget=100).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ntok = df["text"].str.count(r"\w+").astype("int64")
+    expect_off = ntok.cumsum().shift(fill_value=0).astype("int64")
+    assert (out["n_tokens"].to_numpy() == ntok.to_numpy()).all()
+    assert (out["tok_offset"].to_numpy() == expect_off.to_numpy()).all()
+    assert (out["seq_id"].to_numpy() == (expect_off // 100).to_numpy()).all()
+
+
+def test_vocab_top_terms(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.text import vocab_top_terms
+
+    texts = ["apple banana apple", "banana cherry", "apple date date date"]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(3), "text": texts}))
+    out = (vocab_top_terms(ds, k=3).to_pandas()
+           .sort_values(["tf", "term"], ascending=[False, True])
+           .reset_index(drop=True))
+    assert list(out["term"]) == ["apple", "date", "banana"]
+    assert list(out["tf"]) == [3, 3, 2]
+    assert list(out["df"]) == [2, 1, 2]
 
 
 def test_scrub_pii_counts(ray_session):

@@ -1,6 +1,7 @@
 """Streaming windowed aggregation (stateful bucket actors + watermark)
 must equal the batch tumbling window when no events are late."""
 
+import numpy as np
 import pandas as pd
 
 from yj_schema_validator_ray.pipelines.relational import events_tumbling_window
@@ -68,3 +69,71 @@ def test_events_asof_join_semantics(ray_session, tmp_path):
     out = events_asof_join(str(d)).to_pandas()
     got = {(int(r.event_id), int(r.view_event_id)) for r in out.itertuples()}
     assert got == {(1, 0), (3, 2), (6, 5)}
+
+
+def test_events_range_join_semantics(ray_session, tmp_path):
+    """Range join: each click matches EVERY purchase window
+    [ts, ts+3600s) of the same user containing it (many-to-many)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.pipelines.relational import events_range_join
+
+    ts = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+    rows = [
+        # user 1: purchases @0 and @1800 (overlapping windows [0,3600)
+        # and [1800,5400)); click @2000 in BOTH, click @4000 in the
+        # second only, click @5500 in neither
+        (0, ts(0), 1, "purchase"), (1, ts(1800), 1, "purchase"),
+        (2, ts(2000), 1, "click"), (3, ts(4000), 1, "click"),
+        (4, ts(5500), 1, "click"),
+        # boundary: click exactly at window start matches, at end doesn't
+        (5, ts(0), 2, "purchase"), (6, ts(0), 2, "click"),
+        (7, ts(3600), 2, "click"),
+        # other user's window never matches
+        (8, ts(100), 3, "click"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = events_range_join(str(d)).to_pandas()
+    got = {(int(r.event_id), int(r.matched_event_id)) for r in out.itertuples()}
+    assert got == {(2, 0), (2, 1), (3, 1), (6, 5)}
+
+
+def test_grouped_exact_quantiles(ray_session):
+    """Two-phase radix-bucket rank selection equals the exact
+    ceil(q*n)-th smallest per group — including negative values and an
+    all-equal (single-bucket) group."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.quantiles import (
+        grouped_exact_quantiles)
+
+    rng = np.random.RandomState(7)
+    frames = {
+        "a": rng.normal(0, 100, size=1000),       # negatives included
+        "b": rng.exponential(5, size=377),
+        "c": np.full(50, 3.25),                   # pathological: one value
+    }
+    df = pd.DataFrame({
+        "g": np.concatenate([[k] * len(v) for k, v in frames.items()]),
+        "value": np.concatenate(list(frames.values())),
+    })
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    out = grouped_exact_quantiles(
+        ray.data.from_pandas(df), "g", "value", qs=qs).to_pandas()
+    got = {(r.g, r.quantile): r.value for r in out.itertuples()}
+    assert len(got) == len(frames) * len(qs)
+    for k, v in frames.items():
+        s = np.sort(v)
+        for q in qs:
+            r = max(1, int(np.ceil(q * len(v))))
+            assert got[(k, q)] == s[r - 1], (k, q)

@@ -639,6 +639,85 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
             .map_groups(merge, batch_format="pandas"))
 
 
+def events_range_join(sf_dir: str, left_type: str = "click",
+                      right_type: str = "purchase", window_s: int = 3600):
+    """Per-user many-to-many RANGE (interval) join: each ``left_type``
+    event matched to EVERY ``right_type`` event of the same user whose
+    attribution window ``[ts, ts + window_s)`` contains it — the classic
+    "clicks within an hour of a purchase" shape.  Unlike the as-of join
+    a left row can match many right rows, so this is a true interval
+    join, not a merge.
+
+    Distributed shape: ONE pruned read, both sides tagged, hash-
+    co-partitioned by a coarse user key, then a per-partition vectorized
+    equi-merge on user_id followed by the interval filter.  The per-user
+    click x purchase cross product is the unit of work — bounded by
+    window density per user; a pathological single hot user would need
+    time-chunk salting with window-length overlap, the standard interval
+    -join mitigation.  DuckDB's IEJoin is the oracle.
+    """
+    import ray.data
+
+    from ..util import shuffle_partitions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array([left_type, right_type]))
+        t = t.filter(m)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "epoch_us": pc.cast(t.column("ts"), pa.int64()),
+            "user_id": t.column("user_id"),
+            "is_left": pc.equal(t.column("event_type"), left_type),
+            "coarse": pc.bit_wise_and(t.column("user_id"), 255),
+        })
+
+    win_us = window_s * 1_000_000
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"]][["event_id", "user_id", "epoch_us"]]
+        right = (g[~g["is_left"]]
+                 .rename(columns={"event_id": "matched_event_id",
+                                  "epoch_us": "wstart_us"})
+                 [["matched_event_id", "user_id", "wstart_us"]])
+        if left.empty or right.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "matched_event_id": pd.Series(dtype="int64")})
+        m = left.merge(right, on="user_id")
+        d = m["epoch_us"] - m["wstart_us"]
+        m = m[(d >= 0) & (d < win_us)]
+        return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
+                             "user_id": m["user_id"].astype("int64"),
+                             "matched_event_id":
+                                 m["matched_event_id"].astype("int64")})
+
+    return (ev.map_batches(tag, batch_format="pyarrow")
+            .groupby("coarse", num_partitions=min(8, shuffle_partitions()))
+            .map_groups(merge, batch_format="pandas"))
+
+
+def events_range_join_sql(left_type: str = "click",
+                          right_type: str = "purchase",
+                          window_s: int = 3600) -> str:
+    return f"""
+WITH lefts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = '{left_type}'
+),
+rights AS (
+  SELECT event_id AS matched_event_id, user_id, ts AS wstart
+  FROM events WHERE event_type = '{right_type}'
+)
+SELECT l.event_id, l.user_id, r.matched_event_id
+FROM lefts l JOIN rights r
+  ON l.user_id = r.user_id
+ AND l.ts >= r.wstart AND l.ts < r.wstart + INTERVAL {window_s} SECOND"""
+
+
 def events_asof_join_sql(left_type: str = "click",
                          right_type: str = "view") -> str:
     return f"""

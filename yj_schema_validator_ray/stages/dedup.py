@@ -502,6 +502,181 @@ class NGramHasher:
         })
 
 
+def _score_jaccard(batch: pa.Table, threshold: float) -> pa.Table:
+    """Exact Jaccard on joined gram-blob pairs (sorted unique int64 hash
+    arrays packed as binary).  Filter on the RAW quotient, round the
+    reported value half-away-from-zero to 6 decimals — the same formula
+    the DuckDB oracle uses (``floor(j*1e6+0.5)/1e6``; Python's round is
+    half-to-even and would flip midpoints)."""
+    ga = batch.column("grams_a")
+    gb = batch.column("grams_b")
+    if isinstance(ga, pa.ChunkedArray):
+        ga = ga.combine_chunks()
+    if isinstance(gb, pa.ChunkedArray):
+        gb = gb.combine_chunks()
+    out_a, out_b, out_j = [], [], []
+    a_ids = batch.column("a").to_pylist()
+    b_ids = batch.column("b").to_pylist()
+    for i in range(batch.num_rows):
+        sa = np.frombuffer(ga[i].as_py(), dtype="<i8")
+        sb = np.frombuffer(gb[i].as_py(), dtype="<i8")
+        u = len(sa) + len(sb)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        u -= inter
+        j = inter / u if u else 0.0
+        if j >= threshold:
+            out_a.append(a_ids[i])
+            out_b.append(b_ids[i])
+            out_j.append(np.floor(j * 1e6 + 0.5) / 1e6)
+    return pa.table({"a": pa.array(out_a, pa.int64()),
+                     "b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+class AllNGramHasher(NGramHasher):
+    """Gram-hash sets for EVERY document (no candidate-id filter) — feeds
+    the exact AllPairs prefix-filter join."""
+
+    def __init__(self, n: int):
+        import re
+
+        self.tok = re.compile(r"\w+")
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams = [self.gram_hashes(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "grams": pa.array(grams, pa.list_(pa.int64())),
+        })
+
+
+def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3):
+    """EXACT all-pairs word n-gram Jaccard >= threshold — no LSH, no
+    sampling, fully distributed, SQL-oracle-able (DuckDB gram self-join).
+
+    The scale story is the AllPairs/PPJoin prefix filter (Bayardo et al.
+    WWW'07; Xiao et al. WWW'08): under a fixed global gram order (we use
+    the unsigned hash value, which is what :meth:`NGramHasher.gram_hashes`
+    already sorts by), two sets with ``J(A,B) >= t`` MUST share a gram
+    within the first ``|A| - ceil(t*|A|) + 1`` grams of each — so the
+    inverted index receives only each doc's prefix (~(1-t) of its grams)
+    and candidate generation stays exact while hot stopword-ish grams
+    (which sort late for most docs only by chance) shrink the exchange.
+    A length filter (``min_sz >= t * max_sz`` — necessary since
+    ``J <= |smaller| / |larger|``) prunes inside each gram run before
+    pairs are emitted.  Verification attaches full gram sets to both pair
+    sides via the same hash-shuffle join as the MinHash verify
+    (:func:`join_pairs_with_signatures`); document text never shuffles
+    and nothing reaches the driver.
+    """
+    from ..util import process_cached, shuffle_partitions
+    from .exact_agg import grouped_aggregate
+
+    nsp = shuffle_partitions()
+    # consumed twice (prefix explode + verify join): materialize the
+    # small gram-set table once (ids + hash lists only, never text)
+    grams = docs_ds.map_batches(process_cached(AllNGramHasher, (n,), n),
+                                batch_format="pyarrow").materialize()
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        col = t.column("grams")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = t.column("doc_id").to_numpy()
+        lens = pc.list_value_length(col).fill_null(0).to_numpy().astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        plen = np.minimum(
+            np.maximum(lens - np.ceil(threshold * lens).astype(np.int64) + 1, 0),
+            lens)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        tot = int(plen.sum())
+        within = (np.arange(tot)
+                  - np.repeat(np.concatenate(([0], np.cumsum(plen)))[:-1], plen))
+        take = np.repeat(starts, plen) + within
+        return pa.table({
+            "gram": pa.array(flat[take], pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, plen), pa.int64()),
+            "sz": pa.array(np.repeat(lens, plen), pa.int64()),
+        })
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_numpy().astype(np.uint64)
+        h = g * np.uint64(0x9E3779B97F4A7C15)
+        coarse = ((h >> np.uint64(33)) & np.uint64(1023)).astype(np.int64)
+        return t.append_column("coarse", pa.array(coarse, pa.int64()))
+
+    def emit_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["gram", "doc_id"])
+        gram = g["gram"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sz = g["sz"].to_numpy()
+        change = np.flatnonzero(gram[1:] != gram[:-1])
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(ids)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run_ids, run_sz = ids[s:e], sz[s:e]
+            iu, ju = np.triu_indices(e - s, k=1)
+            lo = np.minimum(run_sz[iu], run_sz[ju])
+            hi = np.maximum(run_sz[iu], run_sz[ju])
+            keep = lo >= threshold * hi  # J <= lo/hi — exact necessary cond
+            out_a.append(run_ids[iu][keep])
+            out_b.append(run_ids[ju][keep])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    raw = (grams.map_batches(prefix_rows, batch_format="pyarrow")
+           .map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("coarse", num_partitions=nsp)
+           .map_groups(emit_pairs_part, batch_format="pandas"))
+    # multi-gram candidate dupes collapse in one pre-aggregated exchange
+    pairs = grouped_aggregate(raw, ["a", "b"], [("", "count", "n_shared")]) \
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+    joined = join_pairs_with_signatures(pairs, grams, "grams",
+                                        num_partitions=nsp)
+    return joined.map_batches(lambda b: _score_jaccard(b, threshold),
+                              batch_format="pyarrow")
+
+
+def ngram_jaccard_exact_sql(n: int = 3, threshold: float = 0.3) -> str:
+    """DuckDB oracle for :func:`ngram_jaccard_exact_pairs`: gram-string
+    self-join (grams as joined token strings — tokens contain no spaces,
+    so the ' ' separator is unambiguous; the engine's 64-bit gram hashes
+    are collision-free at oracle scale).  Same raw-quotient threshold,
+    same half-away 6-decimal rounding."""
+    assert n == 3, "oracle is written for trigram shape"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM toks, unnest(generate_series(1, len(ws) - {n - 1})) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       floor((CAST(i.i AS DOUBLE)
+              / CAST(sa.sz + sb.sz - i.i AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE)
+      >= {threshold}"""
+
+
 def ngram_jaccard_pairs(docs_ds, candidate_pairs_ds, n: int = 3,
                         threshold: float = 0.5):
     """Exact word n-gram Jaccard for candidate pairs — fully distributed.
@@ -537,29 +712,5 @@ def ngram_jaccard_pairs(docs_ds, candidate_pairs_ds, n: int = 3,
     joined = join_pairs_with_signatures(
         pairs, grams, "grams", num_partitions=shuffle_partitions())
 
-    def score(batch: pa.Table) -> pa.Table:
-        ga = batch.column("grams_a")
-        gb = batch.column("grams_b")
-        if isinstance(ga, pa.ChunkedArray):
-            ga = ga.combine_chunks()
-        if isinstance(gb, pa.ChunkedArray):
-            gb = gb.combine_chunks()
-        out_a, out_b, out_j = [], [], []
-        a_ids = batch.column("a").to_pylist()
-        b_ids = batch.column("b").to_pylist()
-        for i in range(batch.num_rows):
-            sa = np.frombuffer(ga[i].as_py(), dtype="<i8")
-            sb = np.frombuffer(gb[i].as_py(), dtype="<i8")
-            u = len(sa) + len(sb)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            u -= inter
-            j = inter / u if u else 0.0
-            if j >= threshold:
-                out_a.append(a_ids[i])
-                out_b.append(b_ids[i])
-                out_j.append(round(j, 6))
-        return pa.table({"a": pa.array(out_a, pa.int64()),
-                         "b": pa.array(out_b, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
-
-    return joined.map_batches(score, batch_format="pyarrow")
+    return joined.map_batches(lambda b: _score_jaccard(b, threshold),
+                              batch_format="pyarrow")

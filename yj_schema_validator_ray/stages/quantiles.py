@@ -1,0 +1,132 @@
+"""Exact distributed quantiles (global or per-group) over a float64
+column — the "percentile report" a data-quality layer needs, computed
+without ever sorting the full dataset or collecting row data on the
+driver.
+
+Plan (classic two-phase rank selection):
+
+1. ONE streaming pass histograms values into order-preserving radix
+   buckets (the IEEE-754 monotone bit trick: flip all bits of negatives,
+   set the sign bit of positives — unsigned order == numeric order — and
+   keep the top ``bucket_bits``).  Per-batch partials pre-aggregate, so
+   the exchange and the driver only ever see (group, bucket, count) rows
+   — bounded by the number of NON-EMPTY buckets, not by data size.
+2. The driver (holding only the histogram) locates, per group and
+   quantile q, the bucket containing rank ``ceil(q * n)`` and the
+   residual in-bucket rank.
+3. A second pruned pass filters to target buckets only (a broadcast-set
+   membership test per batch) and each (group, bucket) partition selects
+   its order statistics with ``np.partition`` — one bucket's rows, never
+   the dataset, is the memory bound (with ``bucket_bits=12`` and smooth
+   data that is ~1/4096 of a group; pathological single-value groups
+   degrade to the group size, which a production run would recurse on).
+
+The selected value is an actual element (``quantile_disc`` semantics,
+rank = ceil(q*n), 1-indexed) — no interpolation arithmetic, so the
+result is bit-identical to the DuckDB window-function oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _radix_bucket(values: np.ndarray, bucket_bits: int) -> np.ndarray:
+    """Order-preserving bucket index of float64 values."""
+    u = values.astype(np.float64).view(np.uint64)
+    neg = (u >> np.uint64(63)).astype(bool)
+    u = np.where(neg, ~u, u | np.uint64(1 << 63))
+    return (u >> np.uint64(64 - bucket_bits)).astype(np.int64)
+
+
+def grouped_exact_quantiles(ds, group_col: str, value_col: str,
+                            qs=DEFAULT_QS, bucket_bits: int = 12):
+    """(group, quantile, value) — the EXACT ceil(q*n)-th smallest value
+    per group.  ``ds`` streams twice (pass 1 histogram, pass 3 pruned
+    gather); materialize upstream if it is expensive to recompute."""
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        b = _radix_bucket(t.column(value_col).to_numpy(), bucket_bits)
+        return pa.table({group_col: t.column(group_col),
+                         "bucket": pa.array(b, pa.int64())})
+
+    hist = grouped_aggregate(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        [group_col, "bucket"], [("", "count", "n")]).to_pandas()
+
+    # driver: locate (bucket, residual rank) per (group, q) — histogram
+    # rows only, no row data
+    targets: dict = {}  # (group, bucket) -> list of (q, in-bucket rank)
+    for grp, g in hist.groupby(group_col, sort=False):
+        g = g.sort_values("bucket")
+        counts = g["n"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        for q in qs:
+            r = max(1, int(np.ceil(q * n)))
+            bi = int(np.searchsorted(cum, r))
+            bucket = int(g["bucket"].to_numpy()[bi])
+            before = int(cum[bi - 1]) if bi else 0
+            targets.setdefault((grp, bucket), []).append((q, r - before))
+
+    if not targets:
+        return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             "quantile": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="float64")})
+
+    wanted = set(targets)
+
+    def prune(t: pa.Table) -> pa.Table:
+        grp = t.column(group_col).to_pylist()
+        vals = t.column(value_col).to_numpy()
+        b = _radix_bucket(vals, bucket_bits)
+        keep = np.fromiter(((g, int(bb)) in wanted for g, bb in zip(grp, b)),
+                           dtype=bool, count=len(grp))
+        t = t.append_column("bucket", pa.array(b, pa.int64()))
+        return t.filter(pa.array(keep))
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g[group_col].iloc[0]
+        bucket = int(g["bucket"].iloc[0])
+        vals = g[value_col].to_numpy()
+        out_q, out_v = [], []
+        for q, rank in targets[(grp, bucket)]:
+            v = np.partition(vals, rank - 1)[rank - 1]
+            out_q.append(q)
+            out_v.append(float(v))
+        return pd.DataFrame({group_col: [grp] * len(out_q),
+                             "quantile": out_q, "value": out_v})
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby([group_col, "bucket"],
+                     num_partitions=min(len(wanted), shuffle_partitions()))
+            .map_groups(select, batch_format="pandas")
+            .map_batches(lambda t: t.select([group_col, "quantile", "value"]),
+                         batch_format="pyarrow"))
+
+
+def grouped_exact_quantiles_sql(table: str, group_col: str, value_col: str,
+                                qs=DEFAULT_QS) -> str:
+    """DuckDB oracle: rank = ceil(q*n) per group via window functions
+    (the exact element, no interpolation)."""
+    qlist = ", ".join(str(q) for q in qs)
+    return f"""
+WITH s AS (
+  SELECT {group_col}, {value_col} AS value,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col}) AS r,
+         count(*) OVER (PARTITION BY {group_col}) AS n
+  FROM {table}
+),
+q AS (SELECT CAST(unnest([{qlist}]) AS DOUBLE) AS quantile)
+-- CAST to DOUBLE: DuckDB infers DECIMAL for 0.25-style literals, and
+-- DECIMAL rank arithmetic (exact 0.99*100=99) would disagree with the
+-- engine's IEEE-double ceil(0.99*100)=100
+SELECT s.{group_col}, q.quantile, s.value
+FROM q JOIN s ON s.r = CAST(ceil(q.quantile * s.n) AS BIGINT)"""

@@ -16,7 +16,10 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _hex_threshold(rate: float) -> str:
@@ -64,6 +67,77 @@ def mixture_sample(docs_ds, rates: dict[str, float],
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def pack_sequences(docs_ds, budget: int = 512, bucket_size: int = 256):
+    """Training-sequence packing (GPT-style concat-and-chunk): documents
+    in ``doc_id`` order are laid end-to-end and the token stream is cut
+    into fixed ``budget``-token sequences; each doc is assigned the
+    sequence containing its first token.
+
+    The global cumulative token count is a distributed PREFIX SUM:
+
+    1. one pass computes per-doc token counts tagged with a contiguous
+       range bucket (``doc_id // bucket_size``), materialized once
+       (2 ints/doc — never the text);
+    2. per-bucket token totals come back to the driver (``N/bucket_size``
+       rows — size ``bucket_size`` to keep this in the thousands at any
+       corpus scale) and exclusive bucket offsets are computed there;
+    3. a bucket-partitioned second pass sorts each bucket by doc_id and
+       adds bucket offset + in-bucket cumsum — no global sort, no
+       driver-side row data.
+
+    Output: (doc_id, n_tokens, tok_offset, seq_id).
+    """
+    from .exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        n = pc.cast(pc.count_substring_regex(batch.column("text"), r"\w+"),
+                    pa.int64())
+        bucket = pa.array(ids.to_numpy() // bucket_size, pa.int64())
+        return pa.table({"doc_id": ids, "n_tokens": n, "bucket": bucket})
+
+    cnt = docs_ds.map_batches(counts, batch_format="pyarrow").materialize()
+    btot = grouped_aggregate(
+        cnt, ["bucket"], [("n_tokens", "sum", "bucket_tokens")]).to_pandas()
+    btot = btot.sort_values("bucket")
+    excl = np.concatenate(([0], np.cumsum(btot["bucket_tokens"].to_numpy())))[:-1]
+    offs = dict(zip(btot["bucket"].astype(int), excl.astype(int)))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        start = offs[int(g["bucket"].iloc[0])]
+        off = (g["n_tokens"].cumsum().shift(fill_value=0) + start).astype("int64")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_tokens": g["n_tokens"].astype("int64"),
+            "tok_offset": off,
+            "seq_id": (off // budget).astype("int64"),
+        })
+
+    return (cnt.groupby("bucket", num_partitions=shuffle_partitions())
+            .map_groups(pack, batch_format="pandas"))
+
+
+def pack_sequences_sql(budget: int = 512, table: str = "documents") -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(floor(tok_offset / {budget}.0) AS BIGINT) AS seq_id
+FROM c"""
 
 
 def mixture_sample_sql(rates: dict[str, float], table: str = "documents",

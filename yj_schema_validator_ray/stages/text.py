@@ -278,6 +278,62 @@ def winnowing_fingerprints(docs_ds, k: int = 5, w: int = 4):
     return docs_ds.map_batches(f, batch_format="pyarrow")
 
 
+def vocab_top_terms(docs_ds, k: int = 100):
+    """Distributed vocabulary building: per-term corpus frequency (tf)
+    and document frequency (df), top-``k`` by (tf desc, term asc).
+
+    Shape: per-batch tokenize + LOCAL (term -> tf, df) pre-aggregation
+    (one row per distinct term per batch crosses the wire — each doc
+    lives in exactly one batch, so per-batch distinct-doc counts sum to
+    the true df) -> one coarse-hash exchange
+    (:func:`~.exact_agg.grouped_aggregate`) -> per-block top-k -> tiny
+    global sort over <= partitions*k rows.  The global sort never sees
+    the full vocabulary.
+    """
+    from .exact_agg import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "df": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_rep = np.repeat(batch["doc_id"].to_numpy(), lens)
+        g = (pd.DataFrame({"term": flat, "doc_id": doc_rep})
+             .groupby("term", sort=False)
+             .agg(tf=("term", "size"), df=("doc_id", "nunique"))
+             .reset_index())
+        g["tf"] = g["tf"].astype("int64")
+        g["df"] = g["df"].astype("int64")
+        return g
+
+    agg = grouped_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        ["term"], [("tf", "sum", "tf"), ("df", "sum", "df")])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        d = (t.to_pandas().sort_values(["tf", "term"],
+                                       ascending=[False, True]).head(k))
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    return (agg.map_batches(local_topk, batch_format="pyarrow")
+            .sort(["tf", "term"], descending=[True, False]).limit(k))
+
+
+def vocab_top_terms_sql(k: int = 100) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks GROUP BY term
+ORDER BY tf DESC, term LIMIT {k}"""
+
+
 def lang_id_sql() -> str:
     """DuckDB oracle for :func:`lang_id`: same stopword tables, same
     first-200-token window, same first-max-wins tie-break (languages
