@@ -188,6 +188,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_vocab_top_terms(sf_dir):
         return T.vocab_top_terms(docs(sf_dir))
 
+    def q_heavy_hitters(sf_dir):
+        # MG sketch + exact candidate recount; on this corpus the
+        # vocabulary (31 terms) fits the 400-counter sketch, so the
+        # result is exact and shares the vocab SQL oracle (LIMIT 20)
+        return T.heavy_hitters(docs(sf_dir), k=20)
+
+    def q_sample_stratified(sf_dir):
+        from yj_schema_validator_ray.stages.sampling import stratified_sample
+
+        return stratified_sample(docs3(sf_dir), 10)
+
     def q_pack_sequences(sf_dir):
         from yj_schema_validator_ray.stages.sampling import pack_sequences
 
@@ -264,7 +275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_uniform": q_sample_uniform,
         "sample_mixture": q_sample_mixture,
         "vocab_top_terms": q_vocab_top_terms,
+        "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
+        "sample_stratified": q_sample_stratified,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -345,6 +358,20 @@ def _pack_sequences_sql() -> str:
     return pack_sequences_sql()
 
 
+def _heavy_hitters_sql() -> str:
+    # exact top-k SQL (the sketch is exact whenever the vocabulary fits
+    # its 400 counters, which holds for this corpus)
+    from yj_schema_validator_ray.stages.text import heavy_hitters_sql
+
+    return heavy_hitters_sql(k=20)
+
+
+def _sample_stratified_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import stratified_sample_sql
+
+    return stratified_sample_sql(10)
+
+
 def _dedup_ngram_exact_sql() -> str:
     from yj_schema_validator_ray.stages.dedup import ngram_jaccard_exact_sql
 
@@ -384,7 +411,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_uniform": _sample_uniform_sql(),
         "sample_mixture": _sample_mixture_sql(),
         "vocab_top_terms": _vocab_top_terms_sql(),
+        "heavy_hitters": _heavy_hitters_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "sample_stratified": _sample_stratified_sql(),
         "quality_scores": _quality_scores_sql(),
         "media_meta": ("SELECT doc_id AS media_id, sha256(text) AS payload_sha256, "
                        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) "

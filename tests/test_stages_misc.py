@@ -379,6 +379,48 @@ def test_vocab_top_terms(ray_session):
     assert list(out["df"]) == [2, 1, 2]
 
 
+def test_stratified_sample_exact_sizes(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.sampling import stratified_sample
+
+    df = pd.DataFrame({"doc_id": range(900),
+                       "source": ["a", "b", "c"] * 300})
+    out = stratified_sample(ray.data.from_pandas(df), 40).to_pandas()
+    assert out.groupby("source").size().to_dict() == {"a": 40, "b": 40, "c": 40}
+    # rerun-stable (pure hash ranking) and nested under a bigger N
+    out2 = stratified_sample(ray.data.from_pandas(df), 40).to_pandas()
+    assert set(map(tuple, out.values)) == set(map(tuple, out2.values))
+    big = stratified_sample(ray.data.from_pandas(df), 80).to_pandas()
+    assert set(out["doc_id"]) <= set(big["doc_id"])
+
+
+def test_heavy_hitters_matches_exact_topk(ray_session):
+    """MG sketch + exact recount finds the true top-k on a Zipfian
+    vocabulary much larger than the sketch capacity."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.text import heavy_hitters
+
+    rng = np.random.RandomState(13)
+    vocab = np.array([f"w{i}" for i in range(2000)])
+    # Zipf draw: heavy head, long tail
+    freq = rng.zipf(1.3, size=60_000)
+    words = vocab[(freq - 1) % len(vocab)]
+    texts = [" ".join(words[i * 60:(i + 1) * 60]) for i in range(1000)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    out = (heavy_hitters(ds, k=10, capacity=400).to_pandas()
+           .sort_values(["n", "term"], ascending=[False, True])
+           .reset_index(drop=True))
+    vc = pd.Series(words).value_counts()
+    expect = (vc.reset_index().rename(columns={"index": "term", "count": "n"})
+              .sort_values(["n", "term"], ascending=[False, True]).head(10)
+              .reset_index(drop=True))
+    assert list(out["term"]) == list(expect["term"])
+    assert list(out["n"]) == list(expect["n"].astype(int))
+
+
 def test_scrub_pii_counts(ray_session):
     import ray.data
 

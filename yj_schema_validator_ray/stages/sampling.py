@@ -121,6 +121,51 @@ def pack_sequences(docs_ds, budget: int = 512, bucket_size: int = 256):
             .map_groups(pack, batch_format="pandas"))
 
 
+def stratified_sample(docs_ds, n_per_group: int, group_col: str = "source",
+                      id_col: str = "doc_id"):
+    """Deterministic fixed-size per-group sample: the ``n_per_group``
+    rows with the smallest ``(md5(id), id)`` rank inside each group —
+    i.e. a uniform-without-replacement sample that is reproducible
+    across reruns, resumes, and repartitioning (same property as
+    :func:`hash_sample`, but with an exact per-group SIZE instead of an
+    expected rate).
+
+    Distributed top-N-per-group: each batch keeps its local N smallest
+    per group (so at most ``blocks * N`` rows per group shuffle), then
+    one exchange per group finishes the selection.  Group count is
+    assumed small (sources, languages, shards); high-cardinality groups
+    would route through the coarse-hash exchange instead.
+    """
+    def local(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            id_col: batch.column(id_col).to_pandas(),
+            group_col: batch.column(group_col).to_pandas(),
+            "__hex": _hex8(batch.column(id_col).to_pylist()),
+        })
+        keep = (df.sort_values(["__hex", id_col])
+                .groupby(group_col, sort=False).head(n_per_group))
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["__hex", id_col]).head(n_per_group)
+               [[id_col, group_col]])
+        return out.reset_index(drop=True)
+
+    return (docs_ds.map_batches(local, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(final, batch_format="pandas"))
+
+
+def stratified_sample_sql(n_per_group: int, table: str = "documents",
+                          group_col: str = "source",
+                          id_col: str = "doc_id") -> str:
+    return (f"SELECT {id_col}, {group_col} FROM ("
+            f"SELECT {id_col}, {group_col}, row_number() OVER ("
+            f"PARTITION BY {group_col} "
+            f"ORDER BY substr(md5(CAST({id_col} AS VARCHAR)), 1, 8), {id_col}"
+            f") AS r FROM {table}) WHERE r <= {n_per_group}")
+
+
 def pack_sequences_sql(budget: int = 512, table: str = "documents") -> str:
     return rf"""
 WITH t AS (

@@ -322,6 +322,96 @@ def vocab_top_terms(docs_ds, k: int = 100):
             .sort(["tf", "term"], descending=[True, False]).limit(k))
 
 
+def heavy_hitters(docs_ds, k: int = 20, capacity: int = 400):
+    """One-pass heavy-hitter terms via a distributed Misra-Gries sketch
+    with an exact recount of the surviving candidates.
+
+    Pass 1 runs a Misra-Gries summary of ``capacity`` counters inside
+    each batch (vectorized: full local value_counts truncated to the
+    top ``capacity`` — the batch-local equivalent of MG's decrement
+    rule, with the same guarantee: any term with batch frequency
+    > batch_n/capacity survives) and merges partials by summation +
+    re-truncation per shuffle partition; the driver sees only
+    ``capacity`` candidate terms.  Pass 2 recounts ONLY the broadcast
+    candidates exactly and keeps the top ``k`` by (count desc, term
+    asc).  Unlike :func:`vocab_top_terms` the full vocabulary never
+    shuffles — memory is O(capacity) per worker regardless of
+    vocabulary size; the trade is that adversarial distributions where
+    the true k-th hitter's frequency is below n/capacity can evade the
+    sketch (the classic MG bound), which the exact variant does not
+    miss.
+    """
+    import ray
+
+    from ..util import process_cached
+
+    def mg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        vc = pd.Series(flat).value_counts().head(capacity)
+        return pd.DataFrame({"term": vc.index, "n": vc.to_numpy().astype("int64")})
+
+    def mg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("term", sort=False)["n"].sum()
+             .sort_values(ascending=False).head(capacity))
+        return pd.DataFrame({"term": m.index, "n": m.to_numpy().astype("int64")})
+
+    from ..util import shuffle_partitions
+
+    # hierarchical merge: per-partition re-truncation first, so the
+    # final single-task merge sees <= partitions * capacity rows, not
+    # blocks * capacity
+    cand = (docs_ds.map_batches(mg_partial, batch_format="pandas")
+            .repartition(shuffle_partitions())
+            .map_batches(mg_merge, batch_format="pandas")
+            .repartition(1)
+            .map_batches(mg_merge, batch_format="pandas"))
+    cand_terms = [r["term"] for r in cand.take_all()]  # <= capacity strings
+    wanted_ref = ray.put(frozenset(cand_terms))
+
+    class Recount:
+        def __init__(self, ref):
+            self.wanted = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.lower().str.findall(WORD_RE)
+            lens = toks.map(len).to_numpy()
+            if lens.sum() == 0:
+                return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                     "n": pd.Series(dtype="int64")})
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            s = pd.Series(flat)
+            vc = s[s.isin(self.wanted)].value_counts()
+            return pd.DataFrame({"term": vc.index,
+                                 "n": vc.to_numpy().astype("int64")})
+
+    from ..util import ref_key
+    from .exact_agg import grouped_aggregate
+
+    exact = grouped_aggregate(
+        docs_ds.map_batches(
+            process_cached(Recount, (ref_key(wanted_ref),), wanted_ref),
+            batch_format="pandas"),
+        ["term"], [("n", "sum", "n")])
+    return (exact.sort(["n", "term"], descending=[True, False]).limit(k))
+
+
+def heavy_hitters_sql(k: int = 20) -> str:
+    """Oracle for :func:`heavy_hitters` — exact whenever the vocabulary
+    fits the sketch capacity (always true for this corpus)."""
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY term ORDER BY n DESC, term LIMIT {k}"""
+
+
 def vocab_top_terms_sql(k: int = 100) -> str:
     return rf"""
 WITH toks AS (
