@@ -154,6 +154,20 @@ def run_bench() -> dict:
     timings["dedup_minhash"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    D.ngram_jaccard_exact_pairs(docs_ds()).count()
+    timings["dedup_ngram_exact"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    import ray.data
+
+    from yj_schema_validator_ray.stages.quantiles import grouped_exact_quantiles
+
+    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                               columns=["event_type", "value"])
+    grouped_exact_quantiles(ev, "event_type", "value").count()
+    timings["events_quantiles"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     import numpy as np
     import pyarrow.parquet as pq2
 

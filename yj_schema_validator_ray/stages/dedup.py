@@ -502,35 +502,56 @@ class NGramHasher:
         })
 
 
+def _blob_values(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 values, per-row lengths) of a binary-blob column
+    holding packed int64 arrays — zero-copy from the Arrow buffers."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    vals = data[offs[0]:offs[-1]].view("<i8")
+    return vals, (offs[1:] - offs[:-1]) // 8
+
+
 def _score_jaccard(batch: pa.Table, threshold: float) -> pa.Table:
     """Exact Jaccard on joined gram-blob pairs (sorted unique int64 hash
-    arrays packed as binary).  Filter on the RAW quotient, round the
-    reported value half-away-from-zero to 6 decimals — the same formula
-    the DuckDB oracle uses (``floor(j*1e6+0.5)/1e6``; Python's round is
+    arrays packed as binary), vectorized across the whole batch: tag
+    every gram with its pair index, one lexsort, count adjacent
+    (pair, gram) duplicates — each side's set is unique, so duplicates
+    ARE the intersection.  No per-pair Python loop.
+
+    Filter on the RAW quotient, round the reported value
+    half-away-from-zero to 6 decimals — the same formula the DuckDB
+    oracle uses (``floor(j*1e6+0.5)/1e6``; Python's round is
     half-to-even and would flip midpoints)."""
-    ga = batch.column("grams_a")
-    gb = batch.column("grams_b")
-    if isinstance(ga, pa.ChunkedArray):
-        ga = ga.combine_chunks()
-    if isinstance(gb, pa.ChunkedArray):
-        gb = gb.combine_chunks()
-    out_a, out_b, out_j = [], [], []
-    a_ids = batch.column("a").to_pylist()
-    b_ids = batch.column("b").to_pylist()
-    for i in range(batch.num_rows):
-        sa = np.frombuffer(ga[i].as_py(), dtype="<i8")
-        sb = np.frombuffer(gb[i].as_py(), dtype="<i8")
-        u = len(sa) + len(sb)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        u -= inter
-        j = inter / u if u else 0.0
-        if j >= threshold:
-            out_a.append(a_ids[i])
-            out_b.append(b_ids[i])
-            out_j.append(np.floor(j * 1e6 + 0.5) / 1e6)
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    va, la = _blob_values(batch.column("grams_a"))
+    vb, lb = _blob_values(batch.column("grams_b"))
+    idx = np.arange(n)
+    ids = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, ids))
+    ids_s, vals_s = ids[order], vals[order]
+    dup = (ids_s[1:] == ids_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+    inter = np.bincount(ids_s[1:][dup], minlength=n)
+    union = la + lb - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    keep = j >= threshold
+    return pa.table({
+        "a": pc.take(batch.column("a"), pa.array(np.flatnonzero(keep))),
+        "b": pc.take(batch.column("b"), pa.array(np.flatnonzero(keep))),
+        "jaccard": pa.array(np.floor(j[keep] * 1e6 + 0.5) / 1e6,
+                            pa.float64()),
+    })
 
 
 class AllNGramHasher(NGramHasher):
@@ -598,6 +619,7 @@ def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3):
             "gram": pa.array(flat[take], pa.int64()),
             "doc_id": pa.array(np.repeat(ids, plen), pa.int64()),
             "sz": pa.array(np.repeat(lens, plen), pa.int64()),
+            "pos": pa.array(within, pa.int64()),
         })
 
     def add_coarse(t: pa.Table) -> pa.Table:
@@ -606,11 +628,22 @@ def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3):
         coarse = ((h >> np.uint64(33)) & np.uint64(1023)).astype(np.int64)
         return t.append_column("coarse", pa.array(coarse, pa.int64()))
 
+    # PPJoin positional filter: a pair found at the FIRST shared prefix
+    # gram (position pa in A, pb in B) can have overlap at most
+    # 1 + min(|A|-pa-1, |B|-pb-1); J >= t needs overlap >=
+    # t/(1+t) * (|A|+|B|).  Any true pair passes this at its first
+    # shared gram (all other shared grams sort after it in BOTH lists),
+    # so filtering every occurrence independently and keeping a pair if
+    # ANY occurrence passes admits no false negatives — later-occurrence
+    # false positives are killed by the exact verify.
+    alpha_coef = threshold / (1.0 + threshold)
+
     def emit_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["gram", "doc_id"])
         gram = g["gram"].to_numpy()
         ids = g["doc_id"].to_numpy()
         sz = g["sz"].to_numpy()
+        pos = g["pos"].to_numpy()
         change = np.flatnonzero(gram[1:] != gram[:-1])
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [len(ids)]))
@@ -618,18 +651,23 @@ def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3):
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            run_ids, run_sz = ids[s:e], sz[s:e]
+            run_ids, run_sz, run_pos = ids[s:e], sz[s:e], pos[s:e]
             iu, ju = np.triu_indices(e - s, k=1)
             lo = np.minimum(run_sz[iu], run_sz[ju])
             hi = np.maximum(run_sz[iu], run_sz[ju])
             keep = lo >= threshold * hi  # J <= lo/hi — exact necessary cond
+            ubound = 1 + np.minimum(run_sz[iu] - run_pos[iu] - 1,
+                                    run_sz[ju] - run_pos[ju] - 1)
+            keep &= ubound >= alpha_coef * (run_sz[iu] + run_sz[ju])
             out_a.append(run_ids[iu][keep])
             out_b.append(run_ids[ju][keep])
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
+        # partition-local dedupe: pairs found via several grams of this
+        # partition collapse before they hit the global exchange
         return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)})
+                             "b": np.concatenate(out_b)}).drop_duplicates()
 
     raw = (grams.map_batches(prefix_rows, batch_format="pyarrow")
            .map_batches(add_coarse, batch_format="pyarrow")
