@@ -57,9 +57,13 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
         return pa.table({group_col: t.column(group_col),
                          "bucket": pa.array(b, pa.int64())})
 
+    # the histogram exchange moves (group, bucket, n) partials only —
+    # a handful of rows per block — so a few reducers beat the default
+    # cores-proportional count (each extra partition is ~fixed sort cost)
     hist = grouped_aggregate(
         ds.map_batches(hist_partial, batch_format="pyarrow"),
-        [group_col, "bucket"], [("", "count", "n")]).to_pandas()
+        [group_col, "bucket"], [("", "count", "n")],
+        num_partitions=min(8, shuffle_partitions())).to_pandas()
 
     # driver: locate (bucket, residual rank) per (group, q) — histogram
     # rows only, no row data
@@ -106,7 +110,7 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
 
     return (ds.map_batches(prune, batch_format="pyarrow")
             .groupby([group_col, "bucket"],
-                     num_partitions=min(len(wanted), shuffle_partitions()))
+                     num_partitions=min(len(wanted), 8, shuffle_partitions()))
             .map_groups(select, batch_format="pandas")
             .map_batches(lambda t: t.select([group_col, "quantile", "value"]),
                          batch_format="pyarrow"))
