@@ -131,6 +131,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return curation_report(_augment(docs3(sf_dir), "doc_id"))
 
+    def q_training_prep(sf_dir):
+        from yj_schema_validator_ray.pipelines.curation import training_prep
+
+        return training_prep(_augment(docs3(sf_dir), "doc_id"))
+
     def q_dedup_exact_groups(sf_dir):
         return D.exact_dup_groups(_augment(docs(sf_dir), "doc_id"))
 
@@ -289,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": q_media_meta,
         # curation composition pipeline
         "curation_report": q_curation_report,
+        "training_prep": q_training_prep,
         # relational / windows
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -385,6 +391,13 @@ def _curation_sql() -> str:
     return curation_report_sql(_DOCS_AUG3)
 
 
+def _training_prep_sql() -> str:
+    from yj_schema_validator_ray.oracles import _DOCS_AUG3
+    from yj_schema_validator_ray.pipelines.curation import training_prep_sql
+
+    return training_prep_sql(_DOCS_AUG3)
+
+
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
 
@@ -424,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups_lsh": oracles.embedding_dups_sql(),
         # curation composition pipeline
         "curation_report": _curation_sql(),
+        "training_prep": _training_prep_sql(),
         # relational / windows
         "q1_pricing_summary": R.q1_sql(),
         "q3_shipping_priority": R.q3_shipping_priority_sql(),

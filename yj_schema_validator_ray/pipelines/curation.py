@@ -103,6 +103,53 @@ def curation_report(docs_ds):
                        Sum("n_docs", alias_name="n_docs")))
 
 
+def training_prep(docs_ds, budget: int = 512):
+    """The full training-data prep composition: two overlapping crawls
+    -> exact dedup (keep min doc_id) -> quality gate -> GPT-style
+    sequence packing (distributed prefix sum over the KEPT docs).
+
+    Composes :func:`curated_documents` (one text pass, metric-row dedup
+    shuffle) with :func:`~..stages.sampling.pack_from_counts` — after
+    the first pass only (doc_id, n_tokens) rows flow.  Output:
+    (doc_id, n_tokens, tok_offset, seq_id) per kept doc, oracle-checked
+    end to end.
+    """
+    from ..stages.sampling import pack_from_counts
+
+    cnt = curated_documents(docs_ds).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
+    return pack_from_counts(cnt, budget=budget)
+
+
+def training_prep_sql(docs_cte: str, budget: int = 512) -> str:
+    """Oracle: dedup + gate + window-function prefix sum in one query."""
+    return f"""WITH {docs_cte},
+kept AS (
+  SELECT min(doc_id) AS doc_id FROM docs_aug GROUP BY sha256(text)
+),
+gated AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_extract_all(d.text, '\\w+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(d.text, '[.,;:!?]')) AS BIGINT) AS n_punct
+  FROM docs_aug d JOIN kept k ON k.doc_id = d.doc_id
+),
+f AS (
+  SELECT doc_id, n_tokens FROM gated
+  WHERE n_tokens >= {MIN_TOKENS}
+    AND CAST(n_punct AS DOUBLE) <= n_tokens * {MAX_PUNCT_RATIO}
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM f
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(floor(tok_offset / {budget}.0) AS BIGINT) AS seq_id
+FROM c"""
+
+
 def curation_report_sql(docs_cte: str) -> str:
     """Oracle: same dedup + gate + accounting in SQL over ``docs_aug``."""
     return f"""WITH {docs_cte},

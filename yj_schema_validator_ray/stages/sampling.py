@@ -89,17 +89,31 @@ def pack_sequences(docs_ds, budget: int = 512, bucket_size: int = 256):
 
     Output: (doc_id, n_tokens, tok_offset, seq_id).
     """
-    from .exact_agg import grouped_aggregate
-    from ..util import shuffle_partitions
-
     def counts(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
         n = pc.cast(pc.count_substring_regex(batch.column("text"), r"\w+"),
                     pa.int64())
-        bucket = pa.array(ids.to_numpy() // bucket_size, pa.int64())
-        return pa.table({"doc_id": ids, "n_tokens": n, "bucket": bucket})
+        return pa.table({"doc_id": ids, "n_tokens": n})
 
-    cnt = docs_ds.map_batches(counts, batch_format="pyarrow").materialize()
+    return pack_from_counts(docs_ds.map_batches(counts, batch_format="pyarrow"),
+                            budget=budget, bucket_size=bucket_size)
+
+
+def pack_from_counts(cnt_ds, budget: int = 512, bucket_size: int = 256):
+    """The distributed prefix-sum core of :func:`pack_sequences`, over a
+    pre-computed ``(doc_id, n_tokens)`` dataset — lets composition
+    pipelines (quality gate -> dedup -> pack) feed their own kept set."""
+    from .exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bucket = pa.array(batch.column("doc_id").to_numpy() // bucket_size,
+                          pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": batch.column("n_tokens"),
+                         "bucket": bucket})
+
+    cnt = cnt_ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
     btot = grouped_aggregate(
         cnt, ["bucket"], [("n_tokens", "sum", "bucket_tokens")]).to_pandas()
     btot = btot.sort_values("bucket")
