@@ -240,6 +240,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "value"])
         return grouped_exact_quantiles(ev, "event_type", "value")
 
+    def q_quantile_sketch(sf_dir):
+        # one-pass mergeable centroid sketch — approximate by design
+        # (rows-only check; pytest bounds rank error vs exact)
+        from yj_schema_validator_ray.stages.quantiles import (
+            approx_quantile_sketch)
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["value"])
+        return approx_quantile_sketch(ev, "value")
+
     def q_media_features(sf_dir):
         return M.media_features(M.media_dataset_from_documents(sf_dir))
 
@@ -308,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": R.events_asof_join,
         "events_range_join": R.events_range_join,
         "events_quantiles": q_events_quantiles,
+        "events_quantile_sketch": q_quantile_sketch,
     }
 
 

@@ -108,6 +108,26 @@ def test_events_range_join_semantics(ray_session, tmp_path):
     assert got == {(2, 0), (2, 1), (3, 1), (6, 5)}
 
 
+def test_approx_quantile_sketch_error_bound(ray_session):
+    """The mergeable centroid sketch lands within 2% RANK error of the
+    true quantiles on a multi-block stream."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.quantiles import approx_quantile_sketch
+
+    rng = np.random.RandomState(23)
+    vals = np.concatenate([rng.lognormal(0, 1, 40_000),
+                           rng.normal(100, 5, 10_000)])
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"value": vals})).repartition(20)
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    out = approx_quantile_sketch(ds, "value", qs=qs)
+    s = np.sort(vals)
+    for q, est in zip(out["quantile"], out["value_est"]):
+        rank = np.searchsorted(s, est) / len(s)
+        assert abs(rank - q) <= 0.02, (q, est, rank)
+
+
 def test_grouped_exact_quantiles(ray_session):
     """Two-phase radix-bucket rank selection equals the exact
     ceil(q*n)-th smallest per group — including negative values and an

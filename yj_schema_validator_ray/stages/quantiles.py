@@ -116,6 +116,78 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
                          batch_format="pyarrow"))
 
 
+def _compact(vals: np.ndarray, wts: np.ndarray, k: int):
+    """Compress weighted points to <= k centroids preserving the
+    cumulative-weight profile (t-digest-style uniform compaction)."""
+    order = np.argsort(vals, kind="stable")
+    v, w = vals[order], wts[order]
+    if len(v) <= k:
+        return v, w
+    cw = np.cumsum(w)
+    total = cw[-1]
+    edges = np.linspace(0.0, float(total), k + 1)
+    idx = np.searchsorted(cw, edges[1:-1], side="left")
+    starts = np.concatenate(([0], idx))
+    ends = np.concatenate((idx, [len(v)]))
+    out_v, out_w = [], []
+    for s, e in zip(starts, ends):
+        if e <= s:
+            continue
+        seg_w = w[s:e]
+        sw = seg_w.sum()
+        mid = int(np.searchsorted(np.cumsum(seg_w), sw / 2.0))
+        out_v.append(v[s:e][min(mid, e - s - 1)])
+        out_w.append(sw)
+    return np.asarray(out_v, np.float64), np.asarray(out_w, np.float64)
+
+
+def approx_quantile_sketch(ds, value_col: str, qs=DEFAULT_QS, k: int = 256):
+    """ONE-pass approximate quantiles via a mergeable weighted-centroid
+    sketch (uniform-rank compaction, the t-digest family): each batch
+    compresses its sorted values to <= ``k`` (value, weight) centroids;
+    centroids merge associatively through a two-level tree (per-partition
+    compaction, then one final compaction), so memory is O(k) per worker
+    and only ~k rows ever reach the driver.  Rank error is ~1/k per
+    compaction level (tested <= 2% at k=256).
+
+    The streaming counterpart of :func:`grouped_exact_quantiles` — use
+    the sketch when a second pruned pass over the data is too expensive
+    (e.g. the input is not re-readable), the exact variant otherwise.
+    Returns a pandas DataFrame (quantile, value_est).
+    """
+    from ..util import shuffle_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_numpy().astype(np.float64)
+        v, w = _compact(vals, np.ones(len(vals)), k)
+        return pa.table({"v": pa.array(v, pa.float64()),
+                         "w": pa.array(w, pa.float64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        v, w = _compact(t.column("v").to_numpy(),
+                        t.column("w").to_numpy(), k)
+        return pa.table({"v": pa.array(v, pa.float64()),
+                         "w": pa.array(w, pa.float64())})
+
+    sk = (ds.map_batches(partial, batch_format="pyarrow")
+          .repartition(min(8, shuffle_partitions()))
+          .map_batches(merge, batch_format="pyarrow")
+          .repartition(1)
+          .map_batches(merge, batch_format="pyarrow")).take_all()
+    v = np.array([r["v"] for r in sk])
+    w = np.array([r["w"] for r in sk])
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    total = cw[-1] if len(cw) else 0.0
+    out = []
+    for q in qs:
+        i = int(np.searchsorted(cw, q * total, side="left"))
+        out.append((q, float(v[min(i, len(v) - 1)]) if len(v) else float("nan")))
+    return pd.DataFrame({"quantile": [q for q, _ in out],
+                         "value_est": [x for _, x in out]})
+
+
 def grouped_exact_quantiles_sql(table: str, group_col: str, value_col: str,
                                 qs=DEFAULT_QS) -> str:
     """DuckDB oracle: rank = ceil(q*n) per group via window functions
