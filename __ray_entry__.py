@@ -253,6 +253,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_media_features(sf_dir):
         return M.media_features(M.media_dataset_from_documents(sf_dir))
 
+    def q_media_frames(sf_dir):
+        # video-shaped 1->N frame sampling over opaque payloads (every
+        # 2nd 256-byte frame block).  The stage emits raw frame bytes;
+        # the driver-facing projection hashes them (binary columns
+        # round-trip as numpy-uint8 vs bytearray between Ray and DuckDB
+        # dataframes, which would break the value-hash compare even for
+        # identical bytes).  SQL oracle slices the ASCII text (VARCHAR
+        # substring == byte slice) and hashes the same frames.
+        import hashlib
+
+        import pyarrow as pa
+
+        from yj_schema_validator_ray.util import default_pool
+
+        frames = M.media_dataset_from_documents(sf_dir).map_batches(
+            M.FrameSampler, batch_format="pyarrow", batch_size=64,
+            concurrency=default_pool())
+
+        def project(t: pa.Table) -> pa.Table:
+            payloads = t.column("frame").to_pylist()
+            return pa.table({
+                "media_id": t.column("media_id"),
+                "frame_index": t.column("frame_index"),
+                "frame_sha256": pa.array(
+                    [hashlib.sha256(p).hexdigest() for p in payloads],
+                    pa.string()),
+                "frame_bytes": pa.array([len(p) for p in payloads],
+                                        pa.int64()),
+            })
+
+        return frames.map_batches(project, batch_format="pyarrow")
+
     def q_media_meta(sf_dir):
         # metadata projection (sha256 + size of the opaque payload) —
         # SQL-oracle-able since payloads are the documents' UTF-8 bytes
@@ -302,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": q_media_features,
         "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
         # curation composition pipeline
         "curation_report": q_curation_report,
         "training_prep": q_training_prep,
@@ -402,6 +435,31 @@ def _curation_sql() -> str:
     return curation_report_sql(_DOCS_AUG3)
 
 
+def _media_frames_sql(frame_bytes: int = 256, every_k: int = 2) -> str:
+    # docs are ASCII (length == octet_length), so VARCHAR substring is a
+    # byte slice; frames are every_k-th frame_bytes block, min 1 frame
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+  FROM documents
+),
+idx AS (
+  SELECT media_id, text,
+         unnest(generate_series(0,
+                CAST(greatest(nb // {frame_bytes}, 1) AS BIGINT) - 1,
+                {every_k})) AS fi
+  FROM m
+)
+SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+       sha256(substring(text, CAST(fi * {frame_bytes} + 1 AS BIGINT),
+                        {frame_bytes})) AS frame_sha256,
+       CAST(octet_length(CAST(substring(text,
+            CAST(fi * {frame_bytes} + 1 AS BIGINT), {frame_bytes})
+            AS BLOB)) AS BIGINT) AS frame_bytes
+FROM idx"""
+
+
 def _training_prep_sql() -> str:
     from yj_schema_validator_ray.oracles import _DOCS_AUG3
     from yj_schema_validator_ray.pipelines.curation import training_prep_sql
@@ -442,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": ("SELECT doc_id AS media_id, sha256(text) AS payload_sha256, "
                        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) "
                        "AS payload_bytes FROM documents"),
+        "media_frames": _media_frames_sql(),
         # similarity
         "ann_topk": oracles.ann_topk_sql(),
         "embedding_dups": oracles.embedding_dups_sql(),

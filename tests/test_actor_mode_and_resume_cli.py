@@ -81,6 +81,10 @@ def test_exact_agg_null_keys(ray_session):
     ("duration", "PT5.5S", "1D"),
     ("json-pointer", "/a/b~1c", "a/b"),
     ("relative-json-pointer", "1/a", "/a"),
+    ("iri", "https://ex.amplé.org/p", "not a scheme"),
+    ("idn-email", "uéser@example.org", "no-at-sign"),
+    ("idn-hostname", "bücher.example", "has space.example"),
+    ("uri-template", "http://ex.org/{id}/x{?q,lang*}", "http://ex.org/{un}closed{"),
 ])
 def test_extra_formats(fmt, good, bad):
     schema = {"type": "string", "format": fmt}

@@ -176,6 +176,9 @@ def _check_ipv6(s: str) -> bool:
 
 _DURATION_RE = re.compile(
     r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$")
+_URI_TEMPLATE_RE = re.compile(
+    r"^(?:[^{}]|\{[+#./;?&=,!@|]?[A-Za-z0-9_%.]+(?::[1-9][0-9]{0,3}|\*)?"
+    r"(?:,[A-Za-z0-9_%.]+(?::[1-9][0-9]{0,3}|\*)?)*\})*$")
 _JSON_POINTER_RE = re.compile(r"^(?:/(?:[^~/]|~0|~1)*)*$")
 _REL_JSON_POINTER_RE = re.compile(r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~0|~1)*)*)$")
 
@@ -195,6 +198,14 @@ _FORMAT_CHECKS: dict[str, Callable[[str], bool]] = {
     "duration": lambda s: bool(_DURATION_RE.match(s)),
     "json-pointer": lambda s: bool(_JSON_POINTER_RE.match(s)),
     "relative-json-pointer": lambda s: bool(_REL_JSON_POINTER_RE.match(s)),
+    # the remaining draft-2020-12 format vocabulary (NetworkNT asserts
+    # these too): IRI family = URI checks with non-ASCII allowed;
+    # uri-template per RFC 6570 (balanced {...} expressions)
+    "iri": lambda s: bool(_URI_RE.match(s)),
+    "iri-reference": lambda s: True,
+    "idn-email": lambda s: s.count("@") == 1 and "@" not in (s[0], s[-1]),
+    "idn-hostname": lambda s: 0 < len(s) <= 253 and " " not in s,
+    "uri-template": lambda s: bool(_URI_TEMPLATE_RE.match(s)),
 }
 
 
