@@ -136,6 +136,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return training_prep(_augment(docs3(sf_dir), "doc_id"))
 
+    def q_docs_rollup(sf_dir):
+        from yj_schema_validator_ray.pipelines.curation import docs_rollup
+
+        return docs_rollup(ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["source", "lang", "text"]))
+
     def q_dedup_exact_groups(sf_dir):
         return D.exact_dup_groups(_augment(docs(sf_dir), "doc_id"))
 
@@ -338,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation composition pipeline
         "curation_report": q_curation_report,
         "training_prep": q_training_prep,
+        "docs_rollup": q_docs_rollup,
+        "events_funnel": R.events_funnel,
         # relational / windows
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -467,6 +476,12 @@ def _training_prep_sql() -> str:
     return training_prep_sql(_DOCS_AUG3)
 
 
+def _docs_rollup_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import docs_rollup_sql
+
+    return docs_rollup_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
 
@@ -508,6 +523,8 @@ def oracle_sql() -> dict[str, str]:
         # curation composition pipeline
         "curation_report": _curation_sql(),
         "training_prep": _training_prep_sql(),
+        "docs_rollup": _docs_rollup_sql(),
+        "events_funnel": R.events_funnel_sql(),
         # relational / windows
         "q1_pricing_summary": R.q1_sql(),
         "q3_shipping_priority": R.q3_shipping_priority_sql(),

@@ -108,6 +108,41 @@ def test_events_range_join_semantics(ray_session, tmp_path):
     assert got == {(2, 0), (2, 1), (3, 1), (6, 5)}
 
 
+def test_events_funnel_ordering(ray_session, tmp_path):
+    """Funnel counts users whose FIRST event of each stage is strictly
+    after the previous stage's first event — out-of-order users drop at
+    the stage that violates the order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.pipelines.relational import events_funnel
+
+    ts = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+    rows = [
+        # user 1: view@1 click@2 purchase@3 -> reaches all three
+        (0, ts(1), 1, "view"), (1, ts(2), 1, "click"), (2, ts(3), 1, "purchase"),
+        # user 2: click BEFORE view -> only 'view' stage counts
+        (3, ts(5), 2, "click"), (4, ts(6), 2, "view"), (5, ts(7), 2, "purchase"),
+        # user 3: view then click, no purchase -> two stages
+        (6, ts(1), 3, "view"), (7, ts(9), 3, "click"),
+        # user 4: purchase only -> zero stages
+        (8, ts(1), 4, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = events_funnel(str(d)).to_pandas()
+    got = dict(zip(out["stage"], out["n_users"]))
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
 def test_approx_quantile_sketch_error_bound(ray_session):
     """The mergeable centroid sketch lands within 2% RANK error of the
     true quantiles on a multi-block stream."""

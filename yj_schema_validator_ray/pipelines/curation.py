@@ -150,6 +150,61 @@ SELECT doc_id, n_tokens, tok_offset,
 FROM c"""
 
 
+def docs_rollup(docs_ds):
+    """ROLLUP / grouping-sets accounting in ONE data pass: doc counts +
+    token totals at (source, lang), (source) and () grain.
+
+    Only the FINEST grain touches the data (per-batch partials -> one
+    coarse-hash exchange); the coarser tiers are re-aggregated from the
+    base result, whose size is the group DOMAIN (sources x langs), not
+    the corpus — so deriving tiers in a single small task is bounded
+    regardless of data size.  NULL group values mark rolled-up levels,
+    exactly like SQL ``GROUP BY ROLLUP``.
+    """
+    import pandas as pd
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.text import WORD_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"),
+            "lang": t.column("lang"),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t.column("text"), WORD_RE),
+                pa.int64()),
+        })
+
+    base = grouped_aggregate(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        [("", "count", "n_docs"), ("n_tokens", "sum", "total_tokens")])
+
+    def tiers(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = (df.groupby("source", as_index=False)
+              .agg(n_docs=("n_docs", "sum"),
+                   total_tokens=("total_tokens", "sum")))
+        t1["lang"] = None
+        t2 = pd.DataFrame({"source": [None], "lang": [None],
+                           "n_docs": [df["n_docs"].sum()],
+                           "total_tokens": [df["total_tokens"].sum()]})
+        out = pd.concat([df, t1, t2], ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_tokens"] = out["total_tokens"].astype("int64")
+        return out[["source", "lang", "n_docs", "total_tokens"]]
+
+    return (base.repartition(1)
+            .map_batches(tiers, batch_format="pandas"))
+
+
+def docs_rollup_sql() -> str:
+    return r"""
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT)
+         AS total_tokens
+FROM documents GROUP BY ROLLUP (source, lang)"""
+
+
 def curation_report_sql(docs_cte: str) -> str:
     """Oracle: same dedup + gate + accounting in SQL over ``docs_aug``."""
     return f"""WITH {docs_cte},

@@ -718,6 +718,88 @@ FROM lefts l JOIN rights r
  AND l.ts >= r.wstart AND l.ts < r.wstart + INTERVAL {window_s} SECOND"""
 
 
+def events_funnel(sf_dir: str, stages=("view", "click", "purchase")):
+    """Funnel analysis: how many users reached each stage IN ORDER —
+    stage k counts users whose earliest stage-1..k event times are
+    strictly increasing (first view before first click before first
+    purchase).
+
+    Shape: per-batch partial min-ts per (user, stage) -> one coarse-hash
+    exchange of (user, stage, min_ts) partials
+    (:func:`~..stages.exact_agg.grouped_aggregate`) -> per-partition
+    pivot + vectorized ordering test -> tiny count aggregation.  Only
+    per-user minima cross the wire, never events.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"), value_set=pa.array(list(stages)))
+        t = t.filter(m)
+        tt = pa.table({"user_id": t.column("user_id"),
+                       "event_type": t.column("event_type"),
+                       "ts_us": pc.cast(t.column("ts"), pa.int64())})
+        return (tt.group_by(["user_id", "event_type"])
+                .aggregate([("ts_us", "min")])
+                .rename_columns(["user_id", "event_type", "min_ts"]))
+
+    mins = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("min_ts", "min", "min_ts")])
+
+    def pivot_count(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(index="user_id", columns="event_type",
+                          values="min_ts", aggfunc="min")
+        reached = pd.Series(True, index=p.index)
+        out = []
+        prev = None
+        for k, st in enumerate(stages):
+            cur = p[st] if st in p.columns else pd.Series(float("nan"),
+                                                         index=p.index)
+            reached = reached & cur.notna() if prev is None else \
+                reached & cur.notna() & (cur > prev)
+            prev = cur.where(reached)
+            out.append((st, int(reached.sum())))
+        return pd.DataFrame({"stage": [s for s, _ in out],
+                             "n_users": [n for _, n in out]})
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "coarse", pc.cast(pc.bit_wise_and(t.column("user_id"), 63),
+                              pa.int64()))
+
+    per_part = (mins.map_batches(add_coarse, batch_format="pyarrow")
+                .groupby("coarse", num_partitions=min(8, shuffle_partitions()))
+                .map_groups(pivot_count, batch_format="pandas"))
+    return (per_part.groupby("stage", num_partitions=2)
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def events_funnel_sql(stages=("view", "click", "purchase")) -> str:
+    mins = ", ".join(
+        f"min(CASE WHEN event_type = '{s}' THEN epoch_us(ts) END) AS t{k}"
+        for k, s in enumerate(stages))
+    rows = []
+    for k, s in enumerate(stages):
+        cond = " AND ".join(
+            ["t0 IS NOT NULL"]
+            + [f"t{i} IS NOT NULL AND t{i} > t{i-1}" for i in range(1, k + 1)])
+        rows.append(f"SELECT '{s}' AS stage, CAST(count(*) FILTER (WHERE {cond}) "
+                    f"AS BIGINT) AS n_users FROM m")
+    union = " UNION ALL ".join(rows)
+    return f"""
+WITH m AS (
+  SELECT user_id, {mins} FROM events GROUP BY user_id
+)
+{union}"""
+
+
 def events_asof_join_sql(left_type: str = "click",
                          right_type: str = "view") -> str:
     return f"""
