@@ -272,19 +272,73 @@ def _unpack_binary_matrix(col) -> np.ndarray:
     return np.ascontiguousarray(data[idx]).view("<i8").reshape(n, width // 8)
 
 
+def _gather_blobs(data: np.ndarray, offs: np.ndarray,
+                  idx: np.ndarray) -> pa.Array:
+    """Vectorized gather of variable-width blobs[idx] into a fresh
+    Arrow binary array (no per-row Python)."""
+    lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+    new_offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    total = int(new_offs[-1])
+    within = np.arange(total, dtype=np.int64) - np.repeat(new_offs[:-1], lens)
+    out = data[np.repeat(offs[idx], lens) + within]
+    return pa.Array.from_buffers(
+        pa.binary(), len(idx),
+        [None, pa.py_buffer(new_offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(out).tobytes())])
+
+
+class _BroadcastAttacher:
+    """Task-mode stage: attach broadcast (id -> blob) attributes to both
+    sides of a deduped pair batch (inner semantics — unknown ids drop)."""
+
+    def __init__(self, ref, attr_col: str):
+        import ray
+
+        self.ids, self.offs, self.data = ray.get(ref)
+        self.attr_col = attr_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        ia = np.searchsorted(self.ids, a)
+        ib = np.searchsorted(self.ids, b)
+        ia_c = np.minimum(ia, len(self.ids) - 1)
+        ib_c = np.minimum(ib, len(self.ids) - 1)
+        ok = (self.ids[ia_c] == a) & (self.ids[ib_c] == b)
+        sel = np.flatnonzero(ok)
+        return pa.table({
+            "a": pa.array(a[sel], pa.int64()),
+            "b": pa.array(b[sel], pa.int64()),
+            self.attr_col + "_a": _gather_blobs(self.data, self.offs, ia_c[sel]),
+            self.attr_col + "_b": _gather_blobs(self.data, self.offs, ib_c[sel]),
+        })
+
+
 def join_pairs_with_signatures(pairs_ds, attrs_ds, attr_col: str,
                                num_partitions: int | None = None,
-                               id_col: str = "doc_id", coarse: int = 1024):
+                               id_col: str = "doc_id", coarse: int = 1024,
+                               broadcast_max_bytes: int = 256 << 20):
     """Distributed attachment of a per-doc attribute to both sides of a
     candidate-pair dataset: ``(a, b)`` ⋈ ``(doc_id, attr)`` — nothing on
-    the driver.  Duplicate candidate pairs (multi-band hits) are deduped
-    in-flight.
+    the driver beyond a bounded broadcast.  Duplicate candidate pairs
+    (multi-band hits) are deduped in-flight.
 
-    Implemented as two coarse-hash groupby exchanges (the same sort-based
-    shuffle machinery as :mod:`.exact_agg`; Ray's dedicated hash-shuffle
-    join operator costs seconds of aggregator-actor spin-up per join,
-    which dominates at interactive scale and adds nothing at cluster
-    scale):
+    ADAPTIVE plan, the classic broadcast-vs-shuffle join choice:
+
+    - attribute side <= ``broadcast_max_bytes`` (materialized Arrow
+      size): dedupe pairs with one tiny 16-byte-row exchange, then
+      attach blobs from a ``ray.put`` broadcast of the packed attribute
+      table inside stateless map tasks (vectorized searchsorted +
+      blob gather).  The blob-sized data never shuffles at all.
+    - larger: the fully distributed two-exchange path below (at 10^9
+      docs x 64 perms the signature side is ~0.5 TB — broadcasting is
+      impossible, shuffling is the only correct shape).
+
+    The shuffle path is two coarse-hash groupby exchanges (the same
+    sort-based shuffle machinery as :mod:`.exact_agg`; Ray's dedicated
+    hash-shuffle join operator costs seconds of aggregator-actor
+    spin-up per join, which dominates at interactive scale and adds
+    nothing at cluster scale):
 
     1. union(pair requests keyed by each side, attr rows keyed by id)
        -> groupby(coarse(key)) -> vectorized pandas merge per partition
@@ -294,10 +348,39 @@ def join_pairs_with_signatures(pairs_ds, attrs_ds, attr_col: str,
     List attributes are packed to per-row binary blobs (unpack with
     :func:`_unpack_binary_matrix`); shuffles move ids + blobs only.
     """
-    from ..util import shuffle_partitions
+    import ray
+
+    from ..util import process_cached, ref_key, shuffle_partitions
+    from .exact_agg import grouped_aggregate
 
     if num_partitions is None:
         num_partitions = shuffle_partitions()
+
+    mat = attrs_ds.materialize()
+    if (mat.size_bytes() or broadcast_max_bytes + 1) <= broadcast_max_bytes:
+        tbl = pa.concat_tables(ray.get(mat.to_arrow_refs()))
+        attr = tbl.column(attr_col)
+        if pa.types.is_fixed_size_list(attr.type) or pa.types.is_list(attr.type):
+            attr = _pack_list_binary(attr)
+        elif isinstance(attr, pa.ChunkedArray):
+            attr = attr.combine_chunks()
+        ids = tbl.column(id_col).to_numpy()
+        order = np.argsort(ids, kind="stable")
+        attr = attr.take(pa.array(order))
+        n = len(attr)
+        offs = np.frombuffer(attr.buffers()[1], dtype=np.int32)[
+            attr.offset:attr.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(attr.buffers()[2], dtype=np.uint8)
+        ref = ray.put((ids[order], offs - offs[0],
+                       data[offs[0]:offs[-1]]))
+        deduped = grouped_aggregate(
+            pairs_ds, ["a", "b"], [("", "count", "__n")],
+            num_partitions=num_partitions).map_batches(
+                lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        return deduped.map_batches(
+            process_cached(_BroadcastAttacher, (ref_key(ref), attr_col),
+                           ref, attr_col),
+            batch_format="pyarrow")
 
     def mix(arr: np.ndarray) -> np.ndarray:
         h = arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -600,7 +683,6 @@ def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3):
     and nothing reaches the driver.
     """
     from ..util import process_cached, shuffle_partitions
-    from .exact_agg import grouped_aggregate
 
     nsp = shuffle_partitions()
     # consumed twice (prefix explode + verify join): materialize the
@@ -681,11 +763,9 @@ def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3):
            .map_batches(add_coarse, batch_format="pyarrow")
            .groupby("coarse", num_partitions=nsp)
            .map_groups(emit_pairs_part, batch_format="pandas"))
-    # multi-gram candidate dupes collapse in one pre-aggregated exchange
-    pairs = grouped_aggregate(raw, ["a", "b"], [("", "count", "n_shared")]) \
-        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-
-    joined = join_pairs_with_signatures(pairs, grams, "grams",
+    # multi-gram candidate dupes collapse inside the join's in-flight
+    # dedupe (both the broadcast and the shuffle plan dedupe pairs)
+    joined = join_pairs_with_signatures(raw, grams, "grams",
                                         num_partitions=nsp)
     return joined.map_batches(lambda b: _score_jaccard(b, threshold),
                               batch_format="pyarrow")
