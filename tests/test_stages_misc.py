@@ -225,6 +225,47 @@ def test_ngram_jaccard_distributed(ray_session):
     assert out["jaccard"].iloc[0] == 1.0
 
 
+def test_pair_join_broadcast_and_shuffle_plans_agree(ray_session):
+    """The adaptive join's two plans (broadcast fast path vs the fully
+    distributed two-exchange shuffle) return identical joined rows,
+    including in-flight dedupe of duplicate candidate pairs and inner
+    (drop-unknown-id) semantics."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.dedup import (
+        _unpack_binary_matrix, join_pairs_with_signatures)
+
+    attrs = pd.DataFrame({
+        "doc_id": range(10),
+        "sig": [list(range(i, i + 4)) for i in range(10)],
+    })
+    pairs = pd.DataFrame({
+        "a": [0, 0, 2, 5, 0, 7],
+        "b": [1, 1, 3, 6, 1, 99],  # dup (0,1) x3; (7,99) has unknown id
+    })
+
+    def run(**kw):
+        out = join_pairs_with_signatures(
+            ray.data.from_pandas(pairs),
+            ray.data.from_pandas(attrs).map_batches(
+                lambda t: t, batch_format="pyarrow"),
+            "sig", **kw).to_pandas().sort_values(["a", "b"])
+        rows = {}
+        for _, r in out.iterrows():
+            sa = np.frombuffer(r["sig_a"], dtype="<i8")
+            sb = np.frombuffer(r["sig_b"], dtype="<i8")
+            rows[(int(r["a"]), int(r["b"]))] = (tuple(sa), tuple(sb))
+        return rows
+
+    bcast = run()
+    shuffle = run(broadcast_max_bytes=0)
+    expect = {(0, 1): ((0, 1, 2, 3), (1, 2, 3, 4)),
+              (2, 3): ((2, 3, 4, 5), (3, 4, 5, 6)),
+              (5, 6): ((5, 6, 7, 8), (6, 7, 8, 9))}
+    assert bcast == expect
+    assert shuffle == expect
+
+
 def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
     """The AllPairs prefix-filter plan finds EXACTLY the pairs a naive
     all-pairs Jaccard over word trigram sets finds (no candidate loss
