@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_prep": q_training_prep,
         "docs_rollup": q_docs_rollup,
         "events_funnel": R.events_funnel,
+        "events_retention": R.events_retention,
         # relational / windows
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -525,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "training_prep": _training_prep_sql(),
         "docs_rollup": _docs_rollup_sql(),
         "events_funnel": R.events_funnel_sql(),
+        "events_retention": R.events_retention_sql(),
         # relational / windows
         "q1_pricing_summary": R.q1_sql(),
         "q3_shipping_priority": R.q3_shipping_priority_sql(),

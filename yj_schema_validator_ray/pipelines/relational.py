@@ -781,6 +781,77 @@ def events_funnel(sf_dir: str, stages=("view", "click", "purchase")):
             .aggregate(Sum("n_users", alias_name="n_users")))
 
 
+def events_retention(sf_dir: str, period_s: int = 86400):
+    """Day-over-day retention: per day, distinct active users and how
+    many of them are also active the NEXT day.
+
+    Shape: per-batch (day, user) dedupe partial -> one coarse-hash
+    exchange makes (day, user) distinct while ALSO summing presence
+    flags for 'active today' vs 'active tomorrow' (each distinct pair
+    emits a second row tagged to the previous day, so the intersection
+    becomes a per-key flag test — no self-join, no second shuffle of
+    the data) -> tiny per-day count aggregation.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        day = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                                         float(period_s))), pa.int64())
+        tt = pa.table({"day": day, "user_id": t.column("user_id")})
+        tt = (tt.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+              .rename_columns(["day", "user_id", "__n"]))
+        d = tt.column("day")
+        u = tt.column("user_id")
+        ones = pa.array(np.ones(len(d), dtype=np.int64))
+        zeros = pa.array(np.zeros(len(d), dtype=np.int64))
+        # row 1: active on `day`; row 2: presence credited to day-1
+        return pa.table({
+            "day": pa.concat_arrays([d.combine_chunks(),
+                                     pc.subtract(d, 1).combine_chunks()]),
+            "user_id": pa.concat_arrays([u.combine_chunks(),
+                                         u.combine_chunks()]),
+            "a": pa.concat_arrays([ones, zeros]),
+            "p": pa.concat_arrays([zeros, ones]),
+        })
+
+    flags = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["day", "user_id"], [("a", "max", "a"), ("p", "max", "p")])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("a"), 0))
+        return (t.group_by(["day"])
+                .aggregate([("a", "sum"), ("p", "sum")])
+                .rename_columns(["day", "n_active", "n_retained"]))
+
+    return (flags.map_batches(day_partial, batch_format="pyarrow")
+            .groupby("day", num_partitions=min(8, shuffle_partitions()))
+            .aggregate(Sum("n_active", alias_name="n_active"),
+                       Sum("n_retained", alias_name="n_retained")))
+
+
+def events_retention_sql(period_s: int = 86400) -> str:
+    return f"""
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / {period_s}) AS BIGINT) AS day,
+         user_id
+  FROM events
+)
+SELECT a.day, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(count(b.user_id) AS BIGINT) AS n_retained
+FROM du a LEFT JOIN du b
+  ON b.user_id = a.user_id AND b.day = a.day + 1
+GROUP BY a.day"""
+
+
 def events_funnel_sql(stages=("view", "click", "purchase")) -> str:
     mins = ", ".join(
         f"min(CASE WHEN event_type = '{s}' THEN epoch_us(ts) END) AS t{k}"
