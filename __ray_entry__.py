@@ -272,11 +272,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         import pyarrow as pa
 
-        from yj_schema_validator_ray.util import default_pool
+        from yj_schema_validator_ray.util import process_cached
 
+        # FrameSampler state is two ints — cheap-state task mode, not an
+        # actor pool (repo convention; pool ramp is ~5-7 s)
         frames = M.media_dataset_from_documents(sf_dir).map_batches(
-            M.FrameSampler, batch_format="pyarrow", batch_size=64,
-            concurrency=default_pool())
+            process_cached(M.FrameSampler, ()),
+            batch_format="pyarrow", batch_size=64)
 
         def project(t: pa.Table) -> pa.Table:
             payloads = t.column("frame").to_pylist()

@@ -304,6 +304,14 @@ def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
     assert got == expect
     assert (20, 0) in got or (0, 20) in got  # the exact dup surfaced
 
+    # hot-gram chunked emission path (full_triu_max forces the blockwise
+    # pair generator) must produce the identical pair set
+    out2 = (ngram_jaccard_exact_pairs(ds, threshold=t, full_triu_max=4)
+            .to_pandas())
+    got2 = {(int(a), int(b)): j
+            for a, b, j in zip(out2["a"], out2["b"], out2["jaccard"])}
+    assert got2 == expect
+
 
 def test_embedding_dups_lsh_matches_exact(ray_session):
     import ray.data

@@ -272,14 +272,27 @@ def _unpack_binary_matrix(col) -> np.ndarray:
     return np.ascontiguousarray(data[idx]).view("<i8").reshape(n, width // 8)
 
 
+def coarse_mix(arr: np.ndarray, mask: int = 1023) -> np.ndarray:
+    """Shared Fibonacci-hash coarse bucketing (one definition — three
+    stages partition by it and must agree)."""
+    h = arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) & np.uint64(mask)).astype(np.int64)
+
+
 def _gather_blobs(data: np.ndarray, offs: np.ndarray,
                   idx: np.ndarray) -> pa.Array:
     """Vectorized gather of variable-width blobs[idx] into a fresh
-    Arrow binary array (no per-row Python)."""
+    Arrow binary array (no per-row Python).  int64 cumsum; the int32
+    Arrow offsets are range-checked (callers bound batch bytes)."""
     lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
-    new_offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
-    total = int(new_offs[-1])
-    within = np.arange(total, dtype=np.int64) - np.repeat(new_offs[:-1], lens)
+    cum = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+    total = int(cum[-1])
+    if total > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"blob gather of {total} bytes overflows int32 Arrow offsets; "
+            "reduce the attach batch size")
+    new_offs = cum.astype(np.int32)
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], lens)
     out = data[np.repeat(offs[idx], lens) + within]
     return pa.Array.from_buffers(
         pa.binary(), len(idx),
@@ -377,14 +390,17 @@ def join_pairs_with_signatures(pairs_ds, attrs_ds, attr_col: str,
             pairs_ds, ["a", "b"], [("", "count", "__n")],
             num_partitions=num_partitions).map_batches(
                 lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+        # bound the per-batch gathered bytes well under the int32 Arrow
+        # offset limit: rows x 2 sides x widest blob <= 256 MB
+        widest = int((offs[1:] - offs[:-1]).max()) if n else 1
+        attach_rows = max(1024, min(1 << 20, (256 << 20) // (2 * max(widest, 1))))
         return deduped.map_batches(
             process_cached(_BroadcastAttacher, (ref_key(ref), attr_col),
                            ref, attr_col),
-            batch_format="pyarrow")
+            batch_format="pyarrow", batch_size=attach_rows)
 
     def mix(arr: np.ndarray) -> np.ndarray:
-        h = arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        return ((h >> np.uint64(33)) & np.uint64(coarse - 1)).astype(np.int64)
+        return coarse_mix(arr, coarse - 1)
 
     def to_requests(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy()
@@ -414,8 +430,10 @@ def join_pairs_with_signatures(pairs_ds, attrs_ds, attr_col: str,
             "coarse": pa.array(mix(key), pa.int64()),
         })
 
+    # shuffle path reads the already-materialized copy — never re-runs
+    # the attribute lineage a second time
     u = (pairs_ds.map_batches(to_requests, batch_format="pyarrow")
-         .union(attrs_ds.map_batches(to_attr_rows, batch_format="pyarrow")))
+         .union(mat.map_batches(to_attr_rows, batch_format="pyarrow")))
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         is_attr = g["slot"] < 0
@@ -663,7 +681,8 @@ class AllNGramHasher(NGramHasher):
         })
 
 
-def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3):
+def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3,
+                              full_triu_max: int = 3000):
     """EXACT all-pairs word n-gram Jaccard >= threshold — no LSH, no
     sampling, fully distributed, SQL-oracle-able (DuckDB gram self-join).
 
@@ -713,10 +732,9 @@ def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3):
         })
 
     def add_coarse(t: pa.Table) -> pa.Table:
-        g = t.column("gram").to_numpy().astype(np.uint64)
-        h = g * np.uint64(0x9E3779B97F4A7C15)
-        coarse = ((h >> np.uint64(33)) & np.uint64(1023)).astype(np.int64)
-        return t.append_column("coarse", pa.array(coarse, pa.int64()))
+        return t.append_column(
+            "coarse",
+            pa.array(coarse_mix(t.column("gram").to_numpy()), pa.int64()))
 
     # PPJoin positional filter: a pair found at the FIRST shared prefix
     # gram (position pa in A, pb in B) can have overlap at most
@@ -738,11 +756,8 @@ def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3):
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [len(ids)]))
         out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            run_ids, run_sz, run_pos = ids[s:e], sz[s:e], pos[s:e]
-            iu, ju = np.triu_indices(e - s, k=1)
+
+        def filt(run_ids, run_sz, run_pos, iu, ju):
             lo = np.minimum(run_sz[iu], run_sz[ju])
             hi = np.maximum(run_sz[iu], run_sz[ju])
             keep = lo >= threshold * hi  # J <= lo/hi — exact necessary cond
@@ -751,6 +766,28 @@ def ngram_jaccard_exact_pairs(docs_ds, n: int = 3, threshold: float = 0.3):
             keep &= ubound >= alpha_coef * (run_sz[iu] + run_sz[ju])
             out_a.append(run_ids[iu][keep])
             out_b.append(run_ids[ju][keep])
+
+        for s, e in zip(starts, ends):
+            n_run = e - s
+            if n_run < 2:
+                continue
+            run_ids, run_sz, run_pos = ids[s:e], sz[s:e], pos[s:e]
+            if n_run <= full_triu_max:  # full triu fits (<4.5M pairs)
+                iu, ju = np.triu_indices(n_run, k=1)
+                filt(run_ids, run_sz, run_pos, iu, ju)
+                continue
+            # pathological hot-gram run: emit in ~2M-pair chunks so the
+            # index arrays never exceed a bounded footprint (exactness
+            # forbids the cap the minhash candidate path uses)
+            block = max(1, 2_000_000 // n_run)
+            for c0 in range(0, n_run - 1, block):
+                i_idx = np.arange(c0, min(c0 + block, n_run - 1))
+                counts = (n_run - 1) - i_idx
+                iu = np.repeat(i_idx, counts)
+                offs_ = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                ju = (np.arange(len(iu)) - np.repeat(offs_, counts)
+                      + iu + 1)
+                filt(run_ids, run_sz, run_pos, iu, ju)
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})

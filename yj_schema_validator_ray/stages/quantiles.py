@@ -81,18 +81,28 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
             targets.setdefault((grp, bucket), []).append((q, r - before))
 
     if not targets:
-        return pd.DataFrame({group_col: pd.Series(dtype="object"),
-                             "quantile": pd.Series(dtype="float64"),
-                             "value": pd.Series(dtype="float64")})
+        import ray.data
 
-    wanted = set(targets)
+        return ray.data.from_pandas(pd.DataFrame(
+            {group_col: pd.Series(dtype="object"),
+             "quantile": pd.Series(dtype="float64"),
+             "value": pd.Series(dtype="float64")}))
+
+    # vectorized membership: encode each wanted (group, bucket) as
+    # code << bucket_bits | bucket with a tiny group->code dict; rows
+    # test via np.isin on the combined int key — no per-row Python
+    group_code = {g: i for i, g in enumerate({g for g, _ in targets})}
+    wanted_keys = np.array(
+        [(group_code[g] << bucket_bits) | b for g, b in targets],
+        dtype=np.int64)
 
     def prune(t: pa.Table) -> pa.Table:
-        grp = t.column(group_col).to_pylist()
+        grp = pd.Series(t.column(group_col).to_pandas())
+        code = grp.map(group_code).fillna(-1).to_numpy(dtype=np.int64)
         vals = t.column(value_col).to_numpy()
         b = _radix_bucket(vals, bucket_bits)
-        keep = np.fromiter(((g, int(bb)) in wanted for g, bb in zip(grp, b)),
-                           dtype=bool, count=len(grp))
+        key = (code << bucket_bits) | b
+        keep = (code >= 0) & np.isin(key, wanted_keys)
         t = t.append_column("bucket", pa.array(b, pa.int64()))
         return t.filter(pa.array(keep))
 
@@ -110,7 +120,7 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
 
     return (ds.map_batches(prune, batch_format="pyarrow")
             .groupby([group_col, "bucket"],
-                     num_partitions=min(len(wanted), 8, shuffle_partitions()))
+                     num_partitions=min(len(targets), 8, shuffle_partitions()))
             .map_groups(select, batch_format="pandas")
             .map_batches(lambda t: t.select([group_col, "quantile", "value"]),
                          batch_format="pyarrow"))
