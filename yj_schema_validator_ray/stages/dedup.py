@@ -301,8 +301,15 @@ def _gather_blobs(data: np.ndarray, offs: np.ndarray,
 
 
 class _BroadcastAttacher:
-    """Task-mode stage: attach broadcast (id -> blob) attributes to both
-    sides of a deduped pair batch (inner semantics — unknown ids drop)."""
+    """Task-mode GENERATOR stage: attach broadcast (id -> blob)
+    attributes to both sides of a deduped pair batch (inner semantics —
+    unknown ids drop).  Output is yielded in slices whose gathered bytes
+    stay well under the int32 Arrow offset limit, so arbitrarily large
+    input blocks are safe without forcing a map_batches ``batch_size``
+    (whose cross-block bundling stalls the streaming executor on the
+    many tiny blocks a groupby emits)."""
+
+    MAX_SLICE_BYTES = 256 << 20
 
     def __init__(self, ref, attr_col: str):
         import ray
@@ -310,7 +317,7 @@ class _BroadcastAttacher:
         self.ids, self.offs, self.data = ray.get(ref)
         self.attr_col = attr_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table):
         a = batch.column("a").to_numpy()
         b = batch.column("b").to_numpy()
         ia = np.searchsorted(self.ids, a)
@@ -319,12 +326,23 @@ class _BroadcastAttacher:
         ib_c = np.minimum(ib, len(self.ids) - 1)
         ok = (self.ids[ia_c] == a) & (self.ids[ib_c] == b)
         sel = np.flatnonzero(ok)
-        return pa.table({
-            "a": pa.array(a[sel], pa.int64()),
-            "b": pa.array(b[sel], pa.int64()),
-            self.attr_col + "_a": _gather_blobs(self.data, self.offs, ia_c[sel]),
-            self.attr_col + "_b": _gather_blobs(self.data, self.offs, ib_c[sel]),
-        })
+        lens = (self.offs[1:] - self.offs[:-1])
+        row_bytes = lens[ia_c[sel]] + lens[ib_c[sel]] + 16
+        cuts = np.searchsorted(np.cumsum(row_bytes),
+                               np.arange(1, 1 + (int(row_bytes.sum())
+                                                 // self.MAX_SLICE_BYTES))
+                               * self.MAX_SLICE_BYTES)
+        for part in np.split(sel, cuts):
+            if not len(part):
+                continue
+            yield pa.table({
+                "a": pa.array(a[part], pa.int64()),
+                "b": pa.array(b[part], pa.int64()),
+                self.attr_col + "_a": _gather_blobs(self.data, self.offs,
+                                                    ia_c[part]),
+                self.attr_col + "_b": _gather_blobs(self.data, self.offs,
+                                                    ib_c[part]),
+            })
 
 
 def join_pairs_with_signatures(pairs_ds, attrs_ds, attr_col: str,
@@ -390,14 +408,10 @@ def join_pairs_with_signatures(pairs_ds, attrs_ds, attr_col: str,
             pairs_ds, ["a", "b"], [("", "count", "__n")],
             num_partitions=num_partitions).map_batches(
                 lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-        # bound the per-batch gathered bytes well under the int32 Arrow
-        # offset limit: rows x 2 sides x widest blob <= 256 MB
-        widest = int((offs[1:] - offs[:-1]).max()) if n else 1
-        attach_rows = max(1024, min(1 << 20, (256 << 20) // (2 * max(widest, 1))))
         return deduped.map_batches(
             process_cached(_BroadcastAttacher, (ref_key(ref), attr_col),
                            ref, attr_col),
-            batch_format="pyarrow", batch_size=attach_rows)
+            batch_format="pyarrow")
 
     def mix(arr: np.ndarray) -> np.ndarray:
         return coarse_mix(arr, coarse - 1)
