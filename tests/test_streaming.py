@@ -143,6 +143,22 @@ def test_events_funnel_ordering(ray_session, tmp_path):
     assert got == {"view": 3, "click": 2, "purchase": 1}
 
 
+def test_grouped_exact_quantiles_empty_input(ray_session):
+    """Empty/filtered-to-nothing input returns an (empty) Dataset — the
+    same type as every other input, so callers never branch."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.quantiles import (
+        grouped_exact_quantiles)
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"g": pd.Series(dtype="object"),
+         "value": pd.Series(dtype="float64")}))
+    out = grouped_exact_quantiles(ds, "g", "value")
+    assert isinstance(out, ray.data.Dataset)
+    assert out.count() == 0
+
+
 def test_approx_quantile_sketch_error_bound(ray_session):
     """The mergeable centroid sketch lands within 2% RANK error of the
     true quantiles on a multi-block stream."""

@@ -68,6 +68,8 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
     # driver: locate (bucket, residual rank) per (group, q) — histogram
     # rows only, no row data
     targets: dict = {}  # (group, bucket) -> list of (q, in-bucket rank)
+    if group_col not in hist.columns:  # empty input -> schema-less blocks
+        hist = pd.DataFrame({group_col: [], "bucket": [], "n": []})
     for grp, g in hist.groupby(group_col, sort=False):
         g = g.sort_values("bucket")
         counts = g["n"].to_numpy()
