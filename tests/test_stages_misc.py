@@ -313,6 +313,33 @@ def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
     assert got2 == expect
 
 
+def test_ann_ivf_full_probe_equals_bruteforce(ray_session):
+    """IVF probing EVERY cell is exhaustive: results equal brute force
+    exactly; fewer probes return a subset with identical sims."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.ann import (ann_topk_bruteforce,
+                                                    ann_topk_ivf)
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(400, 16)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(400),
+                       "embedding": [v.tolist() for v in vecs]})
+    queries = {i: vecs[i].astype(np.float64) for i in range(3)}
+    mk = lambda: ray.data.from_pandas(df)
+    bf = (ann_topk_bruteforce(mk(), queries, k=5).to_pandas()
+          .sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+    full = (ann_topk_ivf(mk(), queries, k=5, n_centroids=8, n_probe=8)
+            .to_pandas().sort_values(["query_id", "vec_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(bf[["query_id", "vec_id"]],
+                                  full[["query_id", "vec_id"]])
+    assert np.allclose(bf["sim"], full["sim"])
+    part = ann_topk_ivf(mk(), queries, k=5, n_centroids=8, n_probe=2).to_pandas()
+    merged = part.merge(bf, on=["query_id", "vec_id"], suffixes=("_p", "_b"))
+    assert np.allclose(merged["sim_p"], merged["sim_b"])  # subset, same sims
+
+
 def test_embedding_dups_lsh_matches_exact(ray_session):
     import ray.data
 
