@@ -78,6 +78,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_repo_stats_salted(sf_dir):
         return C.repo_stats_salted(corpus_dataset(sf_dir))
 
+    def q_infer_structure(sf_dir):
+        # schema INFERENCE stats (rows-only: the corpus is YAML, which
+        # SQL cannot parse; the closed loop "corpus validates against
+        # its own inferred schema" is pinned in tests/test_infer.py)
+        from yj_schema_validator_ray.functions.infer import structure_stats
+
+        return structure_stats(corpus_dataset(sf_dir))
+
     import numpy as np
     import ray.data
 
@@ -312,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_drift": q_lang_drift,
         "distinct_sketch": q_distinct_sketch,
         "repo_stats_salted": q_repo_stats_salted,
+        "infer_structure": q_infer_structure,
         # dedup family
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact": q_dedup_exact,
