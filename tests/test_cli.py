@@ -124,3 +124,14 @@ def test_cli_out_report_keeps_details(corpus_parquet, schema_file,
     assert "integer found, boolean expected" in out  # detail line present
     assert list(out_dir.glob("verdicts/*.parquet"))
     assert list(out_dir.glob("violations/*.parquet"))
+
+
+def test_cli_infer_schema(corpus_parquet, tmp_path, ray_session):
+    out = tmp_path / "inferred.json"
+    code = run_cli(["--input", corpus_parquet,
+                    "--infer-schema", str(out)], ray_session)
+    assert code == 0
+    sch = json.loads(out.read_text())
+    assert sch["$schema"].endswith("2020-12/schema")
+    assert "object" in sch["type"]
+    assert "sample" in sch["properties"]

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report-file-name", help="write the report here instead of stdout")
     p.add_argument("--color", action="store_true", help="ANSI-colored text report")
     p.add_argument("--out", help="write verdict/violation tables (parquet) here")
+    p.add_argument("--infer-schema", metavar="OUT",
+                   help="infer a JSON Schema (draft 2020-12) from the input "
+                        "documents and write it to OUT ('-' for stdout) "
+                        "instead of validating")
     p.add_argument("--resume", action="store_true",
                    help="resumable partitioned output with lineage records")
     p.add_argument("--nparts", type=int, default=16)
@@ -161,6 +165,23 @@ def main(argv=None) -> int:
         corpus = corpus_from_directory(args.input_dir)
     else:
         corpus = ray.data.read_parquet(args.input)
+
+    if args.infer_schema:
+        if corpus is None:
+            parser.error("no readable inputs for --infer-schema")
+        from .functions.infer import schema_from_stats, structure_stats
+
+        stats = structure_stats(corpus).to_pandas()
+        text = json.dumps(schema_from_stats(stats.to_dict("records")),
+                          indent=2) + "\n"
+        if args.infer_schema == "-":
+            sys.stdout.write(text)
+        else:
+            with open(args.infer_schema, "w", encoding="utf-8") as f:
+                f.write(text)
+        if owns_session:
+            ray.shutdown()
+        return 0
 
     if args.resume:
         if corpus is None:
