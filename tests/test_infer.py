@@ -38,6 +38,27 @@ def test_walk_and_assembly_semantics(ray_session):
     assert sch["required"] == ["count", "name"]
 
 
+def test_enum_inference_bounded(ray_session):
+    """Small stable domains become enums; high-cardinality paths are
+    refused via the per-batch saturation sentinel."""
+    import json
+
+    import ray.data
+
+    from yj_schema_validator_ray.functions.infer import (enum_stats,
+                                                         schema_from_stats,
+                                                         structure_stats)
+
+    docs = [json.dumps({"color": ["red", "green", "blue"][i % 3],
+                        "id": f"unique-{i}"}) for i in range(60)]
+    ds = ray.data.from_pandas(pd.DataFrame({"content": docs}))
+    stats = structure_stats(ds).to_pandas().to_dict("records")
+    evals = enum_stats(ds, per_batch_cap=10).to_pandas().to_dict("records")
+    sch = schema_from_stats(stats, evals)
+    assert sch["properties"]["color"]["enum"] == ["blue", "green", "red"]
+    assert "enum" not in sch["properties"]["id"]  # saturated domain
+
+
 def test_corpus_validates_against_inferred_schema(ray_session):
     """The closed loop: infer over the sf0.001 corpus, compile the
     result, and every parseable file validates against it."""

@@ -169,10 +169,14 @@ def main(argv=None) -> int:
     if args.infer_schema:
         if corpus is None:
             parser.error("no readable inputs for --infer-schema")
-        from .functions.infer import schema_from_stats, structure_stats
+        from .functions.infer import (enum_stats, schema_from_stats,
+                                      structure_stats)
 
+        corpus = corpus.materialize()  # two passes: structure + values
         stats = structure_stats(corpus).to_pandas()
-        text = json.dumps(schema_from_stats(stats.to_dict("records")),
+        evals = enum_stats(corpus).to_pandas()
+        text = json.dumps(schema_from_stats(stats.to_dict("records"),
+                                            evals.to_dict("records")),
                           indent=2) + "\n"
         if args.infer_schema == "-":
             sys.stdout.write(text)
