@@ -59,6 +59,29 @@ def test_enum_inference_bounded(ray_session):
     assert "enum" not in sch["properties"]["id"]  # saturated domain
 
 
+def test_yaml_edge_scalars_and_keys(ray_session):
+    """Non-JSON YAML scalars (dates) are typed as strings and block
+    enums at their path; nullable enum paths include null; non-string
+    mapping keys emit no property constraint."""
+    import ray.data
+
+    from yj_schema_validator_ray.functions.infer import (inference_stats,
+                                                         schema_from_stats)
+
+    docs = (["status: red\nwhen: 2020-01-01\n1: intkey\n"] * 10
+            + ["status: null\nwhen: 2021-12-31\n"] * 6)
+    ds = ray.data.from_pandas(pd.DataFrame({"content": docs}))
+    structure, enums = inference_stats(ds)
+    sch = schema_from_stats(structure.to_pandas().to_dict("records"),
+                            enums.to_pandas().to_dict("records"))
+    props = sch["properties"]
+    assert props["when"]["type"] == "string"  # date -> string, no crash
+    assert "enum" not in props["when"]        # un-tallied scalars block it
+    assert props["status"]["enum"] == [None, "red"]  # nullable enum
+    assert "1" not in props                   # int key skipped
+    assert sch["required"] == ["status", "when"]
+
+
 def test_corpus_validates_against_inferred_schema(ray_session):
     """The closed loop: infer over the sf0.001 corpus, compile the
     result, and every parseable file validates against it."""

@@ -116,7 +116,8 @@ def main(argv=None) -> int:
         schemas[args.schema] = load_schema_file(args.schema)
         default_schema = args.schema
     catalog_kwargs = {}
-    if args.auto_detect:
+    if args.auto_detect and not args.infer_schema:
+        # inference ignores the catalog — skip the (network) load
         from .functions.catalog import DEFAULT_CATALOG_URL, load_catalog
 
         url = DEFAULT_CATALOG_URL if args.catalog_url is None else args.catalog_url
@@ -169,15 +170,14 @@ def main(argv=None) -> int:
     if args.infer_schema:
         if corpus is None:
             parser.error("no readable inputs for --infer-schema")
-        from .functions.infer import (enum_stats, schema_from_stats,
-                                      structure_stats)
+        from .functions.infer import inference_stats, schema_from_stats
 
-        corpus = corpus.materialize()  # two passes: structure + values
-        stats = structure_stats(corpus).to_pandas()
-        evals = enum_stats(corpus).to_pandas()
-        text = json.dumps(schema_from_stats(stats.to_dict("records"),
-                                            evals.to_dict("records")),
-                          indent=2) + "\n"
+        # ONE parse pass feeds both tallies (YAML parsing dominates)
+        structure, enums = inference_stats(corpus)
+        text = json.dumps(
+            schema_from_stats(structure.to_pandas().to_dict("records"),
+                              enums.to_pandas().to_dict("records")),
+            indent=2) + "\n"
         if args.infer_schema == "-":
             sys.stdout.write(text)
         else:

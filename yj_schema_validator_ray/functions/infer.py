@@ -1,9 +1,10 @@
 """Structural schema INFERENCE over a parsed corpus — the inverse of
 validation: walk every parsed document, tally occurrences of
-(schema-tree path, json type), merge the tallies associatively
-(per-batch pre-aggregation -> one coarse-hash exchange via
-:func:`~..stages.exact_agg.grouped_aggregate`), then assemble a JSON
-Schema draft 2020-12 document from the bounded path summary.
+(schema-tree path, json type) plus bounded scalar-value domains, merge
+the tallies associatively (per-batch pre-aggregation -> coarse-hash
+exchanges via :func:`~..stages.exact_agg.grouped_aggregate`), then
+assemble a JSON Schema draft 2020-12 document from the bounded path
+summary.
 
 Paths ARE schema-tree pointers ("" = root, "/properties/<key>" for an
 object member with ~0/~1 escaping, "/items" for array elements), so the
@@ -12,19 +13,24 @@ size is the structural vocabulary of the corpus, not the corpus.  A
 required key falls out of the counts: child occurrence == parent object
 occurrence means the key was present in every instance.
 
+Normalization keeps the closed loop ("corpus validates against its own
+inferred schema", :mod:`tests.test_infer`) intact on real YAML:
+non-JSON scalars (dates, timestamps, binary) are typed as strings and
+excluded from enums; non-string mapping keys are skipped (no property
+constraint is emitted for them, so they can't fail validation).
+
 Beyond-reference component (the reference only validates); the corpus
 is YAML, so there is no SQL oracle — correctness is pinned by unit
-tests plus the closed loop "validate the corpus against its own
-inferred schema -> all files valid" (:mod:`tests.test_infer`).
+tests plus the closed validation loop.
 """
 
 from __future__ import annotations
 
-from typing import Any
+import json
+from typing import Any, Iterator
 
 import pyarrow as pa
 
-from .compiler import json_type_name
 from .parsing import ParseError, parse_documents
 
 
@@ -32,105 +38,126 @@ def _escape(key: str) -> str:
     return key.replace("~", "~0").replace("/", "~1")
 
 
-def _walk(doc: Any, path: str, tally: dict) -> None:
-    t = json_type_name(doc)
-    k = (path, t)
-    tally[k] = tally.get(k, 0) + 1
-    if isinstance(doc, dict):
+def _visit(doc: Any, path: str = "") -> Iterator[tuple[str, str, str | None]]:
+    """ONE traversal shared by both tallies: yields
+    ``(path, json_type, enum_value_json | None)`` per node.  Containers
+    and non-JSON scalars yield ``None`` as the enum value."""
+    if isinstance(doc, bool):
+        yield path, "boolean", json.dumps(doc)
+    elif isinstance(doc, int):
+        yield path, "integer", json.dumps(doc)
+    elif isinstance(doc, float):
+        yield path, "number", json.dumps(doc)
+    elif isinstance(doc, str):
+        yield path, "string", json.dumps(doc)
+    elif doc is None:
+        yield path, "null", None
+    elif isinstance(doc, dict):
+        yield path, "object", None
         for key, v in doc.items():
-            _walk(v, f"{path}/properties/{_escape(str(key))}", tally)
+            if not isinstance(key, str):
+                continue  # YAML int/complex keys: no constraint emitted
+            yield from _visit(v, f"{path}/properties/{_escape(key)}")
     elif isinstance(doc, list):
+        yield path, "array", None
         for v in doc:
-            _walk(v, f"{path}/items", tally)
+            yield from _visit(v, f"{path}/items")
+    else:
+        # non-JSON YAML scalar (date, datetime, binary, ...): a JSON
+        # validator sees its string form
+        yield path, "string", None
+
+
+def _inference_partial(batch: pa.Table, per_batch_cap: int) -> pa.Table:
+    """Union-shaped partial for ONE parse pass: kind 's' rows are
+    (path, json_type) counts, kind 'v' rows are bounded scalar-value
+    tallies (value NULL = saturation sentinel; a saturated path emits
+    ONLY its sentinel, never its partial domain)."""
+    s_tally: dict = {}
+    v_tally: dict[str, dict[str, int]] = {}
+    sat: set[str] = set()
+    for content in batch.column("content").to_pylist():
+        try:
+            docs = parse_documents(content)
+        except ParseError:
+            continue
+        for d in docs:
+            for path, t, vjson in _visit(d):
+                k = (path, t)
+                s_tally[k] = s_tally.get(k, 0) + 1
+                if vjson is None:
+                    continue
+                dom = v_tally.setdefault(path, {})
+                if vjson not in dom and len(dom) >= per_batch_cap:
+                    sat.add(path)
+                else:
+                    dom[vjson] = dom.get(vjson, 0) + 1
+    kinds, paths, types_, vals, ns = [], [], [], [], []
+    for (p, t), n in s_tally.items():
+        kinds.append("s")
+        paths.append(p)
+        types_.append(t)
+        vals.append(None)
+        ns.append(n)
+    for p, dom in v_tally.items():
+        if p in sat:
+            continue  # sentinel below carries everything needed
+        for vjson, n in dom.items():
+            kinds.append("v")
+            paths.append(p)
+            types_.append("")
+            vals.append(vjson)
+            ns.append(n)
+    for p in sat:
+        kinds.append("v")
+        paths.append(p)
+        types_.append("")
+        vals.append(None)
+        ns.append(0)
+    return pa.table({"kind": pa.array(kinds, pa.string()),
+                     "path": pa.array(paths, pa.string()),
+                     "json_type": pa.array(types_, pa.string()),
+                     "value_json": pa.array(vals, pa.string()),
+                     "n": pa.array(ns, pa.int64())})
+
+
+def inference_stats(corpus_ds, per_batch_cap: int = 24):
+    """(structure_rows, enum_rows) from ONE parse pass over the corpus:
+    the union-shaped partials are materialized once (tiny — path-domain
+    sized per batch) and both aggregates read them."""
+    from ..stages.exact_agg import grouped_aggregate
+
+    parts = corpus_ds.map_batches(
+        lambda b: _inference_partial(b, per_batch_cap),
+        batch_format="pyarrow").materialize()
+    structure = grouped_aggregate(
+        parts.filter(expr="kind == 's'")
+        .select_columns(["path", "json_type", "n"]),
+        ["path", "json_type"], [("n", "sum", "n")])
+    enums = grouped_aggregate(
+        parts.filter(expr="kind == 'v'")
+        .select_columns(["path", "value_json", "n"]),
+        ["path", "value_json"], [("n", "sum", "n")])
+    return structure, enums
 
 
 def structure_stats(corpus_ds):
-    """(path, json_type, n) occurrence counts over every parseable doc.
-
-    Per-batch walk + local tally (one row per distinct (path, type) per
-    batch crosses the wire), one coarse-hash exchange.  Unparseable
-    files are skipped — inference describes the valid corpus.
-    """
-    from ..stages.exact_agg import grouped_aggregate
-
-    def partial(batch: pa.Table) -> pa.Table:
-        tally: dict = {}
-        for content in batch.column("content").to_pylist():
-            try:
-                docs = parse_documents(content)
-            except ParseError:
-                continue
-            for d in docs:
-                _walk(d, "", tally)
-        if not tally:
-            return pa.table({"path": pa.array([], pa.string()),
-                             "json_type": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        paths, types_, ns = zip(*((p, t, n) for (p, t), n in tally.items()))
-        return pa.table({"path": pa.array(paths, pa.string()),
-                         "json_type": pa.array(types_, pa.string()),
-                         "n": pa.array(ns, pa.int64())})
-
-    return grouped_aggregate(
-        corpus_ds.map_batches(partial, batch_format="pyarrow"),
-        ["path", "json_type"], [("n", "sum", "n")])
+    """(path, json_type, n) occurrence counts over every parseable doc
+    (unparseable files are skipped — inference describes the valid
+    corpus)."""
+    return inference_stats(corpus_ds)[0]
 
 
 def enum_stats(corpus_ds, per_batch_cap: int = 24):
     """Scalar-value tallies per schema path for ENUM inference, with
     bounded state: a batch that sees more than ``per_batch_cap``
-    distinct scalars for one path stops tallying it and emits a
-    saturation sentinel row (value_json NULL) so the assembler refuses
-    to enumerate unbounded domains — worker memory stays O(paths x cap)
-    regardless of value cardinality (the Misra-Gries trade)."""
-    import json
-
-    from ..stages.exact_agg import grouped_aggregate
-
-    def partial(batch: pa.Table) -> pa.Table:
-        tally: dict[str, dict[str, int]] = {}
-        sat: set[str] = set()
-
-        def walk(doc: Any, path: str) -> None:
-            if isinstance(doc, dict):
-                for key, v in doc.items():
-                    walk(v, f"{path}/properties/{_escape(str(key))}")
-            elif isinstance(doc, list):
-                for v in doc:
-                    walk(v, f"{path}/items")
-            elif doc is not None:
-                d = tally.setdefault(path, {})
-                r = json.dumps(doc)
-                if r not in d and len(d) >= per_batch_cap:
-                    sat.add(path)
-                    return
-                d[r] = d.get(r, 0) + 1
-
-        for content in batch.column("content").to_pylist():
-            try:
-                docs = parse_documents(content)
-            except ParseError:
-                continue
-            for doc in docs:
-                walk(doc, "")
-
-        paths, vals, ns = [], [], []
-        for p, d in tally.items():
-            for r, n in d.items():
-                paths.append(p)
-                vals.append(r)
-                ns.append(n)
-        for p in sat:
-            paths.append(p)
-            vals.append(None)
-            ns.append(0)
-        return pa.table({"path": pa.array(paths, pa.string()),
-                         "value_json": pa.array(vals, pa.string()),
-                         "n": pa.array(ns, pa.int64())})
-
-    return grouped_aggregate(
-        corpus_ds.map_batches(partial, batch_format="pyarrow"),
-        ["path", "value_json"], [("n", "sum", "n")])
+    distinct scalars for one path drops its partial domain and emits a
+    saturation sentinel row (value_json NULL) — worker memory and
+    exchange volume stay O(paths x cap) regardless of value cardinality
+    (the Misra-Gries trade; adversarially CLUSTERED input can still
+    evade per-batch saturation, which the assembler's ``enum_max``
+    check catches)."""
+    return inference_stats(corpus_ds, per_batch_cap)[1]
 
 
 def schema_from_stats(rows, enum_rows=None, enum_max: int = 8,
@@ -144,15 +171,16 @@ def schema_from_stats(rows, enum_rows=None, enum_max: int = 8,
     - array element schema under ``items``;
     - with ``enum_rows`` (from :func:`enum_stats`): a scalar leaf whose
       observed domain is small (<= ``enum_max`` values, >= ``enum_min_n``
-      occurrences, never saturated) gets an ``enum``.
+      occurrences, never saturated) gets an ``enum`` — including null
+      when null was observed at the path, so nullable fields keep
+      validating.
     """
-    import json
-
     types: dict[str, dict[str, int]] = {}
     for r in rows:
         types.setdefault(r["path"], {})[r["json_type"]] = int(r["n"])
 
     enums: dict[str, list] = {}
+    enum_totals: dict[str, int] = {}
     if enum_rows is not None:
         vals: dict[str, dict] = {}
         saturated: set[str] = set()
@@ -166,6 +194,7 @@ def schema_from_stats(rows, enum_rows=None, enum_max: int = 8,
                 continue
             if sum(d.values()) >= enum_min_n:
                 enums[p] = [json.loads(v) for v in sorted(d)]
+                enum_totals[p] = sum(d.values())
 
     def node(path: str) -> dict:
         tmap = types.get(path, {})
@@ -192,7 +221,18 @@ def schema_from_stats(rows, enum_rows=None, enum_max: int = 8,
         if "array" in tmap and (path + "/items") in types:
             sch["items"] = node(path + "/items")
         if path in enums and "object" not in tmap and "array" not in tmap:
-            sch["enum"] = enums[path]
+            # exact coverage check: the domain must account for EVERY
+            # non-null scalar occurrence — non-JSON scalars (dates etc.,
+            # typed string but excluded from the tally) would otherwise
+            # fail an enum narrower than what was observed
+            scalar_n = sum(tmap.get(t, 0)
+                           for t in ("string", "integer", "number",
+                                     "boolean"))
+            if enum_totals[path] == scalar_n:
+                ev = enums[path]
+                if "null" in tmap:
+                    ev = [None] + ev  # nullable field: null stays valid
+                sch["enum"] = ev
         return sch
 
     out = {"$schema": "https://json-schema.org/draft/2020-12/schema"}

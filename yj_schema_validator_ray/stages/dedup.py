@@ -315,6 +315,7 @@ class _BroadcastAttacher:
         import ray
 
         self.ids, self.offs, self.data = ray.get(ref)
+        self.lens = self.offs[1:] - self.offs[:-1]  # once per process
         self.attr_col = attr_col
 
     def __call__(self, batch: pa.Table):
@@ -326,15 +327,15 @@ class _BroadcastAttacher:
         ib_c = np.minimum(ib, len(self.ids) - 1)
         ok = (self.ids[ia_c] == a) & (self.ids[ib_c] == b)
         sel = np.flatnonzero(ok)
-        lens = (self.offs[1:] - self.offs[:-1])
-        row_bytes = lens[ia_c[sel]] + lens[ib_c[sel]] + 16
+        row_bytes = self.lens[ia_c[sel]] + self.lens[ib_c[sel]] + 16
         cuts = np.searchsorted(np.cumsum(row_bytes),
                                np.arange(1, 1 + (int(row_bytes.sum())
                                                  // self.MAX_SLICE_BYTES))
                                * self.MAX_SLICE_BYTES)
-        for part in np.split(sel, cuts):
-            if not len(part):
-                continue
+        parts = [p for p in np.split(sel, cuts) if len(p)]
+        if not parts:  # keep the schema: a yield-nothing batch would
+            parts = [sel]  # make an all-dropped dataset schema-less
+        for part in parts:
             yield pa.table({
                 "a": pa.array(a[part], pa.int64()),
                 "b": pa.array(b[part], pa.int64()),
