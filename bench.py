@@ -129,6 +129,16 @@ def run_bench() -> dict:
     V.summary(V.validate_corpus(corpus, auto_cfg, batch_size=4096))
     timings["validate_autodetect"] = time.perf_counter() - t0
 
+    # -- schema inference over the corpus (parse + walk + tally) ---------
+    from yj_schema_validator_ray.functions.infer import inference_stats
+
+    t0 = time.perf_counter()
+    corpus = corpus_n(n_files // 4, num_blocks=max(NUM_CPUS * 2, 16))
+    structure, enums = inference_stats(corpus)
+    structure.count()
+    enums.count()
+    timings["infer_schema"] = time.perf_counter() - t0
+
     # -- sink throughput: verdicts to partitioned parquet ----------------
     import shutil
     import tempfile
