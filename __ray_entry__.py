@@ -167,6 +167,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cand = D.minhash_lsh_pairs(docs(sf_dir), threshold=0.3)
         return D.ngram_jaccard_pairs(docs(sf_dir), cand, threshold=0.3)
 
+    def q_dedup_incremental(sf_dir):
+        # dedup a "new crawl" against the prior corpus via a Bloom
+        # bitmap (no join, bits-only summary).  New side: 5% exact
+        # re-crawls (must drop — no false negatives) + 5% changed docs
+        # (kept modulo the negligible FP rate).  rows-only: Bloom FP
+        # behavior is deterministic but not SQL-expressible.
+        import pyarrow as pa
+
+        from yj_schema_validator_ray.stages.bloom import (build_bloom,
+                                                          incremental_dedup)
+
+        old = docs(sf_dir)
+        bloom = build_bloom(old)
+
+        def make_new(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            dup = t.filter(pa.array(ids % 100 < 5))
+            chg = t.filter(pa.array(ids % 100 >= 95))
+            chg = chg.set_column(
+                chg.schema.get_field_index("text"), "text",
+                pa.array([x + " [rev2]" for x in
+                          chg.column("text").to_pylist()], pa.string()))
+            out = pa.concat_tables([dup, chg])
+            new_ids = pa.array(out.column("doc_id").to_numpy() + 1_000_000,
+                               pa.int64())
+            return out.set_column(out.schema.get_field_index("doc_id"),
+                                  "doc_id", new_ids)
+
+        new = docs(sf_dir).map_batches(make_new, batch_format="pyarrow")
+        return incremental_dedup(new, bloom).select_columns(["doc_id"])
+
     def q_dedup_ngram_exact(sf_dir):
         # EXACT all-pairs Jaccard via AllPairs prefix filtering — the
         # hash-checked member of the near-dup family (full SQL oracle)
@@ -328,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_exact": q_dedup_ngram_exact,
+        "dedup_incremental": q_dedup_incremental,
         # text analysis
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,

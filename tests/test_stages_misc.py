@@ -225,6 +225,31 @@ def test_ngram_jaccard_distributed(ray_session):
     assert out["jaccard"].iloc[0] == 1.0
 
 
+def test_bloom_incremental_dedup(ray_session):
+    """Bloom incremental dedup: every true duplicate drops (no false
+    negatives — the Bloom guarantee) and fresh docs survive at well
+    under the configured false-positive rate."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.bloom import (build_bloom,
+                                                      incremental_dedup)
+
+    old_texts = [f"old document number {i} with some body" for i in range(20_000)]
+    old = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(20_000), "text": old_texts})).repartition(8)
+    bloom = build_bloom(old, m_bits=1 << 18, k=5)
+
+    new_texts = old_texts[:1000] + [f"fresh doc {i}" for i in range(1000)]
+    new = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(100_000, 100_000 + len(new_texts)),
+         "text": new_texts}))
+    kept = incremental_dedup(new, bloom, k=5).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    assert not (kept_ids & set(range(100_000, 101_000)))  # dups all drop
+    n_fresh_kept = len(kept_ids & set(range(101_000, 102_000)))
+    assert n_fresh_kept >= 980  # FPR ~0.3% at n=20k, m=2^18, k=5
+
+
 def test_pair_join_broadcast_and_shuffle_plans_agree(ray_session):
     """The adaptive join's two plans (broadcast fast path vs the fully
     distributed two-exchange shuffle) return identical joined rows,
