@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": q_docs_rollup,
         "events_funnel": R.events_funnel,
         "events_retention": R.events_retention,
+        "events_cohorts": R.events_cohorts,
         # relational / windows
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -570,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_rollup": _docs_rollup_sql(),
         "events_funnel": R.events_funnel_sql(),
         "events_retention": R.events_retention_sql(),
+        "events_cohorts": R.events_cohorts_sql(),
         # relational / windows
         "q1_pricing_summary": R.q1_sql(),
         "q3_shipping_priority": R.q3_shipping_priority_sql(),

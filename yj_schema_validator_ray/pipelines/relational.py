@@ -852,6 +852,65 @@ FROM du a LEFT JOIN du b
 GROUP BY a.day"""
 
 
+def events_cohorts(sf_dir: str, period_s: int = 86400, coarse: int = 64):
+    """Cohort retention matrix: users grouped by their FIRST active day
+    (the cohort); for every (cohort, day) cell, how many of that
+    cohort's users were active that day.
+
+    Shape: per-batch (day, user) dedupe partial -> ONE user-bucket
+    exchange; inside each bucket a vectorized pandas pass computes each
+    user's cohort (min day) and emits its distinct (cohort, day) rows
+    pre-counted -> tiny (cohort, day) count aggregation.  Cohort
+    assignment never needs a second shuffle or a broadcast user map.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        day = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                                         float(period_s))), pa.int64())
+        tt = pa.table({"day": day, "user_id": t.column("user_id")})
+        tt = (tt.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+              .rename_columns(["day", "user_id", "__n"]))
+        return tt.append_column(
+            "coarse", pc.cast(pc.bit_wise_and(tt.column("user_id"),
+                                              coarse - 1), pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["day", "user_id"])
+        cohort = g.groupby("user_id", sort=False)["day"].transform("min")
+        out = (pd.DataFrame({"cohort": cohort, "day": g["day"]})
+               .groupby(["cohort", "day"], sort=False)
+               .size().rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    rows = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("coarse", num_partitions=min(8, shuffle_partitions()))
+            .map_groups(per_bucket, batch_format="pandas"))
+    return grouped_aggregate(rows, ["cohort", "day"],
+                             [("n_users", "sum", "n_users")])
+
+
+def events_cohorts_sql(period_s: int = 86400) -> str:
+    return f"""
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / {period_s}) AS BIGINT) AS day,
+         user_id
+  FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort FROM du GROUP BY user_id)
+SELECT c.cohort, du.day, CAST(count(*) AS BIGINT) AS n_users
+FROM du JOIN c ON c.user_id = du.user_id
+GROUP BY 1, 2"""
+
+
 def events_funnel_sql(stages=("view", "click", "purchase")) -> str:
     mins = ", ".join(
         f"min(CASE WHEN event_type = '{s}' THEN epoch_us(ts) END) AS t{k}"
