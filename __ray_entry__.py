@@ -269,6 +269,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ann_topk_ivf(sf_dir):
         return A.ann_topk_ivf(emb(sf_dir), _query_vectors(sf_dir))
 
+    def q_embedding_clusters(sf_dir):
+        # cosine k-means assignments (rows-only: iterative training is
+        # not SQL-expressible; determinism + nearest-centroid property
+        # pinned in tests)
+        return A.kmeans_clusters(emb(sf_dir))
+
     def q_embedding_dups(sf_dir):
         return A.embedding_dup_pairs(_augment(emb(sf_dir), "vec_id"))
 
@@ -381,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
+        "embedding_clusters": q_embedding_clusters,
         # multimodal plumbing
         "media_features": q_media_features,
         "media_meta": q_media_meta,

@@ -225,6 +225,36 @@ def test_ngram_jaccard_distributed(ray_session):
     assert out["jaccard"].iloc[0] == 1.0
 
 
+def test_kmeans_clusters_nearest_centroid(ray_session):
+    """Every assignment is the argmax-cosine centroid, reruns are
+    identical, and well-separated blobs land in distinct clusters."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.ann import (kmeans_clusters,
+                                                    train_kmeans)
+
+    rng = np.random.RandomState(3)
+    blobs = [rng.normal(c, 0.05, size=(50, 8)) for c in
+             (np.eye(8)[0], np.eye(8)[3], np.eye(8)[6])]
+    vecs = np.vstack(blobs).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(len(vecs)),
+                       "embedding": [v.tolist() for v in vecs]})
+    mk = lambda: ray.data.from_pandas(df)
+    out = (kmeans_clusters(mk(), n_centroids=3).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    out2 = (kmeans_clusters(mk(), n_centroids=3).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert out.equals(out2)  # deterministic
+    cent = train_kmeans(mk(), n_centroids=3)
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    assert (out["cluster"].to_numpy() ==
+            np.argmax(n @ cent.T, axis=1)).all()
+    # one cluster per blob, three distinct clusters
+    labels = [set(out["cluster"][i * 50:(i + 1) * 50]) for i in range(3)]
+    assert all(len(s) == 1 for s in labels)
+    assert len(set().union(*labels)) == 3
+
+
 def test_bloom_incremental_dedup(ray_session):
     """Bloom incremental dedup: every true duplicate drops (no false
     negatives — the Bloom guarantee) and fresh docs survive at well

@@ -166,19 +166,13 @@ def ann_topk_lsh(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
     return scored.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-def ann_topk_ivf(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
-                 n_centroids: int = 16, n_probe: int = 4,
-                 sample_size: int = 2048, seed: int = 13):
-    """IVF top-k: k-means centroids trained on a deterministic sample,
-    vectors assigned to their nearest centroid per batch, queries probe
-    only the ``n_probe`` nearest cells — the classic inverted-file scale
-    path (candidate set ~ n_probe/n_centroids of the data).
-    """
+def train_kmeans(emb_ds, n_centroids: int = 16, sample_size: int = 2048,
+                 seed: int = 13) -> np.ndarray:
+    """Spherical k-means centroids trained on a deterministic prefix
+    sample (driver-side Lloyd iterations over <= sample_size vectors —
+    the data itself never leaves its blocks)."""
     import ray
 
-    from ..util import process_cached, ref_key
-
-    # train centroids on the driver from a deterministic prefix sample
     sample = emb_ds.limit(sample_size)
     tbl = pa.concat_tables(ray.get(sample.to_arrow_refs()))
     _, m = _batch_matrix(tbl)
@@ -194,6 +188,49 @@ def ann_topk_ivf(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
                 n = np.linalg.norm(v)
                 if n > 0:
                     cent[c] = v / n
+    return cent
+
+
+def kmeans_clusters(emb_ds, n_centroids: int = 16, sample_size: int = 2048,
+                    seed: int = 13):
+    """(vec_id, cluster) cosine k-means assignments — the clustering
+    counterpart of the IVF index (same trainer, same broadcast-centroid
+    per-batch argmax).  Deterministic: fixed seed + prefix sample."""
+    import ray
+
+    from ..util import process_cached, ref_key
+
+    cent = train_kmeans(emb_ds, n_centroids, sample_size, seed)
+    ref = ray.put(cent)
+
+    class Assign:
+        def __init__(self, r):
+            self.cent = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _batch_matrix(batch)
+            cells = np.argmax(_normalize(m) @ self.cent.T, axis=1)
+            return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                             "cluster": pa.array(cells.astype(np.int64),
+                                                 pa.int64())})
+
+    return emb_ds.map_batches(process_cached(Assign, ref_key(ref), ref),
+                              batch_format="pyarrow")
+
+
+def ann_topk_ivf(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 sample_size: int = 2048, seed: int = 13):
+    """IVF top-k: k-means centroids trained on a deterministic sample,
+    vectors assigned to their nearest centroid per batch, queries probe
+    only the ``n_probe`` nearest cells — the classic inverted-file scale
+    path (candidate set ~ n_probe/n_centroids of the data).
+    """
+    import ray
+
+    from ..util import process_cached, ref_key
+
+    cent = train_kmeans(emb_ds, n_centroids, sample_size, seed)
 
     qids = np.array(sorted(queries), dtype=np.int64)
     Q = _normalize(np.stack([queries[i] for i in qids]).astype(np.float64))
