@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": R.events_funnel,
         "events_retention": R.events_retention,
         "events_cohorts": R.events_cohorts,
+        "events_window_top_users": R.events_window_top_users,
         # relational / windows
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -579,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": R.events_funnel_sql(),
         "events_retention": R.events_retention_sql(),
         "events_cohorts": R.events_cohorts_sql(),
+        "events_window_top_users": R.events_window_top_users_sql(),
         # relational / windows
         "q1_pricing_summary": R.q1_sql(),
         "q3_shipping_priority": R.q3_shipping_priority_sql(),

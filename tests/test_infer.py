@@ -82,6 +82,25 @@ def test_yaml_edge_scalars_and_keys(ray_session):
     assert sch["required"] == ["status", "when"]
 
 
+def test_inference_partial_never_crashes_on_arbitrary_content():
+    """Robustness: any string content tallies without an exception
+    (YAML parse failures skip; exotic parsed scalars normalize)."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from yj_schema_validator_ray.functions.infer import _inference_partial
+
+    @settings(max_examples=150, deadline=None)
+    @given(content=st.text(max_size=300))
+    def check(content):
+        out = _inference_partial(
+            pa.table({"content": [content]}), per_batch_cap=4)
+        assert set(out.column_names) == {"kind", "path", "json_type",
+                                         "value_json", "n"}
+
+    check()
+
+
 def test_corpus_validates_against_inferred_schema(ray_session):
     """The closed loop: infer over the sf0.001 corpus, compile the
     result, and every parseable file validates against it."""

@@ -852,6 +852,75 @@ FROM du a LEFT JOIN du b
 GROUP BY a.day"""
 
 
+def events_window_top_users(sf_dir: str, window_s: int = 3600, k: int = 3):
+    """Windowed top-k: per tumbling window, the ``k`` users with the
+    highest summed value — the "leaders per hour" composition.
+
+    Shape: per-batch (window, user) partial sums -> one coarse-hash
+    exchange (:func:`~..stages.exact_agg.grouped_aggregate`) -> window-
+    partitioned vectorized rank+head (windows are coarse by
+    construction, so per-group overhead is bounded by the time span,
+    not the data).  Deterministic tie-break (value desc, user asc)
+    matches the row_number oracle exactly.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        win = pc.multiply(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                                             float(window_s))),
+                          float(window_s))
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                             pa.scalar(100.0))), pa.int64())
+        tt = pa.table({"window_start": pc.cast(win, pa.int64()),
+                       "user_id": t.column("user_id"),
+                       "total_value_cents": cents})
+        return (tt.group_by(["window_start", "user_id"])
+                .aggregate([("total_value_cents", "sum")])
+                .rename_columns(["window_start", "user_id",
+                                 "total_value_cents"]))
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_start", "user_id"],
+        [("total_value_cents", "sum", "total_value_cents")])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["window_start", "total_value_cents", "user_id"],
+                           ascending=[True, False, True], kind="stable"))
+        g["rank"] = g.groupby("window_start", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        g["rank"] = g["rank"].astype("int64")
+        return g.reset_index(drop=True)
+
+    return (agg.groupby("window_start",
+                        num_partitions=min(8, shuffle_partitions()))
+            .map_groups(topk, batch_format="pandas"))
+
+
+def events_window_top_users_sql(window_s: int = 3600, k: int = 3) -> str:
+    return f"""
+WITH w AS (
+  SELECT CAST(floor(epoch(ts) / {window_s}) * {window_s} AS BIGINT)
+           AS window_start,
+         user_id,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_value_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id, total_value_cents, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+            ORDER BY total_value_cents DESC, user_id) AS rank
+  FROM w)
+WHERE rank <= {k}"""
+
+
 def events_cohorts(sf_dir: str, period_s: int = 86400, coarse: int = 64):
     """Cohort retention matrix: users grouped by their FIRST active day
     (the cohort); for every (cohort, day) cell, how many of that
