@@ -240,6 +240,25 @@ GROUP BY r.r_name"""
 # events: tumbling windows + sessionization (streaming-shaped)
 # ---------------------------------------------------------------------------
 
+def _period_index(ts_col, period_s: int):
+    """ts -> floor(epoch/period) period ordinal (int64); shared by every
+    time-bucketed events query so the derivation can't drift."""
+    epoch = pc.divide(pc.cast(ts_col, pa.int64()), 1_000_000)
+    return pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                                      float(period_s))), pa.int64())
+
+
+def _window_start(ts_col, window_s: int):
+    """ts -> epoch-second tumbling-window start (int64)."""
+    return pc.multiply(_period_index(ts_col, window_s), window_s)
+
+
+def _value_cents(value_col):
+    """Money in integer cents (fp sums break value-hash oracles)."""
+    return pc.cast(pc.round(pc.multiply(value_col, pa.scalar(100.0))),
+                   pa.int64())
+
+
 def events_tumbling_window(sf_dir: str, window_s: int = 3600):
     """Tumbling event-time window: (event_type, window_start) -> count,
     sum(value).  Window assignment is per-batch vectorized arithmetic on
@@ -251,14 +270,9 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600):
                                columns=["ts", "event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
-        win = pc.multiply(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
-                                             float(window_s))), float(window_s))
-        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
-                                             pa.scalar(100.0))), pa.int64())
         tt = pa.table({"event_type": t.column("event_type"),
-                       "window_start": pc.cast(win, pa.int64()),
-                       "value_cents": cents})
+                       "window_start": _window_start(t.column("ts"), window_s),
+                       "value_cents": _value_cents(t.column("value"))})
         return (tt.group_by(["event_type", "window_start"])
                 .aggregate([("value_cents", "sum"), ([], "count_all")])
                 .rename_columns(["event_type", "window_start", "sum_value_cents", "n_events"]))
@@ -346,9 +360,8 @@ def events_top_users(sf_dir: str, k: int = 20):
                                columns=["user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
-                                             pa.scalar(100.0))), pa.int64())
-        tt = pa.table({"user_id": t.column("user_id"), "total_value_cents": cents})
+        tt = pa.table({"user_id": t.column("user_id"),
+                       "total_value_cents": _value_cents(t.column("value"))})
         return (tt.group_by(["user_id"]).aggregate([("total_value_cents", "sum")])
                 .rename_columns(["user_id", "total_value_cents"]))
 
@@ -385,13 +398,9 @@ def events_hopping_window(sf_dir: str, size_s: int = 3600, hop_s: int = 1800):
                                columns=["ts", "event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
-        base = pc.multiply(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
-                                              float(hop_s))), float(hop_s))
-        w0 = pc.cast(base, pa.int64())
+        w0 = _window_start(t.column("ts"), hop_s)
         w1 = pc.subtract(w0, hop_s)
-        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
-                                             pa.scalar(100.0))), pa.int64())
+        cents = _value_cents(t.column("value"))
 
         def arr(x):
             return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
@@ -802,10 +811,8 @@ def events_retention(sf_dir: str, period_s: int = 86400):
                                columns=["ts", "user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
-        day = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
-                                         float(period_s))), pa.int64())
-        tt = pa.table({"day": day, "user_id": t.column("user_id")})
+        tt = pa.table({"day": _period_index(t.column("ts"), period_s),
+                       "user_id": t.column("user_id")})
         tt = (tt.group_by(["day", "user_id"]).aggregate([([], "count_all")])
               .rename_columns(["day", "user_id", "__n"]))
         d = tt.column("day")
@@ -872,15 +879,9 @@ def events_window_top_users(sf_dir: str, window_s: int = 3600, k: int = 3):
                                columns=["ts", "user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
-        win = pc.multiply(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
-                                             float(window_s))),
-                          float(window_s))
-        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
-                                             pa.scalar(100.0))), pa.int64())
-        tt = pa.table({"window_start": pc.cast(win, pa.int64()),
+        tt = pa.table({"window_start": _window_start(t.column("ts"), window_s),
                        "user_id": t.column("user_id"),
-                       "total_value_cents": cents})
+                       "total_value_cents": _value_cents(t.column("value"))})
         return (tt.group_by(["window_start", "user_id"])
                 .aggregate([("total_value_cents", "sum")])
                 .rename_columns(["window_start", "user_id",
@@ -941,12 +942,11 @@ def events_cohorts(sf_dir: str, period_s: int = 86400, coarse: int = 64):
                                columns=["ts", "user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
-        day = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
-                                         float(period_s))), pa.int64())
-        tt = pa.table({"day": day, "user_id": t.column("user_id")})
+        tt = pa.table({"day": _period_index(t.column("ts"), period_s),
+                       "user_id": t.column("user_id")})
         tt = (tt.group_by(["day", "user_id"]).aggregate([([], "count_all")])
               .rename_columns(["day", "user_id", "__n"]))
+        tt = tt.drop_columns(["__n"])  # dedupe artifact — never shuffle it
         return tt.append_column(
             "coarse", pc.cast(pc.bit_wise_and(tt.column("user_id"),
                                               coarse - 1), pa.int64()))
