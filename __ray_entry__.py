@@ -292,6 +292,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "value"])
         return grouped_exact_quantiles(ev, "event_type", "value")
 
+    def q_grouped_quantile_sketch(sf_dir):
+        # per-group one-pass sketch (rows-only; rank-error bound pinned
+        # in tests)
+        from yj_schema_validator_ray.stages.quantiles import (
+            grouped_quantile_sketch)
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+        return grouped_quantile_sketch(ev, "event_type", "value")
+
     def q_quantile_sketch(sf_dir):
         # one-pass mergeable centroid sketch — approximate by design
         # (rows-only check; pytest bounds rank error vs exact)
@@ -414,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": R.events_range_join,
         "events_quantiles": q_events_quantiles,
         "events_quantile_sketch": q_quantile_sketch,
+        "events_quantile_sketch_grouped": q_grouped_quantile_sketch,
     }
 
 

@@ -179,6 +179,26 @@ def test_approx_quantile_sketch_error_bound(ray_session):
         assert abs(rank - q) <= 0.02, (q, est, rank)
 
 
+def test_grouped_quantile_sketch_error_bound(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.quantiles import (
+        grouped_quantile_sketch)
+
+    rng = np.random.RandomState(31)
+    frames = {"a": rng.lognormal(0, 1, 20_000),
+              "b": rng.normal(50, 10, 15_000)}
+    df = pd.DataFrame({
+        "g": np.concatenate([[k] * len(v) for k, v in frames.items()]),
+        "value": np.concatenate(list(frames.values()))})
+    ds = ray.data.from_pandas(df).random_shuffle(seed=3).repartition(16)
+    out = grouped_quantile_sketch(ds, "g", "value")
+    for r in out.itertuples():
+        s = np.sort(frames[r.g])
+        rank = np.searchsorted(s, r.value_est) / len(s)
+        assert abs(rank - r.quantile) <= 0.03, (r.g, r.quantile, rank)
+
+
 def test_grouped_exact_quantiles(ray_session):
     """Two-phase radix-bucket rank selection equals the exact
     ceil(q*n)-th smallest per group — including negative values and an

@@ -200,6 +200,53 @@ def approx_quantile_sketch(ds, value_col: str, qs=DEFAULT_QS, k: int = 256):
                          "value_est": [x for _, x in out]})
 
 
+def grouped_quantile_sketch(ds, group_col: str, value_col: str,
+                            qs=DEFAULT_QS, k: int = 128):
+    """Per-group one-pass approximate quantiles: the same mergeable
+    centroid sketch as :func:`approx_quantile_sketch`, compacted
+    group-wise at every level (memory O(groups x k) per worker, ~k rows
+    per group on the driver).  Returns (group, quantile, value_est)."""
+    from ..util import shuffle_partitions
+
+    def compact_frame(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, part in df.groupby(group_col, sort=False):
+            v, w = _compact(part["v"].to_numpy(), part["w"].to_numpy(), k)
+            out.append(pd.DataFrame({group_col: g, "v": v, "w": w}))
+        if not out:
+            return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="float64"),
+                                 "w": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return compact_frame(pd.DataFrame({
+            group_col: df[group_col],
+            "v": df[value_col].astype(np.float64),
+            "w": np.ones(len(df))}))
+
+    sk = (ds.map_batches(partial, batch_format="pandas")
+          .repartition(min(8, shuffle_partitions()))
+          .map_batches(compact_frame, batch_format="pandas")
+          .repartition(1)
+          .map_batches(compact_frame, batch_format="pandas")).to_pandas()
+
+    rows = []
+    for g, part in sk.groupby(group_col, sort=False):
+        order = np.argsort(part["v"].to_numpy(), kind="stable")
+        v = part["v"].to_numpy()[order]
+        w = part["w"].to_numpy()[order]
+        cw = np.cumsum(w)
+        total = cw[-1] if len(cw) else 0.0
+        for q in qs:
+            i = int(np.searchsorted(cw, q * total, side="left"))
+            rows.append((g, q, float(v[min(i, len(v) - 1)])
+                         if len(v) else float("nan")))
+    return pd.DataFrame({group_col: [g for g, _, _ in rows],
+                         "quantile": [q for _, q, _ in rows],
+                         "value_est": [x for _, _, x in rows]})
+
+
 def grouped_exact_quantiles_sql(table: str, group_col: str, value_col: str,
                                 qs=DEFAULT_QS) -> str:
     """DuckDB oracle: rank = ceil(q*n) per group via window functions
