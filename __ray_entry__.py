@@ -236,6 +236,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return mixture_sample(docs3(sf_dir), _MIX_RATES).select_columns(
             ["doc_id", "source"])
 
+    def q_sample_weighted(sf_dir):
+        from yj_schema_validator_ray.stages.sampling import weighted_sample
+
+        return weighted_sample(docs(sf_dir)).select_columns(["doc_id"])
+
     def q_vocab_top_terms(sf_dir):
         return T.vocab_top_terms(docs(sf_dir))
 
@@ -391,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
+        "sample_weighted": q_sample_weighted,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -495,6 +501,12 @@ def _sample_stratified_sql() -> str:
     return stratified_sample_sql(10)
 
 
+def _sample_weighted_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import weighted_sample_sql
+
+    return weighted_sample_sql()
+
+
 def _dedup_ngram_exact_sql() -> str:
     from yj_schema_validator_ray.stages.dedup import ngram_jaccard_exact_sql
 
@@ -575,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _heavy_hitters_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "sample_stratified": _sample_stratified_sql(),
+        "sample_weighted": _sample_weighted_sql(),
         "quality_scores": _quality_scores_sql(),
         "media_meta": ("SELECT doc_id AS media_id, sha256(text) AS payload_sha256, "
                        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) "

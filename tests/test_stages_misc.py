@@ -552,6 +552,23 @@ def test_heavy_hitters_matches_exact_topk(ray_session):
     assert list(out["n"]) == list(expect["n"].astype(int))
 
 
+def test_weighted_sample_rate_tracks_length(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.sampling import weighted_sample
+
+    long = ["tok " * 400] * 2000   # rate 1.0 -> all kept
+    half = ["tok " * 100] * 2000   # rate 0.5
+    df = pd.DataFrame({"doc_id": range(4000), "text": long + half})
+    out = weighted_sample(ray.data.from_pandas(df), scale_tokens=200).to_pandas()
+    kept = set(out["doc_id"])
+    assert set(range(2000)) <= kept          # full-rate docs all survive
+    frac_half = len(kept & set(range(2000, 4000))) / 2000
+    assert 0.45 < frac_half < 0.55           # ~0.5 keep rate
+    out2 = weighted_sample(ray.data.from_pandas(df), scale_tokens=200).to_pandas()
+    assert kept == set(out2["doc_id"])       # deterministic
+
+
 def test_scrub_pii_counts(ray_session):
     import ray.data
 

@@ -135,6 +135,38 @@ def pack_from_counts(cnt_ds, budget: int = 512, bucket_size: int = 256):
             .map_groups(pack, batch_format="pandas"))
 
 
+def weighted_sample(docs_ds, scale_tokens: int = 200):
+    """Token-WEIGHTED deterministic sampling: keep probability
+    ``min(1, n_tokens/scale_tokens)`` per document — substantial docs
+    survive, fragments are thinned proportionally (the length-weighted
+    mix stage).  Decision stays a pure per-row function of
+    ``(md5(doc_id), n_tokens)`` — rerun/resume/repartition stable, and
+    mirrored digit-for-digit by the SQL oracle (same float rate, same
+    truncation, same hex compare)."""
+    def f(batch: pa.Table) -> pa.Table:
+        hx = _hex8(batch.column("doc_id").to_pylist())
+        ntok = pc.cast(pc.count_substring_regex(batch.column("text"), r"\w+"),
+                       pa.int64()).to_numpy()
+        keep = [h < _hex_threshold(n / scale_tokens)
+                for h, n in zip(hx, ntok)]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def weighted_sample_sql(scale_tokens: int = 200, table: str = "documents",
+                        columns: str = "doc_id") -> str:
+    # mirrors _hex_threshold: rate>=1 -> 'g' (keeps everything);
+    # else lower-hex of floor(rate * 16^8), zero-padded to 8
+    ntok = r"len(regexp_extract_all(text, '\w+'))"
+    return (f"SELECT {columns} FROM {table} "
+            f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+            f"(CASE WHEN {ntok} >= {scale_tokens} THEN 'g' "
+            f"ELSE lower(lpad(to_hex(CAST(floor("
+            f"CAST({ntok} AS DOUBLE) / {scale_tokens} * 4294967296.0"
+            f") AS BIGINT)), 8, '0')) END)")
+
+
 def stratified_sample(docs_ds, n_per_group: int, group_col: str = "source",
                       id_col: str = "doc_id"):
     """Deterministic fixed-size per-group sample: the ``n_per_group``
