@@ -179,6 +179,44 @@ def test_approx_quantile_sketch_error_bound(ray_session):
         assert abs(rank - q) <= 0.02, (q, est, rank)
 
 
+def test_partition_layout_invariance(ray_session):
+    """Exact operators must not depend on block layout: quantiles,
+    vocab top-k and heavy hitters return identical results on 1-block
+    vs shuffled 16-block inputs."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.quantiles import (
+        grouped_exact_quantiles)
+    from yj_schema_validator_ray.stages.text import (heavy_hitters,
+                                                     vocab_top_terms)
+
+    rng = np.random.RandomState(17)
+    vocab = np.array([f"w{i}" for i in range(50)])
+    texts = [" ".join(vocab[rng.randint(0, 50, size=30)]) for _ in range(400)]
+    docs = pd.DataFrame({"doc_id": range(400), "text": texts})
+    vals = pd.DataFrame({"g": ["a", "b"] * 500,
+                         "value": rng.normal(size=1000)})
+
+    def layouts(df):
+        yield ray.data.from_pandas(df)
+        yield ray.data.from_pandas(df).random_shuffle(seed=9).repartition(16)
+
+    outs = [grouped_exact_quantiles(ds, "g", "value").to_pandas()
+            .sort_values(["g", "quantile"]).reset_index(drop=True)
+            for ds in layouts(vals)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    outs = [vocab_top_terms(ds, k=20).to_pandas()
+            .sort_values(["tf", "term"], ascending=[False, True])
+            .reset_index(drop=True) for ds in layouts(docs)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    outs = [heavy_hitters(ds, k=10, capacity=100).to_pandas()
+            .sort_values(["n", "term"], ascending=[False, True])
+            .reset_index(drop=True) for ds in layouts(docs)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 def test_grouped_quantile_sketch_error_bound(ray_session):
     import ray.data
 
