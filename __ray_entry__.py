@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return stratified_sample(docs3(sf_dir), 10)
 
+    def q_chunk_documents(sf_dir):
+        return T.chunk_documents(docs(sf_dir))
+
     def q_pack_sequences(sf_dir):
         from yj_schema_validator_ray.stages.sampling import pack_sequences
 
@@ -395,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_terms": q_vocab_top_terms,
         "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         # similarity search
@@ -485,6 +489,12 @@ def _pack_sequences_sql() -> str:
     from yj_schema_validator_ray.stages.sampling import pack_sequences_sql
 
     return pack_sequences_sql()
+
+
+def _chunk_documents_sql() -> str:
+    from yj_schema_validator_ray.stages.text import chunk_documents_sql
+
+    return chunk_documents_sql()
 
 
 def _heavy_hitters_sql() -> str:
@@ -586,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top_terms": _vocab_top_terms_sql(),
         "heavy_hitters": _heavy_hitters_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "chunk_documents": _chunk_documents_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_weighted": _sample_weighted_sql(),
         "quality_scores": _quality_scores_sql(),

@@ -552,6 +552,31 @@ def test_heavy_hitters_matches_exact_topk(ray_session):
     assert list(out["n"]) == list(expect["n"].astype(int))
 
 
+def test_chunk_documents_windows(ray_session):
+    """Sliding windows: full coverage with overlap, short docs yield one
+    chunk, the tail chunk may be short, reconstruction round-trips."""
+    import hashlib
+
+    import ray.data
+
+    from yj_schema_validator_ray.stages.text import chunk_documents
+
+    texts = ["a" * 5, "b" * 500, "c" * 501, "x" * 1300]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(4), "text": texts}))
+    out = chunk_documents(ds, size=500, step=400).to_pandas()
+    by = {d: g.sort_values("chunk_idx") for d, g in out.groupby("doc_id")}
+    assert len(by[0]) == 1 and by[0]["chunk_chars"].iloc[0] == 5
+    assert len(by[1]) == 1                     # exactly size -> one chunk
+    assert len(by[2]) == 2                     # one char over -> two
+    assert list(by[3]["chunk_chars"]) == [500, 500, 500]  # 1300 chars, 3 windows
+    assert list(by[3]["start_char"]) == [0, 400, 800]
+    # shas match the actual slices (coverage + content round-trip)
+    for r in by[3].itertuples():
+        piece = texts[3][r.start_char:r.start_char + 500]
+        assert r.chunk_sha256 == hashlib.sha256(piece.encode()).hexdigest()
+
+
 def test_weighted_sample_rate_tracks_length(ray_session):
     import ray.data
 

@@ -400,6 +400,60 @@ def heavy_hitters(docs_ds, k: int = 20, capacity: int = 400):
     return (exact.sort(["n", "term"], descending=[True, False]).limit(k))
 
 
+def chunk_documents(docs_ds, size: int = 500, step: int = 400):
+    """Sliding-window document chunking (the RAG / long-doc training
+    prep stage): chunk i covers chars ``[i*step, i*step+size)``;
+    ``n_chunks = 1 + max(0, ceil((len - size) / step))`` so every char
+    is covered and the tail chunk may be short.  1->N row expansion per
+    batch; the driver-facing columns carry the chunk's sha256 + length
+    (binary-safe compare), the text itself stays in-pipeline.
+    """
+    def f(batch: pa.Table) -> pa.Table:
+        out_id, out_ci, out_start, out_len, out_sha = [], [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            n = len(text)
+            n_chunks = 1 + max(0, int(np.ceil((n - size) / float(step))))
+            for ci in range(n_chunks):
+                chunk = text[ci * step:ci * step + size]
+                out_id.append(doc_id)
+                out_ci.append(ci)
+                out_start.append(ci * step)
+                out_len.append(len(chunk))
+                out_sha.append(hashlib.sha256(chunk.encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_ci, pa.int64()),
+            "start_char": pa.array(out_start, pa.int64()),
+            "chunk_chars": pa.array(out_len, pa.int64()),
+            "chunk_sha256": pa.array(out_sha, pa.string()),
+        })
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def chunk_documents_sql(size: int = 500, step: int = 400) -> str:
+    """Oracle: same window rule via generate_series + substring (docs
+    are ASCII, so char ops equal byte ops; sha over the same slices)."""
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents
+),
+idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(greatest(ceil((n - {size}) / {step}.0), 0) AS BIGINT))) AS ci
+  FROM m
+)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(ci * {step} AS BIGINT) AS start_char,
+       CAST(length(substring(text, CAST(ci * {step} + 1 AS BIGINT), {size}))
+            AS BIGINT) AS chunk_chars,
+       sha256(substring(text, CAST(ci * {step} + 1 AS BIGINT), {size}))
+         AS chunk_sha256
+FROM idx"""
+
+
 def heavy_hitters_sql(k: int = 20) -> str:
     """Oracle for :func:`heavy_hitters` — exact whenever the vocabulary
     fits the sketch capacity (always true for this corpus)."""
