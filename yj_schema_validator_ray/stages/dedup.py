@@ -150,13 +150,18 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
 
 
 def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5):
+                      threshold: float = 0.5,
+                      broadcast_max_bytes: int = 256 << 20):
     """Near-duplicate candidate pairs with signature-estimated Jaccard.
 
     docs -> MinHasher actor pool -> band explode -> groupby(band, bucket)
     -> per-group pairs -> dedup pairs -> verify via signature agreement
     (fraction of equal minhashes estimates Jaccard; text never shuffles).
     Returns (a, b, jaccard_est) with a < b, jaccard_est >= threshold.
+
+    ``broadcast_max_bytes`` is forwarded to the adaptive pair<->signature
+    join (0 forces the fully distributed two-exchange shuffle plan — the
+    TB-scale path; both plans are pinned row-identical in tests).
     """
     from ..util import process_cached
 
@@ -221,7 +226,8 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
     # ~0.5 TB on one node).  Multi-band duplicate candidates are deduped
     # in-flight inside the join's first exchange.
     verified = join_pairs_with_signatures(
-        raw_pairs, sigs, "sig", num_partitions=nsp)
+        raw_pairs, sigs, "sig", num_partitions=nsp,
+        broadcast_max_bytes=broadcast_max_bytes)
 
     def score(batch: pa.Table) -> pa.Table:
         sa = _unpack_binary_matrix(batch.column("sig_a"))
