@@ -37,10 +37,11 @@ KEY_COLS = ["repo", "path", "commit"]
 # ---------------------------------------------------------------------------
 
 def _key_hash64(batch: pa.Table) -> np.ndarray:
-    import pandas as pd
+    # vectorized Arrow-buffer hash (no pandas object round-trip) — this
+    # runs in BOTH full-corpus scans of the two-phase uniqueness plan
+    from ..stages.exact_agg import hash_columns
 
-    return pd.util.hash_pandas_object(
-        batch.select(KEY_COLS).to_pandas(), index=False).to_numpy()
+    return hash_columns(batch.select(KEY_COLS))
 
 
 def uniqueness_violations(corpus_ds):
