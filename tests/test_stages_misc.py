@@ -672,3 +672,55 @@ def test_resize_and_features_real():
     rz = ImageResizer(width=4, height=2)(batch).to_pylist()
     assert rz[0]["mime"] == "image/x-portable-pixmap"
     assert (decode_image(rz[0]["payload"]) == small).all()
+
+
+def test_embedding_dups_lsh_hot_bucket_blockwise_exact(ray_session):
+    """Buckets larger than max_bucket are scored exactly in bounded
+    blocks, never truncated — a tiny max_bucket must give the same
+    pairs as the exact all-pairs baseline."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.ann import (embedding_dup_pairs,
+                                                    embedding_dup_pairs_lsh)
+
+    rng = np.random.RandomState(3)
+    M = rng.normal(size=(60, 16))
+    M[50:] = M[:10]  # ids 50..59 duplicate 0..9
+    df = pd.DataFrame({"vec_id": range(60),
+                       "embedding": [list(map(float, r)) for r in M]})
+    mk = lambda: ray.data.from_pandas(df)
+    exact = embedding_dup_pairs(mk()).to_pandas().sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    lsh = embedding_dup_pairs_lsh(mk(), max_bucket=7).to_pandas().sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact[["a", "b", "sim"]],
+                                  lsh[["a", "b", "sim"]])
+    assert len(exact) == 10
+
+
+def test_heavy_hitters_mg_merge_bound(ray_session):
+    """A hitter above the mergeable-MG survival bound
+    (freq > N/(capacity+1)) spread evenly across MANY blocks — while
+    every block also carries its own unique high-count filler terms —
+    must survive the hierarchical merge and come back with its EXACT
+    global count from the recount pass."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.text import heavy_hitters
+
+    n_blocks = 40
+    frames = []
+    for b in range(n_blocks):
+        # per-block: hitter x30, plus 12 block-unique fillers x20 each
+        words = ["hot"] * 30
+        for f in range(12):
+            words += [f"blk{b}f{f}"] * 20
+        frames.append(pd.DataFrame(
+            {"doc_id": [b], "text": [" ".join(words)]}))
+    df = pd.concat(frames, ignore_index=True)
+    # N = 40*(30+240) = 10800; capacity 10 -> survival bound
+    # N/(capacity+1) = 981.8 < hitter 1200 (strictly above the bound)
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = heavy_hitters(ds, k=5, capacity=10).to_pandas()
+    got = dict(zip(out["term"], out["n"]))
+    assert got.get("hot") == 1200

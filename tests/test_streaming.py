@@ -266,3 +266,31 @@ def test_grouped_exact_quantiles(ray_session):
         for q in qs:
             r = max(1, int(np.ceil(q * len(v))))
             assert got[(k, q)] == s[r - 1], (k, q)
+
+
+def test_grouped_quantiles_auto_route_high_cardinality(ray_session):
+    """A 100k-group column auto-routes to the per-group sketch (no
+    O(groups x qs) driver targets dict, no per-group pruned gather) and
+    — because every group fits inside one sketch without compaction —
+    still returns the exact ceil(q*n)-th element per group."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.quantiles import (
+        grouped_exact_quantiles)
+
+    n_groups = 100_000
+    rng = np.random.RandomState(23)
+    g = np.repeat(np.arange(n_groups, dtype=np.int64), 2)
+    vals = rng.normal(size=len(g)) * 10
+    df = pd.DataFrame({"g": g, "value": vals})
+    qs = (0.5, 0.99)
+    out = grouped_exact_quantiles(
+        ray.data.from_pandas(df), "g", "value", qs=qs).to_pandas()
+    assert len(out) == n_groups * len(qs)
+    got = {(int(r.g), r.quantile): r.value for r in out.itertuples()}
+    check = rng.choice(n_groups, size=200, replace=False)
+    for grp in check:
+        s = np.sort(vals[g == grp])
+        for q in qs:
+            r = max(1, int(np.ceil(q * len(s))))
+            assert got[(int(grp), q)] == s[r - 1], (grp, q)

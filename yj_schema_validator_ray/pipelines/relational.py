@@ -1001,6 +1001,10 @@ WITH m AS (
 
 def events_asof_join_sql(left_type: str = "click",
                          right_type: str = "view") -> str:
+    # Deliberately NOT DuckDB's native ASOF JOIN: its pick among tied
+    # right-side (user_id, view_ts) rows is unspecified, while the Ray
+    # plan resolves ties to the max view_event_id (merge_asof last-row
+    # rule).  The window formulation pins the same deterministic choice.
     return f"""
 WITH lefts AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = '{left_type}'
@@ -1008,7 +1012,13 @@ WITH lefts AS (
 rights AS (
   SELECT event_id AS view_event_id, user_id, ts AS view_ts
   FROM events WHERE event_type = '{right_type}'
+),
+matched AS (
+  SELECT l.event_id, l.user_id, r.view_event_id,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY r.view_ts DESC, r.view_event_id DESC) AS rn
+  FROM lefts l JOIN rights r
+    ON l.user_id = r.user_id AND r.view_ts <= l.ts
 )
-SELECT l.event_id, l.user_id, r.view_event_id
-FROM lefts l ASOF JOIN rights r
-  ON l.user_id = r.user_id AND r.view_ts <= l.ts"""
+SELECT event_id, user_id, view_event_id FROM matched WHERE rn = 1"""

@@ -289,7 +289,10 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.99, nbits: int = 16,
     Identical vectors always share every code, so recall at
     threshold≈0.99 is ~1; only candidate buckets are ever scored, and
     nothing is materialized on the driver.  Shuffle volume is
-    ntables x corpus — the standard LSH recall/IO trade.
+    ntables x corpus — the standard LSH recall/IO trade.  Hot buckets
+    larger than ``max_bucket`` are scored exactly in bounded
+    ``max_bucket``-square blocks (never truncated — the query carries
+    the exact SQL oracle, so a silent cap would drop true pairs).
     """
     from .exact_agg import grouped_aggregate
     from ..util import process_cached, shuffle_partitions
@@ -342,17 +345,30 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.99, nbits: int = 16,
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            run_ids = ids[s:e][:max_bucket]
-            mn = _normalize(M[s:e][:max_bucket])
-            sims = mn @ mn.T
-            iu, ju = np.triu_indices(len(run_ids), k=1)
-            v = sims[iu, ju]  # gather once, reuse for filter + output
-            keep = v >= threshold
-            a, b = run_ids[iu[keep]], run_ids[ju[keep]]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out_a.append(lo)
-            out_b.append(hi)
-            out_s.append(np.round(v[keep], 6))
+            run_ids = ids[s:e]
+            mn = _normalize(M[s:e])
+            # hot buckets are NOT truncated (that would silently drop true
+            # pairs and break the exact oracle); pairs are emitted in
+            # max_bucket x max_bucket blocks so scratch stays bounded at
+            # B^2 floats regardless of bucket size
+            for bs in range(0, len(run_ids), max_bucket):
+                be = min(bs + max_bucket, len(run_ids))
+                for cs in range(bs, len(run_ids), max_bucket):
+                    ce = min(cs + max_bucket, len(run_ids))
+                    sims = mn[bs:be] @ mn[cs:ce].T
+                    if bs == cs:
+                        iu, ju = np.triu_indices(be - bs, k=1)
+                    else:
+                        iu, ju = np.unravel_index(
+                            np.arange(sims.size), sims.shape)
+                    v = sims[iu, ju]  # gather once, reuse filter + output
+                    keep = v >= threshold
+                    a = run_ids[bs + iu[keep]]
+                    b = run_ids[cs + ju[keep]]
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_s.append(np.round(v[keep], 6))
         if not out_a:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),

@@ -878,11 +878,23 @@ def ngram_jaccard_pairs(docs_ds, candidate_pairs_ds, n: int = 3,
 
     # pairs are consumed twice (id collection + join): materialize the
     # small pair set once so the upstream candidate pipeline runs once
+    MAX_CANDIDATE_IDS = 5_000_000  # ~40 MB of int64 on the driver
     pairs = candidate_pairs_ds.select_columns(["a", "b"]).materialize()
     ids: set = set()
     for t in pairs.iter_batches(batch_format="pyarrow"):
         ids.update(t.column("a").to_pylist())
         ids.update(t.column("b").to_pylist())
+        if len(ids) > MAX_CANDIDATE_IDS:
+            # the driver-side id set is bounded by the candidate count
+            # (post-LSH, small by construction); make that bound explicit
+            # rather than silently ballooning driver memory
+            raise ValueError(
+                f"ngram_jaccard_pairs: >{MAX_CANDIDATE_IDS:,} distinct "
+                "candidate doc ids — this verify path broadcasts the id "
+                "set to filter the corpus and is meant for post-LSH "
+                "candidate volumes; for corpus-scale exact n-gram "
+                "Jaccard use ngram_jaccard_exact_pairs (AllPairs), "
+                "which never collects ids driver-side.")
     if not ids:
         return ray.data.from_pandas(pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),

@@ -45,10 +45,21 @@ def _radix_bucket(values: np.ndarray, bucket_bits: int) -> np.ndarray:
 
 
 def grouped_exact_quantiles(ds, group_col: str, value_col: str,
-                            qs=DEFAULT_QS, bucket_bits: int = 12):
+                            qs=DEFAULT_QS, bucket_bits: int = 12,
+                            max_exact_groups: int = 20_000):
     """(group, quantile, value) — the EXACT ceil(q*n)-th smallest value
     per group.  ``ds`` streams twice (pass 1 histogram, pass 3 pruned
-    gather); materialize upstream if it is expensive to recompute."""
+    gather); materialize upstream if it is expensive to recompute.
+
+    Driver-state bound: the exact plan holds a ``targets`` dict and a
+    group->code map of O(groups x len(qs)) entries on the driver, and
+    the pruned gather funnels through <= 8 reducers — right for
+    low-cardinality report groups (event types, languages, shards).
+    When the histogram shows more than ``max_exact_groups`` distinct
+    groups the call auto-routes to the mergeable per-group sketch
+    (:func:`grouped_quantile_sketch`, O(groups x k) WORKER memory,
+    ~1/k rank error), returning the same (group, quantile, value)
+    schema — pass ``max_exact_groups=None`` to force the exact plan."""
     from ..util import shuffle_partitions
     from .exact_agg import grouped_aggregate
 
@@ -70,6 +81,13 @@ def grouped_exact_quantiles(ds, group_col: str, value_col: str,
     targets: dict = {}  # (group, bucket) -> list of (q, in-bucket rank)
     if group_col not in hist.columns:  # empty input -> schema-less blocks
         hist = pd.DataFrame({group_col: [], "bucket": [], "n": []})
+    if (max_exact_groups is not None
+            and hist[group_col].nunique() > max_exact_groups):
+        import ray.data
+
+        sk = grouped_quantile_sketch(ds, group_col, value_col, qs=qs)
+        return ray.data.from_pandas(
+            sk.rename(columns={"value_est": "value"}))
     for grp, g in hist.groupby(group_col, sort=False):
         g = g.sort_values("bucket")
         counts = g["n"].to_numpy()
@@ -209,14 +227,21 @@ def grouped_quantile_sketch(ds, group_col: str, value_col: str,
     from ..util import shuffle_partitions
 
     def compact_frame(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for g, part in df.groupby(group_col, sort=False):
-            v, w = _compact(part["v"].to_numpy(), part["w"].to_numpy(), k)
-            out.append(pd.DataFrame({group_col: g, "v": v, "w": w}))
-        if not out:
+        if df.empty:
             return pd.DataFrame({group_col: pd.Series(dtype="object"),
                                  "v": pd.Series(dtype="float64"),
                                  "w": pd.Series(dtype="float64")})
+        # groups already at <= k centroids pass through vectorized
+        # (compaction is a no-op for them) — the per-group Python loop
+        # only ever touches oversized groups, so a high-cardinality
+        # column with modest per-group data costs one sort, not one
+        # DataFrame construction per group
+        sizes = df.groupby(group_col, sort=False)["v"].transform("size")
+        big_mask = (sizes > k).to_numpy()
+        out = [df[~big_mask]]
+        for g, part in df[big_mask].groupby(group_col, sort=False):
+            v, w = _compact(part["v"].to_numpy(), part["w"].to_numpy(), k)
+            out.append(pd.DataFrame({group_col: g, "v": v, "w": w}))
         return pd.concat(out, ignore_index=True)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

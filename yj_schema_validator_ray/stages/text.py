@@ -330,9 +330,10 @@ def heavy_hitters(docs_ds, k: int = 20, capacity: int = 400):
     each batch (vectorized: full local value_counts truncated to the
     top ``capacity`` — the batch-local equivalent of MG's decrement
     rule, with the same guarantee: any term with batch frequency
-    > batch_n/capacity survives) and merges partials by summation +
-    re-truncation per shuffle partition; the driver sees only
-    ``capacity`` candidate terms.  Pass 2 recounts ONLY the broadcast
+    > batch_n/capacity survives) and merges partials with the standard
+    mergeable-summaries MG rule (sum, subtract the (capacity+1)-th
+    count, keep positives) so the global freq > N/(capacity+1) survival
+    bound holds; the driver sees only ``capacity`` candidate terms.  Pass 2 recounts ONLY the broadcast
     candidates exactly and keeps the top ``k`` by (count desc, term
     asc).  Unlike :func:`vocab_top_terms` the full vocabulary never
     shuffles — memory is O(capacity) per worker regardless of
@@ -356,8 +357,18 @@ def heavy_hitters(docs_ds, k: int = 20, capacity: int = 400):
         return pd.DataFrame({"term": vc.index, "n": vc.to_numpy().astype("int64")})
 
     def mg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        # standard Misra-Gries merge (Agarwal et al., "Mergeable
+        # Summaries"): sum counters, then subtract the (capacity+1)-th
+        # largest count from every counter and keep the positive ones —
+        # NOT a plain truncate, which would void the global
+        # freq > N/(capacity+1) survival bound when a hitter is spread
+        # evenly across partials.  Counts may be deflated here; the
+        # exact recount pass below restores true counts for survivors.
         m = (g.groupby("term", sort=False)["n"].sum()
-             .sort_values(ascending=False).head(capacity))
+             .sort_values(ascending=False))
+        if len(m) > capacity:
+            m = m.iloc[:capacity] - int(m.iloc[capacity])
+            m = m[m > 0]
         return pd.DataFrame({"term": m.index, "n": m.to_numpy().astype("int64")})
 
     from ..util import shuffle_partitions
