@@ -1,0 +1,211 @@
+"""Driver-oracle-able ACCURACY queries for the approximate operator
+family.
+
+The sketch/LSH operators (HLL distinct, MinHash near-dup, ANN top-k)
+are approximate by design, so their outputs carry no SQL oracle — but
+their *accuracy against the exact operator* is deterministic (fixed
+seeds, fixed corpus) and exactly checkable: each query here runs BOTH
+the approximate and the exact pipeline, emits the exact-side value
+(hash-checked against DuckDB) plus boolean bound checks of the
+approximate side, and the driver's value-hash compare fails if any
+bound is violated.  Bounds are set from measured behavior at sf0.001
+and sf0.01 with explicit margin; they are properties of the algorithm
+parameters (HLL p=12 -> ~1.6% sigma; MinHash 64 perms -> ~0.12 sigma
+per pair), not of one corpus.
+
+No reference counterpart (alexmond/yj-schema-validator has no
+approximate operators); this is the LLM-pipeline quality-gate layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+#: sentinel matching pipelines.constraints._hash64's null slot — HLL
+#: counts null as a distinct value, so the exact side must too
+_NULL_SENTINEL = "\x00null"
+
+
+def hll_accuracy(corpus_ds, columns=("repo", "path", "commit", "lang"),
+                 p: int = 12, rel_bound: float = 0.05):
+    """(column_name, exact_distinct, within_bound): exact distinct count
+    per column (distributed, null counted as a value — HLL semantics)
+    plus a check that the HLL estimate is within ``rel_bound`` relative
+    error.  p=12 gives sigma ~1.04/sqrt(4096) = 1.6%, so 5% is ~3 sigma.
+
+    The exact side is a two-exchange plan that never moves raw rows:
+    per-batch DISTINCT (column, value) partials -> global dedup through
+    the coarse-hash exchange -> per-block counts -> one tiny sum.
+    """
+    from ..pipelines.constraints import distinct_sketch
+    from ..stages.exact_agg import grouped_aggregate
+
+    cols = list(columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        names, vals = [], []
+        for c in cols:
+            u = pc.unique(pc.fill_null(pc.cast(batch.column(c), pa.string()),
+                                       _NULL_SENTINEL))
+            names.append(np.full(len(u), c, dtype=object))
+            vals.append(u.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "column_name": pa.array(np.concatenate(names), pa.string()),
+            "value": pa.array(np.concatenate(vals), pa.string())})
+
+    distinct = grouped_aggregate(
+        corpus_ds.map_batches(partial, batch_format="pyarrow"),
+        ["column_name", "value"], [("", "count", "n")])
+
+    def count_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = t.group_by("column_name").aggregate([("value", "count")])
+        return pa.table({"column_name": g.column("column_name"),
+                         "part": pc.cast(g.column("value_count"), pa.int64())})
+
+    exact = grouped_aggregate(
+        distinct.map_batches(count_part, batch_format="pyarrow"),
+        ["column_name"], [("part", "sum", "exact_distinct")]).to_pandas()
+
+    est = distinct_sketch(corpus_ds, columns=cols, p=p)
+    out = exact.merge(est, on="column_name")
+    rel = (out["distinct_estimate"] - out["exact_distinct"]).abs() \
+        / out["exact_distinct"].clip(lower=1)
+    return pd.DataFrame({
+        "column_name": out["column_name"],
+        "exact_distinct": out["exact_distinct"].astype("int64"),
+        "within_bound": (rel <= rel_bound),
+    }).sort_values("column_name").reset_index(drop=True)
+
+
+def hll_accuracy_sql(columns=("repo", "path", "commit", "lang")) -> str:
+    from ..sources.corpus import corpus_sql_cte
+
+    parts = []
+    for c in columns:
+        qc = f'"{c}"' if c == "commit" else c
+        parts.append(
+            f"SELECT '{c}' AS column_name, "
+            f"CAST(count(DISTINCT {qc}) + max(CASE WHEN {qc} IS NULL "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS exact_distinct, "
+            f"TRUE AS within_bound FROM corpus")
+    return f"WITH {corpus_sql_cte()}\n" + "\nUNION ALL\n".join(parts)
+
+
+def _ann_accuracy(exact_df: pd.DataFrame, approx_df: pd.DataFrame,
+                  recall_bound: float) -> pd.DataFrame:
+    rows = []
+    for qid, ex in exact_df.groupby("query_id", sort=True):
+        ap = approx_df[approx_df["query_id"] == qid]
+        inter = len(set(ex["vec_id"]) & set(ap["vec_id"]))
+        ex1 = ex.loc[ex["rank"] == 1, "vec_id"].iloc[0]
+        a1 = ap.loc[ap["rank"] == 1, "vec_id"]
+        rows.append((int(qid), len(ex),
+                     bool(len(a1) and a1.iloc[0] == ex1),
+                     bool(inter / len(ex) >= recall_bound)))
+    return pd.DataFrame({
+        "query_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "n_exact": pd.Series([r[1] for r in rows], dtype="int64"),
+        "top1_hit": pd.Series([r[2] for r in rows], dtype="bool"),
+        "recall_ok": pd.Series([r[3] for r in rows], dtype="bool"),
+    })
+
+
+def ann_lsh_accuracy(emb_ds, queries, k: int = 10,
+                     recall_bound: float = 0.10):
+    """Per query: exact top-k size (hash-checked vs the brute-force SQL)
+    + two LSH quality checks: the rank-1 result matches the exact rank-1
+    (self-retrieval — the LSH contract: identical/near-identical vectors
+    share every code) and recall@k >= ``recall_bound``.  Single-table
+    8-bit LSH trades recall on the low-similarity tail for a ~2^-8
+    candidate set, so the floor is the self-match (measured 0.1-0.3
+    recall@10 on random-tail queries at both test scales)."""
+    from ..stages.ann import ann_topk_bruteforce, ann_topk_lsh
+
+    exact = ann_topk_bruteforce(emb_ds, queries, k).to_pandas()
+    approx = ann_topk_lsh(emb_ds, queries, k).to_pandas()
+    return _ann_accuracy(exact, approx, recall_bound)
+
+
+def ann_ivf_accuracy(emb_ds, queries, k: int = 10,
+                     recall_bound: float = 0.40):
+    """Per query: exact top-k size + IVF quality checks (top-1 hit and
+    recall@k >= 0.4 with the default 2-of-16 probed centroids; measured
+    0.4-1.0 at both test scales)."""
+    from ..stages.ann import ann_topk_bruteforce, ann_topk_ivf
+
+    exact = ann_topk_bruteforce(emb_ds, queries, k).to_pandas()
+    approx = ann_topk_ivf(emb_ds, queries, k).to_pandas()
+    return _ann_accuracy(exact, approx, recall_bound)
+
+
+def ann_accuracy_sql(k: int = 10, n_queries: int = 5) -> str:
+    """Exact-side oracle: per-query exact top-k count from brute-force
+    cosine SQL; the boolean bound columns assert the approximate side."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       TRUE AS top1_hit, TRUE AS recall_ok
+FROM ranked WHERE rank <= {k}
+GROUP BY query_id"""
+
+
+def minhash_accuracy(docs_ds, threshold: float = 0.3,
+                     recall_bound: float = 0.9,
+                     mean_err_bound: float = 0.05,
+                     max_err_bound: float = 0.15):
+    """One row: the exact AllPairs n-gram pair count (hash-checked vs
+    the gram self-join SQL) + three MinHash quality checks against it —
+    candidate recall (the 16-band/64-perm LSH must surface >= 90% of
+    true >=0.3-Jaccard pairs; S-curve collision prob at J=0.3 is ~0.97)
+    and the signature Jaccard-estimate error on recovered pairs (64
+    permutations -> sigma ~ sqrt(J(1-J)/64) <= 0.06; measured mean
+    0.014-0.019, max 0.034-0.068 at the two test scales).
+
+    MinHash estimates CHAR-5-shingle Jaccard while the exact side uses
+    word 3-grams; on text the two spaces track closely, which is exactly
+    what this query certifies end-to-end for the dedup family.
+    """
+    from ..stages.dedup import minhash_lsh_pairs, ngram_jaccard_exact_pairs
+
+    exact = ngram_jaccard_exact_pairs(docs_ds, threshold=threshold).to_pandas()
+    mh = minhash_lsh_pairs(docs_ds, threshold=threshold).to_pandas()
+    if len(exact) == 0:
+        return pd.DataFrame({"n_exact_pairs": pd.Series([0], dtype="int64"),
+                             "recall_ok": [True], "mean_err_ok": [True],
+                             "max_err_ok": [True]})
+    m = exact.merge(mh, on=["a", "b"], how="left")
+    found = m["jaccard_est"].notna()
+    err = (m.loc[found, "jaccard_est"] - m.loc[found, "jaccard"]).abs()
+    return pd.DataFrame({
+        "n_exact_pairs": pd.Series([len(exact)], dtype="int64"),
+        "recall_ok": [bool(found.mean() >= recall_bound)],
+        "mean_err_ok": [bool(len(err) == 0 or err.mean() <= mean_err_bound)],
+        "max_err_ok": [bool(len(err) == 0 or err.max() <= max_err_bound)],
+    })
+
+
+def minhash_accuracy_sql(threshold: float = 0.3) -> str:
+    from ..stages.dedup import ngram_jaccard_exact_sql
+
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok, TRUE AS mean_err_ok, TRUE AS max_err_ok
+FROM ({ngram_jaccard_exact_sql(threshold=threshold)}) exact_pairs"""
