@@ -363,6 +363,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (M.media_features(M.media_dataset_from_documents(sf_dir))
                 .drop_columns(["feature"]))
 
+    def q_media_features_png(sf_dir):
+        # REAL PNG decode (zlib inflate + numpy unfilter; filter type
+        # varies per doc so all five unfilter paths run) reduced to
+        # exact integer pixel projections a SQL oracle can integrate
+        from yj_schema_validator_ray.util import process_cached
+
+        return M.png_dataset_from_documents(sf_dir).map_batches(
+            process_cached(M.PngPixelStats, ()),
+            batch_format="pyarrow", batch_size=256)
+
     from yj_schema_validator_ray.pipelines import accuracy as ACC
 
     def q_accuracy_hll(sf_dir):
@@ -404,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accuracy_ann_lsh": q_accuracy_ann_lsh,
         "accuracy_ann_ivf": q_accuracy_ann_ivf,
         "accuracy_minhash": q_accuracy_minhash,
+        "media_features_png": q_media_features_png,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -412,7 +423,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ref_integrity": q_ref_integrity,
         "column_stats": q_column_stats,
         "lang_histogram": q_lang_histogram,
-        "content_length_histogram": q_content_length_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -441,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (d) oracled, below the 50-entry snapshot line: each is ALSO
         # pinned by byte-parity goldens / reference fixtures / pytest
         # and was driver-green in r02
+        "content_length_histogram": q_content_length_histogram,
         "fingerprint_md5": q_fingerprint_md5,
         "vocab_top_terms": q_vocab_top_terms,
         "heavy_hitters": q_heavy_hitters,
@@ -612,6 +623,12 @@ def _accuracy_minhash_sql() -> str:
     return minhash_accuracy_sql()
 
 
+def _media_features_png_sql() -> str:
+    from yj_schema_validator_ray.stages.multimodal import png_pixel_stats_sql
+
+    return png_pixel_stats_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
 
@@ -679,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "accuracy_ann_lsh": _accuracy_ann_sql(),
         "accuracy_ann_ivf": _accuracy_ann_sql(),
         "accuracy_minhash": _accuracy_minhash_sql(),
+        "media_features_png": _media_features_png_sql(),
         # intentionally no SQL oracle (approximate / non-SQL-expressible):
         # distinct_sketch (HLL), dedup_minhash / dedup_simhash /
         # dedup_ngram_jaccard (LSH candidates), quality_scores / lang_id

@@ -724,3 +724,76 @@ def test_heavy_hitters_mg_merge_bound(ray_session):
     out = heavy_hitters(ds, k=5, capacity=10).to_pandas()
     got = dict(zip(out["term"], out["n"]))
     assert got.get("hot") == 1200
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png -> decode_image is identity for every PNG filter type
+    and odd shapes (no Ray needed)."""
+    from yj_schema_validator_ray.stages.multimodal import (decode_image,
+                                                           encode_png)
+
+    rng = np.random.RandomState(0)
+    for ft in range(5):
+        for shape in [(1, 1, 3), (7, 13, 3), (16, 16, 3), (5, 1, 3)]:
+            img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+            assert (decode_image(encode_png(img, filter_type=ft)) == img).all()
+
+
+def test_png_decode_spec_vector():
+    """Independent RFC-2083 check: a PNG assembled by hand (raw
+    scanlines with hand-computed Sub and Paeth filter bytes, stdlib
+    zlib/struct only — NOT via encode_png) decodes to the known pixels,
+    so a matched encoder/decoder bug cannot hide."""
+    import struct
+    import zlib
+
+    from yj_schema_validator_ray.stages.multimodal import decode_image
+
+    # pixels: row0 (10,20,30),(40,60,80); row1 (5,5,5),(250,0,128)
+    # row0 Sub:   10,20,30 then 40-10,60-20,80-30 = 30,40,50
+    # row1 Paeth: preds are the up pixel for every channel ->
+    #             (5-10,5-20,5-30)%256=(251,241,231) and
+    #             (250-40,0-60,128-80)%256=(210,196,48)
+    raw = (bytes([1, 10, 20, 30, 30, 40, 50])
+           + bytes([4, 251, 241, 231, 210, 196, 48]))
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + typ + data + crc.to_bytes(4, "big")
+
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_image(png)
+    expect = np.array([[[10, 20, 30], [40, 60, 80]],
+                       [[5, 5, 5], [250, 0, 128]]], dtype=np.uint8)
+    assert (out == expect).all()
+
+
+def test_png_resizer_and_pixel_stats(ray_session):
+    """ImageResizer treats PNG as decodable (real resize, PPM out) and
+    PngPixelStats sums match a direct numpy decode."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.multimodal import (ImageResizer,
+                                                           PngPixelStats,
+                                                           decode_image,
+                                                           encode_png)
+
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+            for _ in range(4)]
+    df = pd.DataFrame({"media_id": range(4),
+                       "payload": [encode_png(im, filter_type=i % 5)
+                                   for i, im in enumerate(imgs)]})
+    ds = ray.data.from_pandas(df)
+    rs = ds.map_batches(ImageResizer, batch_format="pyarrow", batch_size=4,
+                        concurrency=1).to_pandas()
+    assert set(rs["mime"]) == {"image/x-portable-pixmap"}  # real path
+    stats = (ds.map_batches(PngPixelStats, batch_format="pyarrow",
+                            concurrency=1)
+             .to_pandas().sort_values("media_id").reset_index(drop=True))
+    for i, im in enumerate(imgs):
+        assert stats.loc[i, "width"] == 11 and stats.loc[i, "height"] == 9
+        assert (stats.loc[i, ["px_sum_r", "px_sum_g", "px_sum_b"]].to_numpy()
+                == im.sum(axis=(0, 1))).all()

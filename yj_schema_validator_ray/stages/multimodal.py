@@ -2,11 +2,12 @@
 
 Images/audio/video ride through the engine as Arrow ``binary`` columns
 with sidecar metadata (mime, width/height or duration, sha256).
-UNCOMPRESSED image formats decode natively with pure numpy (PPM P6,
-24/32-bit BMP — :func:`decode_image`), with real nearest-neighbor resize
-and a real 16-dim feature; COMPRESSED formats (PNG/JPEG) need a codec
-library this container lacks and raise NotImplementedError (a
-deterministic stand-in keeps the Ray plumbing exercised on any input).
+PPM P6, 24/32-bit BMP and 8-bit non-interlaced PNG (stdlib zlib +
+numpy scanline unfiltering, all five filter types) decode natively
+with pure numpy (:func:`decode_image`), with real nearest-neighbor
+resize and a real 16-dim feature; only JPEG needs a codec library this
+container lacks and raises NotImplementedError (a deterministic
+stand-in keeps the Ray plumbing exercised on any input).
 Schema, actor-pool signature, batch sizing, zero-copy binary handling,
 and output layout are real and tested either way.
 
@@ -79,18 +80,160 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, 2::-1])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with stdlib ``zlib`` + numpy scanline unfiltering
+    (no codec library needed): 8-bit depth, color types 0/2/3/4/6,
+    non-interlaced; all five filter types (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6).  Sub rows unfilter as a vectorized per-channel
+    modular cumsum and Up rows as one vector add; Average/Paeth carry a
+    true left-pixel dependency, so those rows walk pixels with
+    channel-vector steps."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, idat, plte = 8, [], None
+    w = h = ctype = None
+    n = len(payload)
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "PNG decode supports 8-bit non-interlaced images only")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    filt_rows = rows[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, row = int(ftypes[y]), filt_rows[y]
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: modular prefix sum per channel lane
+            cur = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f in (3, 4):
+            cur = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(0, stride, ch):
+                up = prev[x:x + ch]
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - upleft
+                    da, db, dc = (np.abs(p - left), np.abs(p - up),
+                                  np.abs(p - upleft))
+                    pred = np.where((da <= db) & (da <= dc), left,
+                                    np.where(db <= dc, up, upleft))
+                left = (row[x:x + ch] + pred) % 256
+                cur[x:x + ch] = left
+                upleft = up
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    px = recon.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[px[:, :, 0]]
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA minus alpha
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+    return len(data).to_bytes(4, "big") + typ + data + crc.to_bytes(4, "big")
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
+    """Minimal real PNG encoder (8-bit RGB, one filter type for every
+    row).  Filtering is fully vectorized — unlike decode, the filter
+    predictors read ORIGINAL pixels, so there is no sequential
+    dependency.  Exists so tests and pipelines can synthesize valid
+    PNGs exercising every unfilter path."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(arr.astype(np.uint8))
+    h, w = a.shape[:2]
+    flat = a.reshape(h, w * 3).astype(np.int32)
+    left = np.zeros_like(flat)
+    left[:, 3:] = flat[:, :-3]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    upleft = np.zeros_like(flat)
+    upleft[1:, 3:] = flat[:-1, :-3]
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - left
+    elif filter_type == 2:
+        filt = flat - up
+    elif filter_type == 3:
+        filt = flat - ((left + up) >> 1)
+    elif filter_type == 4:
+        p = left + up - upleft
+        da, db, dc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where((da <= db) & (da <= dc), left,
+                        np.where(db <= dc, up, upleft))
+        filt = flat - pred
+    else:
+        raise ValueError(f"bad filter type {filter_type}")
+    body = (filt % 256).astype(np.uint8)
+    scan = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = body
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + _png_chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real pure-numpy decode of UNCOMPRESSED formats — PPM (P6) and
-    24/32-bit BMP — to an (h, w, 3) uint8 array.  Compressed formats
-    (PNG/JPEG) need a codec library that is not in this container and
-    raise NotImplementedError (wire a real codec here in production)."""
+    """Real pure-numpy decode — PPM (P6), 24/32-bit BMP, and 8-bit
+    non-interlaced PNG (stdlib zlib inflate + numpy scanline
+    unfiltering) — to an (h, w, 3) uint8 array.  Only JPEG still needs
+    a codec library this container lacks and raises
+    NotImplementedError (wire a real codec here in production)."""
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "compressed image decode (PNG/JPEG/...) requires a codec library "
-        "unavailable in this environment; PPM(P6)/BMP decode natively")
+        "JPEG decode requires a codec library unavailable in this "
+        "environment; PPM(P6)/BMP/PNG decode natively")
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -177,7 +320,7 @@ class ImageResizer:
         return (h * (n // len(h) + 1))[:n]
 
     def _resize_one(self, payload: bytes) -> tuple[bytes, str]:
-        if payload[:2] in (b"P6", b"BM"):
+        if payload[:2] in (b"P6", b"BM") or payload[:8] == _PNG_SIG:
             arr = resize_nearest(decode_image(payload), self.width, self.height)
             return encode_ppm(arr), "image/x-portable-pixmap"
         return self._fake_resize(payload), "application/octet-stream"
@@ -222,6 +365,79 @@ class FrameSampler:
             "frame_index": pa.array(idxs, pa.int32()),
             "frame": pa.array(frames, pa.binary()),
         })
+
+
+def png_dataset_from_documents(sf_dir: str, size: int = 8):
+    """Synthesize a REAL PNG per document: an 8x8 RGB gradient with
+    pixel(y, x, c) = (doc_id*7 + y*8 + x + 97*c) % 256, encoded with
+    filter type doc_id % 5 — every row of the corpus exercises one of
+    the five PNG unfilter paths, and the pixel pattern has a closed
+    form a SQL oracle can integrate over."""
+    import ray.data
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        grid = np.arange(size * size, dtype=np.int64).reshape(size, size)
+        chan = 97 * np.arange(3, dtype=np.int64)
+        payloads = []
+        for did in ids:
+            arr = (int(did) * 7 + grid[..., None] + chan) % 256
+            payloads.append(encode_png(arr.astype(np.uint8),
+                                       filter_type=int(did) % 5))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(["image/png"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class PngPixelStats:
+    """Decode REAL PNGs and emit exact integer pixel projections:
+    (width, height, per-channel pixel sum) — the integer numerators of
+    the 16-dim feature's per-channel means (mean_c = px_sum_c/(w*h*255))
+    in a hash-safe form.  Any unfiltering error anywhere in the image
+    perturbs the sums, so a SQL oracle over the closed-form pattern
+    certifies the decode byte-for-byte."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        out_w, out_h, sums = [], [], []
+        for payload in batch.column("payload").to_pylist():
+            arr = decode_image(payload)
+            out_h.append(arr.shape[0])
+            out_w.append(arr.shape[1])
+            sums.append(arr.sum(axis=(0, 1), dtype=np.int64))
+        s = (np.stack(sums) if sums
+             else np.zeros((0, 3), dtype=np.int64))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(out_w, pa.int32()),
+            "height": pa.array(out_h, pa.int32()),
+            "px_sum_r": pa.array(s[:, 0], pa.int64()),
+            "px_sum_g": pa.array(s[:, 1], pa.int64()),
+            "px_sum_b": pa.array(s[:, 2], pa.int64()),
+        })
+
+
+def png_pixel_stats_sql(size: int = 8) -> str:
+    """Closed-form oracle: pixel(y,x,c) = (doc_id*7 + (y*8+x) + 97c) % 256
+    summed over the grid (y*8+x ranges 0..63)."""
+    n = size * size - 1
+    sums = ", ".join(
+        f"CAST(sum((d.doc_id * 7 + s.i + {97 * c}) % 256) AS BIGINT) "
+        f"AS px_sum_{ch}"
+        for c, ch in enumerate("rgb"))
+    return f"""
+SELECT d.doc_id AS media_id,
+       CAST({size} AS INTEGER) AS width, CAST({size} AS INTEGER) AS height,
+       {sums}
+FROM documents d
+CROSS JOIN (SELECT unnest(generate_series(0, {n})) AS i) s
+GROUP BY d.doc_id"""
 
 
 def media_dataset_from_documents(sf_dir: str):
