@@ -126,6 +126,50 @@ def test_minhash_signature_similarity():
     assert (MinHasher(num_perm=128).signature(a) == mh.signature(a)).all()
 
 
+def test_minhash_batch_path_bit_identical_to_per_doc():
+    """The vectorized whole-batch __call__ (one Arrow-buffer window pass,
+    cross-batch shingle dedupe, reduceat mins) must produce EXACTLY the
+    per-doc signature() values — including short (<k), empty, unicode and
+    duplicate docs, sliced batches, and large_string columns."""
+    import pyarrow as pa
+    from yj_schema_validator_ray.stages.dedup import (
+        MinHasher, _batch_window_hashes, _shingle_hashes)
+
+    mh = MinHasher(num_perm=64)
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "short", "", "ab", "exactly5.",
+        "unicode snowman ☃ and emoji 🚀 mixed in " * 7,
+        "the quick brown fox jumps over the lazy dog " * 20,  # dup
+        "x" * 4, "y" * 5,
+    ]
+    ref = np.stack([mh.signature(t) for t in texts])
+
+    def sigs_of(tbl):
+        out = mh(tbl)
+        return np.stack([np.array(s, dtype=np.int64).view(np.uint64)
+                         for s in out.column("sig").to_pylist()])
+
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    assert (sigs_of(batch) == ref).all()
+    assert (sigs_of(batch.slice(2, 4)) == ref[2:6]).all()
+    large = pa.table({"doc_id": batch.column("doc_id"),
+                      "text": pa.array(texts, pa.large_string())})
+    assert (sigs_of(large) == ref).all()
+    # the window-hash kernel itself matches the per-doc shingle hasher
+    wins, woffs = _batch_window_hashes(batch.column("text"), 5)
+    for i, t in enumerate(texts):
+        got = np.unique(wins[woffs[i]:woffs[i + 1]])
+        assert (got == _shingle_hashes(t, 5)).all()
+    # chunk boundaries cannot change values: force many tiny chunks
+    tiny = MinHasher(num_perm=64)
+    tiny.CHUNK_WINDOWS = 8
+    assert (np.stack([np.array(s, dtype=np.int64).view(np.uint64)
+                      for s in tiny(batch).column("sig").to_pylist()])
+            == ref).all()
+
+
 def test_simhash_hamming_properties():
     from yj_schema_validator_ray.stages.dedup import SimHasher
 

@@ -94,11 +94,79 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(h)
 
 
+def _batch_window_hashes(col, k: int):
+    """Per-doc char-k-window polynomial hashes for a WHOLE batch,
+    straight from the Arrow string buffers: ONE windowed poly pass over
+    the concatenated value buffer (k vectorized steps, the
+    ``_fnv1a_rolling`` buffer-walk idea), then per-doc slices gathered
+    with a grouped-arange — no ``to_pylist``, no per-doc hashing.
+    Values are bit-identical to :func:`_shingle_hashes` minus the
+    per-doc ``unique`` (min-based consumers are unaffected by dups).
+
+    Returns ``(wins, win_offsets)``: doc i's window hashes are
+    ``wins[win_offsets[i]:win_offsets[i+1]]`` (short docs get their one
+    zero-padded window, computed individually — they cannot use the
+    global pass because their window would cross into the next doc).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(1, np.int64)
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    starts, lens = offs[:-1], offs[1:] - offs[:-1]
+    mult = np.uint64(1099511628211)
+    nw_global = max(len(data) - k + 1, 0)
+    H = np.zeros(nw_global, dtype=np.uint64)
+    d64 = data.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            H = H * mult + d64[i:nw_global + i]
+    win_counts = np.where(lens >= k, lens - k + 1, 1)
+    woffs = np.concatenate(([0], np.cumsum(win_counts)))
+    wins = np.empty(int(woffs[-1]), dtype=np.uint64)
+    normal = lens >= k
+    if normal.any():
+        nc = win_counts[normal]
+        doc_sel = np.flatnonzero(normal)
+        pos = np.arange(int(nc.sum())) - np.repeat(
+            np.cumsum(nc) - nc, nc)
+        src = np.repeat(starts[doc_sel], nc) + pos
+        dst = np.repeat(woffs[:-1][doc_sel], nc) + pos
+        wins[dst] = H[src]
+    with np.errstate(over="ignore"):
+        for d in np.flatnonzero(~normal):  # rare: doc shorter than k
+            h = np.uint64(0)
+            for byte in data[starts[d]:starts[d] + lens[d]]:
+                h = h * mult + np.uint64(byte)
+            for _ in range(k - int(lens[d])):  # zero padding
+                h = h * mult
+            wins[woffs[d]] = h
+    return wins, woffs
+
+
 class MinHasher:
     """Actor-pool stage: text -> minhash signature (num_perm x uint64).
 
-    Permutation params are built once per actor in ``__init__``.
+    Permutation params are built once per actor in ``__init__``.  The
+    batch path hashes every doc's char-5 windows in ONE vectorized
+    buffer pass (no ``to_pylist``) and dedupes shingles ACROSS the
+    batch before the (num_perm x shingle) universal-hash table is
+    built — repetitive corpora share most shingles, so the modmul work
+    collapses to O(num_perm x unique) and each doc's signature is a
+    small cache-hot gather of its OWN unique rows from that table +
+    min (a whole-chunk ``reduceat`` over the un-deduped gather measured
+    3x slower on this memory-bound box: 750 MB of temps vs ~50 KB per
+    doc).  Signatures are bit-identical to the per-doc
+    :meth:`signature` path (pinned in tests).
     """
+
+    #: windows per dedupe chunk — bounds the (unique x num_perm)
+    #: hash table at ~32 MB (64 perms)
+    CHUNK_WINDOWS = 1 << 16
 
     def __init__(self, num_perm: int = 64, k: int = 5):
         self.a, self.b = _minhash_params(num_perm)
@@ -112,16 +180,30 @@ class MinHasher:
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # per-DOC numpy (not one giant batch matrix): each doc's
-        # (num_perm x n_shingles) hash block is ~100 KB and stays
-        # cache-hot; a whole-batch matrix is ~0.5 GB of uint64 temps and
-        # measured 15x slower on this memory-bound box
-        texts = batch.column("text").to_pylist()
-        if not texts:
+        n = batch.num_rows
+        if n == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "sig": pa.array([], pa.list_(pa.int64(),
                                                           self.num_perm))})
-        sigs = np.stack([self.signature(t) for t in texts])
+        wins, woffs = _batch_window_hashes(batch.column("text"), self.k)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        i = 0
+        while i < n:
+            j = i + 1  # at least one doc per chunk
+            while j < n and woffs[j + 1] - woffs[i] <= self.CHUNK_WINDOWS:
+                j += 1
+            seg = wins[woffs[i]:woffs[j]]
+            uniq, inv = np.unique(seg, return_inverse=True)
+            with np.errstate(over="ignore"):
+                # (unique, num_perm) C-order: each doc then gathers only
+                # its OWN unique rows — a ~50 KB cache-hot block
+                vals = (uniq[:, None] * self.a[None, :]
+                        + self.b[None, :]) % np.uint64(_MERSENNE)
+            base = woffs[i]
+            for d in range(i, j):
+                ids = np.unique(inv[woffs[d] - base:woffs[d + 1] - base])
+                sigs[d] = vals[ids].min(axis=0)
+            i = j
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "sig": pa.FixedSizeListArray.from_arrays(
