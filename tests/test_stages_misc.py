@@ -170,6 +170,35 @@ def test_minhash_batch_path_bit_identical_to_per_doc():
             == ref).all()
 
 
+def test_ngram_and_simhash_batch_paths_bit_identical():
+    """batch_grams (cross-batch factorize + one rolling-poly pass) and the
+    SimHasher whole-batch bit-count path must equal the per-doc reference
+    methods exactly — incl. empty/short/punctuation-only/unicode docs."""
+    import pyarrow as pa
+    from yj_schema_validator_ray.stages.dedup import AllNGramHasher, SimHasher
+
+    texts = ["", "one", "one two", "one two three",
+             "one two three four " * 50,
+             "ünïcode wörds emoji 🚀 mix " * 3,
+             "  punctuation,,, only !!! ", "a b c",
+             "the quick brown fox jumps over the lazy dog " * 5]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ng = AllNGramHasher(3)
+    assert (ng(tbl).column("grams").to_pylist()
+            == [ng.gram_hashes(t).tolist() for t in texts])
+    # all-too-short batch -> empty gram lists, not a crash
+    short = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["a b", ""])})
+    assert ng(short).column("grams").to_pylist() == [[], []]
+
+    sh = SimHasher()
+    got = np.array(sh(tbl).column("simhash").to_pylist(),
+                   np.int64).astype(np.uint64)
+    ref = np.array([sh.simhash(t) for t in texts], np.uint64)
+    assert (got == ref).all()
+
+
 def test_simhash_hamming_properties():
     from yj_schema_validator_ray.stages.dedup import SimHasher
 

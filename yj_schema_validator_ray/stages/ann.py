@@ -18,10 +18,22 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _list_f64_matrix(col) -> np.ndarray:
+    """(rows, dim) float64 from a list<float> column — one flatten +
+    reshape off the Arrow value buffer instead of a per-row ``to_pylist``
+    (embeddings are fixed-dim; ragged input raises in the reshape)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
+
+
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-    m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, m
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    return ids, _list_f64_matrix(batch.column("embedding"))
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -337,7 +349,7 @@ def embedding_dup_pairs_lsh(emb_ds, threshold: float = 0.99, nbits: int = 16,
         order = np.lexsort((cd, tb))
         tb, cd = tb[order], cd[order]
         ids = g.column("vec_id").to_numpy()[order]
-        M = np.asarray(g.column("embedding").to_pylist(), dtype=np.float64)[order]
+        M = _list_f64_matrix(g.column("embedding"))[order]
         change = np.flatnonzero((tb[1:] != tb[:-1]) | (cd[1:] != cd[:-1]))
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [len(ids)]))

@@ -212,8 +212,8 @@ class MinHasher:
 
 
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int) -> pa.Table:
-    ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-    sig = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sig = _fixed_list_matrix(batch.column("sig")).view(np.uint64)
     out_band, out_hash, out_id = [], [], []
     for bi in range(bands):
         chunk = sig[:, bi * rows_per_band:(bi + 1) * rows_per_band]
@@ -592,10 +592,40 @@ class SimHasher:
         return int("".join("1" if s > 0 else "0" for s in score[::-1]), 2)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sh = [self.simhash(t) for t in batch.column("text").to_pylist()]
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "simhash": pa.array(np.array(sh, dtype=np.uint64).astype(np.int64),
+        # whole-batch path, bit-identical to per-doc simhash() (pinned in
+        # tests): factorize tokens across the batch, blake2b only the
+        # UNIQUE tokens, per-doc bit-count via segment sums of the
+        # gathered (token x 64) bit table
+        texts = batch.column("text").to_pylist()
+        ndocs = len(texts)
+        sh = np.zeros(ndocs, dtype=np.uint64)
+        if ndocs:
+            toks = [self.tok.findall(t.lower()) for t in texts]
+            lens = np.fromiter((len(x) for x in toks), np.int64, ndocs)
+            total = int(lens.sum())
+            if total:
+                flat = np.empty(total, dtype=object)
+                pos = 0
+                for ws in toks:
+                    flat[pos:pos + len(ws)] = ws
+                    pos += len(ws)
+                codes, uniques = pd.factorize(flat)
+                uh = np.fromiter(
+                    (int.from_bytes(hashlib.blake2b(
+                        t.encode(), digest_size=8).digest(), "little")
+                     for t in uniques), np.uint64, len(uniques))
+                # (unique, 64) bit table, bit s == (h >> s) & 1
+                bits = np.unpackbits(uh[:, None].view(np.uint8), axis=1,
+                                     bitorder="little").astype(np.int32)
+                offs = np.concatenate(([0], np.cumsum(lens)))
+                nz = np.flatnonzero(lens)
+                ones = np.add.reduceat(bits[codes], offs[nz], axis=0)
+                score = 2 * ones - lens[nz, None]
+                sh[nz] = ((score > 0).astype(np.uint64)
+                          << np.arange(64, dtype=np.uint64)[None, :]
+                          ).sum(axis=1, dtype=np.uint64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(sh.astype(np.int64),
                                              pa.int64())})
 
 
@@ -609,8 +639,9 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                                batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-        sh = np.asarray(batch.column("simhash").to_pylist(), dtype=np.int64).astype(np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
         chunks, vals, oid, osh = [], [], [], []
         for c in range(4):
             chunks.append(np.full(len(ids), c, dtype=np.int64))
@@ -704,13 +735,63 @@ class NGramHasher:
             h = h * mult + th[i:len(ws) - self.n + 1 + i]
         return np.unique(h).astype(np.int64)
 
+    def batch_grams(self, texts: list[str]) -> pa.ListArray:
+        """Whole-batch :meth:`gram_hashes` (bit-identical, pinned in
+        tests): factorize tokens ACROSS the batch (one hash pass instead
+        of a per-doc ``hash_array`` — which re-factorizes internally per
+        call, 0.9 s/batch on the bench corpus), SipHash only the unique
+        tokens, then ONE global rolling-poly pass over the concatenated
+        token hashes gathering only windows that stay inside their doc;
+        per-doc unsigned-sort-unique via a single lexsort."""
+        ndocs = len(texts)
+        empty = pa.ListArray.from_arrays(
+            pa.array(np.zeros(ndocs + 1, np.int32), pa.int32()),
+            pa.array([], pa.int64()))
+        if ndocs == 0:
+            return empty
+        toks = [self.tok.findall(t.lower()) for t in texts]
+        lens = np.fromiter((len(x) for x in toks), np.int64, ndocs)
+        total = int(lens.sum())
+        nw = np.where(lens >= self.n, lens - self.n + 1, 0)
+        if total < self.n or int(nw.sum()) == 0:
+            return empty
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ws in toks:
+            flat[pos:pos + len(ws)] = ws
+            pos += len(ws)
+        codes, uniques = pd.factorize(flat)
+        uh = pd.util.hash_array(np.asarray(uniques, dtype=object)
+                                ).astype(np.uint64)
+        th = uh[codes]
+        mult = np.uint64(1099511628211)
+        ng = total - self.n + 1
+        H = np.zeros(ng, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(self.n):
+                H = H * mult + th[i:ng + i]
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        # valid window start positions: offs[d] .. offs[d]+nw[d]-1
+        rel = np.arange(int(nw.sum())) - np.repeat(np.cumsum(nw) - nw, nw)
+        starts = np.repeat(offs[:-1], nw) + rel
+        wins = H[starts]
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), nw)
+        order = np.lexsort((wins, doc_of))
+        dv, wv = doc_of[order], wins[order]
+        keep = np.concatenate(
+            ([True], (dv[1:] != dv[:-1]) | (wv[1:] != wv[:-1])))
+        counts = np.bincount(dv[keep], minlength=ndocs)
+        return pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(counts))).astype(
+                np.int32), pa.int32()),
+            pa.array(wv[keep].astype(np.int64), pa.int64()))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch.column("doc_id"), value_set=self.wanted)
         b = batch.filter(keep)
-        grams = [self.gram_hashes(t) for t in b.column("text").to_pylist()]
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "grams": pa.array(grams, pa.list_(pa.int64())),
+            "grams": self.batch_grams(b.column("text").to_pylist()),
         })
 
 
@@ -777,10 +858,9 @@ class AllNGramHasher(NGramHasher):
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        grams = [self.gram_hashes(t) for t in batch.column("text").to_pylist()]
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "grams": pa.array(grams, pa.list_(pa.int64())),
+            "grams": self.batch_grams(batch.column("text").to_pylist()),
         })
 
 
