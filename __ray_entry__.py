@@ -373,6 +373,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             process_cached(M.PngPixelStats, ()),
             batch_format="pyarrow", batch_size=256)
 
+    def q_media_features_jpeg(sf_dir):
+        # REAL baseline-JPEG decode (pure-numpy Huffman + IDCT,
+        # stages/jpeg.py; restart interval varies per doc so the RSTn
+        # paths run) — flat 8x8 blocks with DC step 8 decode
+        # bit-exactly, so the same pixel-sum projection is SQL-oracled
+        from yj_schema_validator_ray.util import process_cached
+
+        return M.jpeg_dataset_from_documents(sf_dir).map_batches(
+            process_cached(M.PngPixelStats, ()),
+            batch_format="pyarrow", batch_size=256)
+
     from yj_schema_validator_ray.pipelines import accuracy as ACC
 
     def q_accuracy_hll(sf_dir):
@@ -415,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accuracy_ann_ivf": q_accuracy_ann_ivf,
         "accuracy_minhash": q_accuracy_minhash,
         "media_features_png": q_media_features_png,
+        "media_features_jpeg": q_media_features_jpeg,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -629,6 +641,12 @@ def _media_features_png_sql() -> str:
     return png_pixel_stats_sql()
 
 
+def _media_features_jpeg_sql() -> str:
+    from yj_schema_validator_ray.stages.multimodal import jpeg_pixel_stats_sql
+
+    return jpeg_pixel_stats_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
 
@@ -697,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "accuracy_ann_ivf": _accuracy_ann_sql(),
         "accuracy_minhash": _accuracy_minhash_sql(),
         "media_features_png": _media_features_png_sql(),
+        "media_features_jpeg": _media_features_jpeg_sql(),
         # intentionally no SQL oracle (approximate / non-SQL-expressible):
         # distinct_sketch (HLL), dedup_minhash / dedup_simhash /
         # dedup_ngram_jaccard (LSH candidates), quality_scores / lang_id

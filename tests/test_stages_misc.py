@@ -870,3 +870,93 @@ def test_png_resizer_and_pixel_stats(ray_session):
         assert stats.loc[i, "width"] == 11 and stats.loc[i, "height"] == 9
         assert (stats.loc[i, ["px_sum_r", "px_sum_g", "px_sum_b"]].to_numpy()
                 == im.sum(axis=(0, 1))).all()
+
+
+def test_jpeg_flat_blocks_bit_exact():
+    """Baseline-JPEG round trip is BIT-EXACT for per-8x8-block-constant
+    grayscale with the default DC step of 8 (flat blocks are DC-only and
+    the step divides 8*(level-128)) — with and without restart markers.
+    This is the property the media_features_jpeg SQL oracle relies on."""
+    from yj_schema_validator_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    levels = rng.randint(0, 256, size=(3, 4))
+    img = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1).astype(np.uint8)
+    for ri in (0, 1, 3, 7):
+        out = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+        assert out.shape == (24, 32, 3)
+        assert (out == img[:, :, None]).all(), f"restart_interval={ri}"
+
+
+def test_jpeg_decode_spec_vector():
+    """Independent T.81 check: a JPEG assembled BY HAND (markers,
+    canonical DHT, hand-packed Huffman bits — NOT via encode_jpeg)
+    decodes to the known pixels, so a matched encoder/decoder bug
+    cannot hide.  One 8x8 grayscale block: DC table maps code '01' ->
+    category 3, value bits '101' = diff 5; AC table maps '0' -> EOB;
+    qtab DC step 16 -> dequantized DC 80 -> every pixel 80/8+128 = 138.
+    Entropy bytes: '01'+'101'+'0' padded with 1s = 01101011 = 0x6B."""
+    import struct
+
+    from yj_schema_validator_ray.stages.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+              + bytes([1, 1, 0x11, 0]))
+    dc_bits = [0] * 16
+    dc_bits[1] = 2  # two codes of length 2: 00 -> 0, 01 -> 3
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes([0, 3]))
+    ac_bits = [0] * 16
+    ac_bits[0] = 1  # one code of length 1: 0 -> EOB
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    jpg = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+           + bytes([0x6B]) + b"\xff\xd9")
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 8, 3)
+    assert (out == 138).all()
+
+
+def test_jpeg_color_roundtrip_444_420():
+    """Color paths: flat-per-MCU color survives 4:2:0 up to the YCbCr
+    round-trip (+-1); smooth gradients stay within the quantization
+    bound for both subsamplings; restart markers change nothing."""
+    from yj_schema_validator_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    cells = rng.randint(30, 220, size=(2, 3, 3))
+    flat = np.repeat(np.repeat(cells, 16, axis=0), 16, axis=1).astype(np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(flat, subsampling=sub)).astype(int)
+        assert np.abs(out - flat.astype(int)).max() <= 1, sub
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    smooth = np.stack([60 + yy * 2, 80 + xx * 2, 100 + yy + xx],
+                      axis=-1).astype(np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(smooth, subsampling=sub)).astype(int)
+        assert np.abs(out - smooth.astype(int)).max() <= 16, sub
+    a = decode_jpeg(encode_jpeg(smooth, subsampling="420"))
+    b = decode_jpeg(encode_jpeg(smooth, subsampling="420", restart_interval=2))
+    assert (a == b).all()
+
+
+def test_jpeg_odd_sizes_and_decode_image_dispatch():
+    """Non-multiple-of-8 shapes crop back to the requested size, and
+    decode_image dispatches on the FFD8 magic."""
+    from yj_schema_validator_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from yj_schema_validator_ray.stages.multimodal import decode_image
+
+    g = (np.arange(13)[:, None] * 9 + np.arange(21)[None, :] * 4) % 200
+    g = (g + 20).astype(np.uint8)
+    payload = encode_jpeg(g)
+    out = decode_jpeg(payload)
+    assert out.shape == (13, 21, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 16
+    assert (decode_image(payload) == out).all()
+    color = np.stack([g, g[::-1], g[:, ::-1]], axis=-1)
+    assert decode_jpeg(encode_jpeg(color, subsampling="420")).shape \
+        == (13, 21, 3)

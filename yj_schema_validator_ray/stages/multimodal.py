@@ -2,14 +2,16 @@
 
 Images/audio/video ride through the engine as Arrow ``binary`` columns
 with sidecar metadata (mime, width/height or duration, sha256).
-PPM P6, 24/32-bit BMP and 8-bit non-interlaced PNG (stdlib zlib +
-numpy scanline unfiltering, all five filter types) decode natively
-with pure numpy (:func:`decode_image`), with real nearest-neighbor
-resize and a real 16-dim feature; only JPEG needs a codec library this
-container lacks and raises NotImplementedError (a deterministic
-stand-in keeps the Ray plumbing exercised on any input).
-Schema, actor-pool signature, batch sizing, zero-copy binary handling,
-and output layout are real and tested either way.
+PPM P6, 24/32-bit BMP, 8-bit non-interlaced PNG (stdlib zlib + numpy
+scanline unfiltering, all five filter types) and baseline sequential
+JPEG (pure-numpy Huffman + batched-matmul IDCT, stages/jpeg.py) all
+decode natively with pure numpy (:func:`decode_image`), with real
+nearest-neighbor resize and a real 16-dim feature; formats beyond
+those (progressive JPEG, GIF, TIFF, any audio/video codec) need a
+codec library this container lacks and raise NotImplementedError
+(a deterministic stand-in keeps the Ray plumbing exercised on any
+input).  Schema, actor-pool signature, batch sizing, zero-copy binary
+handling, and output layout are real and tested either way.
 
 Memory note (100 TB): binary payloads dominate block size — callers must
 use a small ``batch_size`` (e.g. 32-128) and rely on the object store to
@@ -220,20 +222,24 @@ def encode_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real pure-numpy decode — PPM (P6), 24/32-bit BMP, and 8-bit
+    """Real pure-numpy decode — PPM (P6), 24/32-bit BMP, 8-bit
     non-interlaced PNG (stdlib zlib inflate + numpy scanline
-    unfiltering) — to an (h, w, 3) uint8 array.  Only JPEG still needs
-    a codec library this container lacks and raises
-    NotImplementedError (wire a real codec here in production)."""
+    unfiltering), and baseline sequential JPEG (pure-numpy Huffman +
+    IDCT, see stages/jpeg.py) — to an (h, w, 3) uint8 array."""
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG decode requires a codec library unavailable in this "
-        "environment; PPM(P6)/BMP/PNG decode natively")
+        "unsupported image format (PPM P6 / BMP / PNG / baseline JPEG "
+        "decode natively; progressive JPEG, GIF, TIFF etc. need a codec "
+        "library unavailable in this environment)")
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -320,7 +326,8 @@ class ImageResizer:
         return (h * (n // len(h) + 1))[:n]
 
     def _resize_one(self, payload: bytes) -> tuple[bytes, str]:
-        if payload[:2] in (b"P6", b"BM") or payload[:8] == _PNG_SIG:
+        if (payload[:2] in (b"P6", b"BM", b"\xff\xd8")
+                or payload[:8] == _PNG_SIG):
             arr = resize_nearest(decode_image(payload), self.width, self.height)
             return encode_ppm(arr), "image/x-portable-pixmap"
         return self._fake_resize(payload), "application/octet-stream"
@@ -437,6 +444,57 @@ SELECT d.doc_id AS media_id,
        {sums}
 FROM documents d
 CROSS JOIN (SELECT unnest(generate_series(0, {n})) AS i) s
+GROUP BY d.doc_id"""
+
+
+def jpeg_dataset_from_documents(sf_dir: str, size: int = 16):
+    """Synthesize a REAL baseline JPEG per document: a 16x16 grayscale
+    image of four constant 8x8 blocks with level(doc_id, bi) =
+    (doc_id*13 + bi*53) % 256, restart interval doc_id % 3 (0 = none) —
+    with the DC quantization step of 8 the decode reproduces the levels
+    BIT-EXACTLY (flat blocks are DC-only; see stages/jpeg.py), so a
+    closed-form SQL oracle certifies the full Huffman/dequant/IDCT
+    chain, including the RSTn restart paths, byte-for-byte."""
+    import ray.data
+
+    from .jpeg import encode_jpeg
+
+    nb = size // 8
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        bi = (np.arange(nb * nb).reshape(nb, nb))
+        payloads = []
+        for did in ids:
+            levels = (int(did) * 13 + bi * 53) % 256
+            arr = np.repeat(np.repeat(levels, 8, axis=0), 8,
+                            axis=1).astype(np.uint8)
+            payloads.append(encode_jpeg(arr, restart_interval=int(did) % 3))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(["image/jpeg"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def jpeg_pixel_stats_sql(size: int = 16) -> str:
+    """Closed-form oracle for :func:`jpeg_dataset_from_documents`:
+    64 pixels per block at level (doc_id*13 + bi*53) % 256, replicated
+    across the three output channels (grayscale decode)."""
+    nb = size // 8
+    total = ", ".join(
+        f"CAST(sum(64 * ((d.doc_id * 13 + b.bi * 53) % 256)) AS BIGINT) "
+        f"AS px_sum_{ch}" for ch in "rgb")
+    return f"""
+SELECT d.doc_id AS media_id,
+       CAST({size} AS INTEGER) AS width, CAST({size} AS INTEGER) AS height,
+       {total}
+FROM documents d
+CROSS JOIN (SELECT unnest(generate_series(0, {nb * nb - 1})) AS bi) b
 GROUP BY d.doc_id"""
 
 
