@@ -410,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q4_priority_counts": R.q4_priority_counts,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q14_promo_revenue": R.q14_promo_revenue,
         "top_customers": R.top_customers,
         "nation_region_counts": R.nation_region_counts,
         "events_window": R.events_tumbling_window,
@@ -699,6 +702,9 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": R.q1_sql(),
         "q3_shipping_priority": R.q3_shipping_priority_sql(),
         "q4_priority_counts": R.q4_priority_counts_sql(),
+        "q5_local_supplier_volume": R.q5_sql(),
+        "q6_forecast_revenue": R.q6_sql(),
+        "q14_promo_revenue": R.q14_sql(),
         "top_customers": R.top_customers_sql(),
         "nation_region_counts": R.nation_region_counts_sql(),
         "events_window": R.events_tumbling_window_sql(),

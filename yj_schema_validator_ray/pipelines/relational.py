@@ -1022,3 +1022,317 @@ matched AS (
     ON l.user_id = r.user_id AND r.view_ts <= l.ts
 )
 SELECT event_id, user_id, view_event_id FROM matched WHERE rn = 1"""
+
+
+def q6_forecast_revenue(sf_dir: str, year: str = "1996",
+                        disc_lo: int = 3, disc_hi: int = 7,
+                        max_qty: int = 24):
+    """TPC-H Q6-shaped forecast-revenue: one filtered full-table scan
+    reduced to a single row — the canonical 'prune at the read, reduce
+    to partials' shape (no shuffle at all; per-batch integer-cent
+    partials meet in one tiny global aggregate).  Discount is filtered
+    in exact cents (round(l_discount*100)) so the SQL mirror is
+    bit-identical."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{int(year) + 1}-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        disc_c = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        m2 = pc.and_(
+            pc.and_(pc.greater_equal(disc_c, pa.scalar(disc_lo, pa.int64())),
+                    pc.less_equal(disc_c, pa.scalar(disc_hi, pa.int64()))),
+            pc.less(t.column("l_quantity"), pa.scalar(float(max_qty))))
+        t = t.filter(m2)
+        disc_c = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                              pa.scalar(100.0))), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                               pa.scalar(100.0))), pa.int64())
+        rev_e4 = pc.multiply(price_c, disc_c)
+        return pa.table({
+            "revenue_e4": pa.array(
+                [pc.sum(rev_e4).as_py() or 0], pa.int64()),
+            "n_items": pa.array([t.num_rows], pa.int64()),
+        })
+
+    ds = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow"))
+    agg = ds.aggregate(Sum("revenue_e4", alias_name="revenue_e4"),
+                       Sum("n_items", alias_name="n_items"))
+    return pd.DataFrame({"revenue_e4": [int(agg["revenue_e4"] or 0)],
+                         "n_items": [int(agg["n_items"] or 0)]})
+
+
+def q6_sql(year: str = "1996", disc_lo: int = 3, disc_hi: int = 7,
+           max_qty: int = 24) -> str:
+    return f"""
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                         * CAST(round(l_discount * 100.0) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+  AND l_shipdate < TIMESTAMP '{int(year) + 1}-01-01'
+  AND CAST(round(l_discount * 100.0) AS BIGINT) BETWEEN {disc_lo} AND {disc_hi}
+  AND l_quantity < {max_qty}"""
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             year: str = "1996"):
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation where
+    the CUSTOMER and the SUPPLIER sit in the same nation of one region.
+
+    Ray-first plan for the 6-table join: the three dimension tables
+    (region, nation, customer, supplier) are genuinely small at any
+    scale factor -> broadcast lookups applied inside ``map_batches``
+    (sorted-key searchsorted, built once per worker process); the only
+    large-large exchange is lineitem-partials JOIN orders on the order
+    key (``Dataset.join`` hash shuffle).  Lineitem revenue is
+    pre-aggregated per (orderkey, supplier-nation) per batch before the
+    shuffle, so the exchange moves order-grained partials, and the
+    same-nation equality filter runs on the join output."""
+    import ray
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import process_cached as _pcached, ref_key as _rkey
+    from ..util import shuffle_partitions
+
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{int(year) + 1}-01-01")
+
+    nation = pa.concat_tables(ray.get(
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_arrow_refs()))
+    region_t = pa.concat_tables(ray.get(
+        ray.data.read_parquet(f"{sf_dir}/region.parquet").to_arrow_refs()))
+    rkeys = {k for k, nm in zip(region_t.column("r_regionkey").to_pylist(),
+                                region_t.column("r_name").to_pylist())
+             if nm == region}
+    nat_keys = [k for k, rk in zip(nation.column("n_nationkey").to_pylist(),
+                                   nation.column("n_regionkey").to_pylist())
+                if rk in rkeys]
+    nat_names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                         nation.column("n_name").to_pylist()))
+    in_region = frozenset(nat_keys)
+
+    def _lookup_arrays(path, key_col, val_col):
+        t = pa.concat_tables(ray.get(
+            ray.data.read_parquet(path, columns=[key_col, val_col])
+            .to_arrow_refs()))
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        vals = t.column(val_col).to_numpy(zero_copy_only=False)
+        keep = np.isin(vals, list(in_region))
+        keys, vals = keys[keep], vals[keep]
+        order = np.argsort(keys, kind="stable")
+        return keys[order], vals[order]
+
+    cust_ref = ray.put(_lookup_arrays(f"{sf_dir}/customer.parquet",
+                                      "c_custkey", "c_nationkey"))
+    supp_ref = ray.put(_lookup_arrays(f"{sf_dir}/supplier.parquet",
+                                      "s_suppkey", "s_nationkey"))
+
+    class NationAttach:
+        """Broadcast lookup key -> nationkey; drops non-region rows."""
+
+        def __init__(self, ref, key_col, out_col):
+            self.keys, self.vals = ray.get(ref)
+            self.key_col, self.out_col = key_col, out_col
+
+        def lookup(self, t: pa.Table) -> tuple[pa.Table, np.ndarray]:
+            k = t.column(self.key_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, k)
+            pos_c = np.minimum(pos, len(self.keys) - 1) if len(self.keys) \
+                else np.zeros(len(k), dtype=np.int64)
+            hit = (len(self.keys) > 0) & (self.keys[pos_c] == k)
+            return t.filter(pa.array(hit)), self.vals[pos_c[hit]]
+
+    class OrderNation(NationAttach):
+        def __init__(self, ref):
+            super().__init__(ref, "o_custkey", "c_nationkey")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(t.column("o_orderdate"),
+                                         pa.scalar(lo)),
+                        pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+            t, nk = self.lookup(t.filter(m))
+            return pa.table({"o_orderkey": t.column("o_orderkey"),
+                             "c_nationkey": pa.array(nk, pa.int64())})
+
+    class LineitemNation(NationAttach):
+        def __init__(self, ref):
+            super().__init__(ref, "l_suppkey", "s_nationkey")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t, nk = self.lookup(t)
+            price_c = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+            disc_c = pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), pa.scalar(100.0))), pa.int64())
+            rev_e4 = pc.multiply(price_c,
+                                 pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc_c))
+            tt = pa.table({"l_orderkey": t.column("l_orderkey"),
+                           "s_nationkey": pa.array(nk, pa.int64()),
+                           "revenue_e4": rev_e4})
+            return (tt.group_by(["l_orderkey", "s_nationkey"])
+                    .aggregate([("revenue_e4", "sum")])
+                    .rename_columns(["l_orderkey", "s_nationkey",
+                                     "revenue_e4"]))
+
+    orders = (ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(_pcached(OrderNation, _rkey(cust_ref), cust_ref),
+                     batch_format="pyarrow"))
+    li = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(_pcached(LineitemNation, _rkey(supp_ref), supp_ref),
+                     batch_format="pyarrow"))
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=min(8, shuffle_partitions()),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("s_nationkey"),
+                              t.column("c_nationkey")))
+        return pa.table({"n_nationkey": t.column("s_nationkey"),
+                         "revenue_e4": t.column("revenue_e4")})
+
+    per_nation = grouped_aggregate(
+        joined.map_batches(same_nation, batch_format="pyarrow"),
+        ["n_nationkey"], [("revenue_e4", "sum", "revenue_e4")])
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        names = [nat_names[k] for k in t.column("n_nationkey").to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "revenue_e4": t.column("revenue_e4")})
+
+    return (per_nation.map_batches(attach_name, batch_format="pyarrow")
+            .sort(["revenue_e4", "n_name"], descending=[True, False]))
+
+
+def q5_sql(region: str = "ASIA", year: str = "1996") -> str:
+    return f"""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+             AND c.c_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{region}'
+  AND o.o_orderdate >= TIMESTAMP '{year}-01-01'
+  AND o.o_orderdate < TIMESTAMP '{int(year) + 1}-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_e4 DESC, n.n_name"""
+
+
+def q14_promo_revenue(sf_dir: str, ptype: str = "PROMO",
+                      year: str = "1996", month: str = "06"):
+    """TPC-H Q14-shaped promo-revenue share: conditional aggregation
+    against a broadcast part-attribute set (the part table is the
+    small dimension side -> one ray.put key set, `pc.is_in` per batch,
+    zero shuffle; the two integer-cent sums meet in one global
+    aggregate and the ratio derives from exact ints on both sides)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import process_cached as _pcached, ref_key as _rkey
+
+    lo = pd.Timestamp(f"{year}-{month}-01")
+    hi = (lo + pd.offsets.MonthBegin(1)).normalize()
+    hi_str = hi.strftime("%Y-%m-%d")
+
+    part = pa.concat_tables(ray.get(
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"])
+        .to_arrow_refs()))
+    promo = sorted(
+        k for k, t in zip(part.column("p_partkey").to_pylist(),
+                          part.column("p_type").to_pylist()) if t == ptype)
+    promo_ref = ray.put(promo)
+
+    class PromoPartial:
+        def __init__(self, ref):
+            self.promo = pa.array(ray.get(ref), pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(t.column("l_shipdate"),
+                                         pa.scalar(lo)),
+                        pc.less(t.column("l_shipdate"), pa.scalar(hi)))
+            t = t.filter(m)
+            price_c = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+            disc_c = pc.cast(pc.round(pc.multiply(
+                t.column("l_discount"), pa.scalar(100.0))), pa.int64())
+            rev_e4 = pc.multiply(price_c,
+                                 pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc_c))
+            is_promo = pc.is_in(t.column("l_partkey"), value_set=self.promo)
+            promo_rev = pc.if_else(is_promo, rev_e4,
+                                   pa.scalar(0, pa.int64()))
+            return pa.table({
+                "promo_rev_e4": pa.array(
+                    [pc.sum(promo_rev).as_py() or 0], pa.int64()),
+                "total_rev_e4": pa.array(
+                    [pc.sum(rev_e4).as_py() or 0], pa.int64()),
+            })
+
+    ds = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(_pcached(PromoPartial, _rkey(promo_ref), promo_ref),
+                     batch_format="pyarrow"))
+    agg = ds.aggregate(Sum("promo_rev_e4", alias_name="promo_rev_e4"),
+                       Sum("total_rev_e4", alias_name="total_rev_e4"))
+    promo_rev = int(agg["promo_rev_e4"] or 0)
+    total_rev = int(agg["total_rev_e4"] or 0)
+    # raw IEEE division of exact ints: bit-identical to the SQL mirror
+    # (a round() here would differ at half-ulp ties: banker's vs half-away)
+    pct = (100.0 * float(promo_rev) / float(total_rev)) if total_rev else 0.0
+    return pd.DataFrame({"promo_rev_e4": [promo_rev],
+                         "total_rev_e4": [total_rev],
+                         "promo_pct": [pct]})
+
+
+def q14_sql(ptype: str = "PROMO", year: str = "1996",
+            month: str = "06") -> str:
+    # membership via IN-subquery (NOT an inner join): mirrors the Ray
+    # side's broadcast key-set semantics exactly — a lineitem row whose
+    # partkey is absent from part still counts toward total_rev_e4
+    lo = pd.Timestamp(f"{year}-{month}-01")
+    hi = (lo + pd.offsets.MonthBegin(1)).normalize().strftime("%Y-%m-%d")
+    return f"""
+WITH f AS (
+  SELECT CASE WHEN l_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_type = '{ptype}')
+              THEN 1 ELSE 0 END AS is_promo,
+         CAST(round(l_extendedprice * 100.0) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100.0) AS BIGINT)) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{lo.strftime("%Y-%m-%d")}'
+    AND l_shipdate < TIMESTAMP '{hi}'
+)
+SELECT CAST(coalesce(sum(CASE WHEN is_promo = 1 THEN rev_e4 ELSE 0 END), 0)
+            AS BIGINT) AS promo_rev_e4,
+       CAST(coalesce(sum(rev_e4), 0) AS BIGINT) AS total_rev_e4,
+       CASE WHEN coalesce(sum(rev_e4), 0) = 0 THEN 0.0
+            ELSE 100.0 * CAST(sum(CASE WHEN is_promo = 1 THEN rev_e4
+                                       ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev_e4) AS DOUBLE) END AS promo_pct
+FROM f"""
