@@ -459,13 +459,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "curation_report": q_curation_report,
         "training_prep": q_training_prep,
+        # (d) oracled, below the 50-entry snapshot line: each is ALSO
+        # pinned by byte-parity goldens / reference fixtures / pytest
+        # and was driver-green in r02
         "docs_rollup": q_docs_rollup,
         "events_funnel": R.events_funnel,
         "events_retention": R.events_retention,
         "events_cohorts": R.events_cohorts,
-        # (d) oracled, below the 50-entry snapshot line: each is ALSO
-        # pinned by byte-parity goldens / reference fixtures / pytest
-        # and was driver-green in r02
         "content_length_histogram": q_content_length_histogram,
         "fingerprint_md5": q_fingerprint_md5,
         "vocab_top_terms": q_vocab_top_terms,
