@@ -203,6 +203,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-checked member of the near-dup family (full SQL oracle)
         return D.ngram_jaccard_exact_pairs(docs(sf_dir), threshold=0.3)
 
+    def q_dedup_components(sf_dir):
+        # transitive near-dup CLUSTERS: exact n-gram pair graph ->
+        # distributed min-label connected components (recursive-CTE oracle)
+        from yj_schema_validator_ray.stages.graph import ngram_components
+
+        return ngram_components(docs(sf_dir), threshold=0.3)
+
+    def q_decontaminate(sf_dir):
+        # benchmark decontamination: distinct shared trigrams vs the
+        # doc_id%41 held-out slice, broadcast probe (zero-shuffle scan)
+        return D.decontaminate(docs(sf_dir))
+
     def q_token_counts(sf_dir):
         return T.token_counts(docs(sf_dir))
 
@@ -430,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accuracy_minhash": q_accuracy_minhash,
         "media_features_png": q_media_features_png,
         "media_features_jpeg": q_media_features_jpeg,
+        "decontaminate": q_decontaminate,
+        "dedup_components": q_dedup_components,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -457,11 +471,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
-        "curation_report": q_curation_report,
-        "training_prep": q_training_prep,
         # (d) oracled, below the 50-entry snapshot line: each is ALSO
         # pinned by byte-parity goldens / reference fixtures / pytest
         # and was driver-green in r02
+        "curation_report": q_curation_report,
+        "training_prep": q_training_prep,
         "docs_rollup": q_docs_rollup,
         "events_funnel": R.events_funnel,
         "events_retention": R.events_retention,
@@ -575,6 +589,18 @@ def _dedup_ngram_exact_sql() -> str:
     return ngram_jaccard_exact_sql(threshold=0.3)
 
 
+def _dedup_components_sql() -> str:
+    from yj_schema_validator_ray.stages.graph import ngram_components_sql
+
+    return ngram_components_sql(threshold=0.3)
+
+
+def _decontaminate_sql() -> str:
+    from yj_schema_validator_ray.stages.dedup import decontaminate_sql
+
+    return decontaminate_sql()
+
+
 def _curation_sql() -> str:
     from yj_schema_validator_ray.oracles import _DOCS_AUG3
     from yj_schema_validator_ray.pipelines.curation import curation_report_sql
@@ -668,6 +694,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": oracles.exact_dup_groups_sql(),
         "dedup_exact": oracles.dedup_exact_sql(),
         "dedup_ngram_exact": _dedup_ngram_exact_sql(),
+        "dedup_components": _dedup_components_sql(),
+        "decontaminate": _decontaminate_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -1072,3 +1072,130 @@ def ngram_jaccard_pairs(docs_ds, candidate_pairs_ds, n: int = 3,
 
     return joined.map_batches(lambda b: _score_jaccard(b, threshold),
                               batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (training-data hygiene: drop/flag documents
+# that share an n-gram with a held-out evaluation set)
+# ---------------------------------------------------------------------------
+
+
+class _DecontamProbe:
+    """Stateless-task probe stage: count, per document, the DISTINCT word
+    n-grams it shares with the broadcast benchmark gram-hash set.  Cheap
+    state (one sorted int64 array + the shared tokenizer) — task mode via
+    :func:`..util.process_cached`, not an actor pool."""
+
+    def __init__(self, bench_ref, n: int, bench_mod: int):
+        import ray
+
+        self.bench = ray.get(bench_ref)  # sorted int64 gram hashes
+        self.hasher = AllNGramHasher(n)
+        self.mod = bench_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = ids % self.mod != 0  # the benchmark itself is not scored
+        ids = ids[keep]
+        texts = [t for t, k in zip(batch.column("text").to_pylist(), keep)
+                 if k]
+        grams = self.hasher.batch_grams(texts)
+        vals = np.asarray(grams.values)
+        offs = np.asarray(grams.offsets).astype(np.int64)
+        if len(self.bench) and len(vals):
+            pos = np.searchsorted(self.bench, vals)
+            hit = self.bench[np.minimum(pos, len(self.bench) - 1)] == vals
+        else:
+            hit = np.zeros(len(vals), dtype=bool)
+        cs = np.concatenate(([0], np.cumsum(hit, dtype=np.int64)))
+        counts = cs[offs[1:]] - cs[offs[:-1]]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "contaminated_grams": pa.array(counts, pa.int64()),
+            "contaminated": pa.array(counts > 0),
+        })
+
+
+def decontaminate(docs_ds, bench_mod: int = 41, n: int = 3,
+                  max_bench_grams: int = 32_000_000):
+    """Benchmark decontamination: per non-benchmark document, the count of
+    distinct word ``n``-grams it shares with the held-out benchmark slice
+    (``doc_id % bench_mod == 0`` stands in for an eval set) and a
+    ``contaminated`` flag — the training-data hygiene step every serious
+    LLM pipeline runs before packing (13-gram overlap vs eval benchmarks;
+    Brown et al., "Language Models are Few-Shot Learners", appendix C —
+    ``n`` is a parameter here because the synthetic corpus' documents are
+    short).
+
+    100 TB shape: the benchmark side is an EVAL SET — megabytes by
+    definition, never corpus-scale — so its distinct gram hashes are
+    unioned on the driver (bounded by ``max_bench_grams``, ~256 MB of
+    int64 at the default) and broadcast once via ``ray.put``; the probe
+    is then an embarrassingly parallel zero-shuffle scan over the corpus
+    (vectorized searchsorted per batch).  Nothing text-sized moves.
+
+    Gram identity is the same 64-bit token-window hash the exact n-gram
+    join uses (:meth:`NGramHasher.gram_hashes`) — collision-free at
+    oracle scale, as :func:`ngram_jaccard_exact_sql` already assumes.
+    """
+    import ray
+
+    from ..util import process_cached, ref_key
+
+    hasher = AllNGramHasher(n)
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sel = ids % bench_mod == 0
+        texts = [x for x, k in zip(t.column("text").to_pylist(), sel) if k]
+        vals = np.unique(np.asarray(hasher.batch_grams(texts).values))
+        return pa.table({"g": pa.array(vals, pa.int64())})
+
+    parts = []
+    total = 0
+    for t in docs_ds.map_batches(bench_grams, batch_format="pyarrow",
+                                 ).iter_batches(batch_format="pyarrow"):
+        arr = t.column("g").to_numpy()
+        parts.append(arr)
+        total += len(arr)
+        if total > max_bench_grams:
+            raise ValueError(
+                f"decontaminate: >{max_bench_grams:,} benchmark gram "
+                "hashes — the benchmark side must be an eval-set-sized "
+                "corpus slice; raise max_bench_grams only with driver "
+                "memory to match")
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.zeros(0, dtype=np.int64))
+    ref = ray.put(bench)
+
+    return docs_ds.map_batches(
+        process_cached(_DecontamProbe, (ref_key(ref), n, bench_mod),
+                       ref, n, bench_mod),
+        batch_format="pyarrow")
+
+
+def decontaminate_sql(bench_mod: int = 41, n: int = 3) -> str:
+    """DuckDB oracle for :func:`decontaminate` (gram strings instead of
+    the engine's collision-free-at-oracle-scale 64-bit hashes)."""
+    assert n == 3, "oracle is written for trigram shape"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM toks, unnest(generate_series(1, len(ws) - {n - 1})) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT gr.doc_id, count(*) AS contaminated_grams
+  FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % {bench_mod} <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.contaminated_grams, 0) AS BIGINT)
+         AS contaminated_grams,
+       coalesce(h.contaminated_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {bench_mod} <> 0"""
