@@ -215,6 +215,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_id%41 held-out slice, broadcast probe (zero-shuffle scan)
         return D.decontaminate(docs(sf_dir))
 
+    def q_docs_length_rank(sf_dir):
+        # global row_number without a global sort: histogram offsets +
+        # per-length-group local rank (text never moves)
+        from yj_schema_validator_ray.stages.rank import docs_length_rank
+
+        return docs_length_rank(docs(sf_dir))
+
+    def q_quality_length_filter(sf_dir):
+        # exact global-percentile threshold -> zero-shuffle filter scan
+        from yj_schema_validator_ray.pipelines.curation import (
+            quality_length_filter)
+
+        return quality_length_filter(docs(sf_dir))
+
     def q_token_counts(sf_dir):
         return T.token_counts(docs(sf_dir))
 
@@ -444,6 +458,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_jpeg": q_media_features_jpeg,
         "decontaminate": q_decontaminate,
         "dedup_components": q_dedup_components,
+        "events_running_total": R.events_running_total,
+        "events_user_type_pivot": R.events_user_type_pivot,
+        "docs_length_rank": q_docs_length_rank,
+        "quality_length_filter": q_quality_length_filter,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -467,13 +485,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "sample_stratified": q_sample_stratified,
+        # (d) oracled, below the 50-entry snapshot line: each is ALSO
+        # pinned by byte-parity goldens / reference fixtures / pytest
+        # and was driver-green in r02
         "sample_weighted": q_sample_weighted,
         "ann_topk": q_ann_topk,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
-        # (d) oracled, below the 50-entry snapshot line: each is ALSO
-        # pinned by byte-parity goldens / reference fixtures / pytest
-        # and was driver-green in r02
         "curation_report": q_curation_report,
         "training_prep": q_training_prep,
         "docs_rollup": q_docs_rollup,
@@ -601,6 +619,33 @@ def _decontaminate_sql() -> str:
     return decontaminate_sql()
 
 
+def _events_running_total_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_running_total_sql)
+
+    return events_running_total_sql()
+
+
+def _events_user_type_pivot_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_user_type_pivot_sql)
+
+    return events_user_type_pivot_sql()
+
+
+def _docs_length_rank_sql() -> str:
+    from yj_schema_validator_ray.stages.rank import docs_length_rank_sql
+
+    return docs_length_rank_sql()
+
+
+def _quality_length_filter_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        quality_length_filter_sql)
+
+    return quality_length_filter_sql()
+
+
 def _curation_sql() -> str:
     from yj_schema_validator_ray.oracles import _DOCS_AUG3
     from yj_schema_validator_ray.pipelines.curation import curation_report_sql
@@ -696,6 +741,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_exact": _dedup_ngram_exact_sql(),
         "dedup_components": _dedup_components_sql(),
         "decontaminate": _decontaminate_sql(),
+        "events_running_total": _events_running_total_sql(),
+        "events_user_type_pivot": _events_user_type_pivot_sql(),
+        "docs_length_rank": _docs_length_rank_sql(),
+        "quality_length_filter": _quality_length_filter_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -178,6 +178,21 @@ def run_bench() -> dict:
     best_of("dedup_ngram_exact",
             lambda: D.ngram_jaccard_exact_pairs(docs_ds()).count())
 
+    # -- near-dup clustering: connected components over the minhash pair
+    # graph (the 100 TB-default pair source).  Pairs are materialized
+    # once OUTSIDE the timer — pair generation is already benched above;
+    # this times the iterative label-propagation operator itself.
+    from yj_schema_validator_ray.stages.graph import connected_components
+
+    pairs_mat = D.minhash_lsh_pairs(docs_ds()).materialize()
+    best_of("dedup_components",
+            lambda: connected_components(pairs_mat).count())
+    del pairs_mat
+
+    # -- benchmark decontamination: driver-bounded eval-gram broadcast +
+    # zero-shuffle probe scan over the corpus
+    best_of("decontaminate", lambda: D.decontaminate(docs_ds()).count())
+
     import ray.data
 
     from yj_schema_validator_ray.stages.quantiles import grouped_exact_quantiles

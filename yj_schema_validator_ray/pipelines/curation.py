@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -227,3 +229,60 @@ FROM gated
 WHERE n_tokens >= {MIN_TOKENS}
   AND CAST(n_punct AS DOUBLE) <= n_tokens * {MAX_PUNCT_RATIO}
 GROUP BY source"""
+
+
+def quality_length_filter(docs_ds, q: float = 0.9):
+    """Keep the longest ~(1-q) tail of the corpus: documents whose
+    character length reaches the exact global ``ceil(q*n)``-th smallest
+    length (the percentile-threshold quality gate curation pipelines
+    run before packing).
+
+    Two-phase global-quantile-then-filter: one exchange of (length,
+    count) PARTIALS builds the length histogram (driver state = distinct
+    lengths, never row-scale), the driver reads the threshold off the
+    cumulative histogram with the same ``ceil(q*n)`` element convention
+    as :mod:`..stages.quantiles`, and the filter is a zero-shuffle
+    vectorized scan.  Text never moves.
+    """
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    def with_len(t: pa.Table) -> pa.Table:
+        return pa.table({"text_len": pc.cast(pc.utf8_length(
+            t.column("text")), pa.int64())})
+
+    hist = grouped_aggregate(
+        docs_ds.map_batches(with_len, batch_format="pyarrow"),
+        ["text_len"], [("", "count", "n")],
+        num_partitions=min(8, shuffle_partitions())).to_pandas()
+    hist = hist.sort_values("text_len")
+    cum = np.cumsum(hist["n"].to_numpy())
+    total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "text_len": pa.array([], pa.int64())})
+    r = max(1, int(np.ceil(q * total)))  # IEEE double, mirrors the SQL
+    thr = int(hist["text_len"].to_numpy()[np.searchsorted(cum, r)])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        m = pc.greater_equal(ln, pa.scalar(thr, pa.int64()))
+        return pa.table({"doc_id": t.column("doc_id").filter(m),
+                         "text_len": ln.filter(m)})
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quality_length_filter_sql(q: float = 0.9) -> str:
+    return f"""
+WITH s AS (
+  SELECT length(text) AS L,
+         row_number() OVER (ORDER BY length(text)) AS r,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+WHERE length(text) >= (
+  SELECT L FROM s
+  WHERE r = greatest(1, CAST(ceil(CAST({q} AS DOUBLE) * n) AS BIGINT)))"""

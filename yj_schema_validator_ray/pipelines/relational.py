@@ -1336,3 +1336,111 @@ SELECT CAST(coalesce(sum(CASE WHEN is_promo = 1 THEN rev_e4 ELSE 0 END), 0)
                                        ELSE 0 END) AS DOUBLE)
                  / CAST(sum(rev_e4) AS DOUBLE) END AS promo_pct
 FROM f"""
+
+
+def events_running_total(sf_dir: str, coarse: int = 64):
+    """Per-EVENT running total of a user's spend (cumulative window
+    function emitting one row per input row — the ordered-window shape
+    ``SUM(...) OVER (PARTITION BY user ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)``, distinct from the per-user AGGREGATE outputs of
+    sessionize/top-users).
+
+    Partitioning: users co-locate via a coarse bucket (one Ray group
+    per bucket, never per user); inside a bucket the running sum is one
+    time-sorted vectorized pandas ``groupby.cumsum``.  Money in integer
+    cents; ties broken by ``event_id`` so the order — and therefore
+    every prefix sum — is deterministic.
+    """
+    import ray.data
+
+    from ..util import shuffle_partitions
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.bit_wise_and(t.column("user_id"), coarse - 1),
+                    pa.int64())
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "cents": _value_cents(t.column("value")),
+            "coarse": c,
+        })
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        run = g.groupby("user_id", sort=False)["cents"].cumsum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "running_cents": run.astype("int64"),
+        })
+
+    return (ds.map_batches(add_cents, batch_format="pyarrow")
+            .groupby("coarse", num_partitions=min(coarse,
+                                                  shuffle_partitions()))
+            .map_groups(running, batch_format="pandas"))
+
+
+def events_running_total_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events"""
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_user_type_pivot(sf_dir: str, types=_PIVOT_TYPES):
+    """PIVOT: one wide row per user with a count column per event type
+    (the one-hot / feature-table shape training pipelines feed joins
+    with).  Single exchange: each batch pre-pivots locally (crosstab
+    after a C++ group-count), so the shuffle moves one wide row per
+    (user, block) and the reduce is a plain columnar SUM — no
+    tall-to-wide reshape ever crosses the wire.  ``n_events`` counts
+    ALL events (unknown types included), mirroring the SQL conditional
+    aggregation."""
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    cols = [f"n_{ty}" for ty in types]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(),
+            "et": t.column("event_type").to_pandas(),
+        })
+        ct = pd.crosstab(df["user_id"], df["et"])
+        out = pd.DataFrame({"user_id": ct.index.to_numpy()})
+        out["n_events"] = (df.groupby("user_id", sort=True).size()
+                           .reindex(ct.index).to_numpy())
+        for ty, col in zip(types, cols):
+            out[col] = (ct[ty].to_numpy() if ty in ct.columns
+                        else np.zeros(len(ct), dtype=np.int64))
+            out[col] = out[col].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    aggs = [("n_events", "sum", "n_events")] + [(c, "sum", c) for c in cols]
+    return grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                             ["user_id"], aggs)
+
+
+def events_user_type_pivot_sql(types=_PIVOT_TYPES) -> str:
+    cases = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{ty}" for ty in types)
+    return f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {cases}
+FROM events GROUP BY user_id"""

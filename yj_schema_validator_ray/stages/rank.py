@@ -1,0 +1,101 @@
+"""Distributed global ranking (dense ``row_number`` over the whole
+dataset) without a global sort.
+
+``row_number() OVER (ORDER BY key DESC, id)`` normally forces a total
+sort — an all-to-all exchange of EVERY row through a range partitioner.
+When the rank key is low-cardinality relative to the data (lengths,
+scores, bucketed metrics — the usual case for quality ranking), the
+two-phase histogram shape is strictly cheaper:
+
+1. one exchange of (key, count) PARTIALS (pre-aggregated per batch, so
+   the shuffle moves one row per distinct key per block);
+2. the driver turns the key histogram into exclusive prefix offsets
+   (state = distinct keys only — never row-scale);
+3. one exchange of (id, key) 16-byte rows co-located BY KEY, where each
+   key group sorts its ids and adds the broadcast offset.
+
+Row data never moves; the big text/blob columns stay at rest.  At 100 TB
+with a pathological near-unique key the histogram degrades toward row
+count — ``max_distinct`` guards that cliff explicitly (use a bucketed
+key or ``Dataset.sort`` when ranking by a continuous near-unique score).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def global_rank(ds, key_col: str, id_col: str, descending: bool = True,
+                rank_col: str = "rank", max_distinct: int = 2_000_000):
+    """(id, key) -> (id, key, rank) with rank = 1-based global
+    ``row_number`` ordered by ``key`` (desc by default), ties broken by
+    ascending ``id`` — deterministic and SQL-mirrorable."""
+    import ray
+
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate
+
+    proj = ds.map_batches(lambda t: t.select([id_col, key_col]),
+                          batch_format="pyarrow").materialize()
+
+    hist = grouped_aggregate(proj, [key_col], [("", "count", "n")],
+                             num_partitions=min(8, shuffle_partitions())
+                             ).to_pandas()
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"global_rank: {len(hist):,} distinct {key_col!r} values "
+            f"exceed max_distinct={max_distinct:,}; rank by a bucketed "
+            "key or use Dataset.sort for continuous near-unique keys")
+    hist = hist.sort_values(key_col, ascending=not descending)
+    excl = np.concatenate(([0], np.cumsum(hist["n"].to_numpy())))[:-1]
+    # broadcast as parallel sorted arrays (searchsorted probe) — a 2M-key
+    # numpy pair ships and probes far cheaper than a Python dict
+    keys_nat = hist[key_col].to_numpy()
+    nat_order = np.argsort(keys_nat, kind="stable")
+    ref = ray.put((keys_nat[nat_order], excl.astype(np.int64)[nat_order]))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        keys_sorted, offs_sorted = ray.get(ref)
+        out = []
+        for key, grp in g.groupby(key_col, sort=False):
+            ids = np.sort(grp[id_col].to_numpy())
+            base = int(offs_sorted[np.searchsorted(keys_sorted, key)])
+            out.append(pd.DataFrame({
+                id_col: ids, key_col: grp[key_col].iloc[0],
+                rank_col: base + 1 + np.arange(len(ids), dtype=np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return (proj.groupby(key_col, num_partitions=shuffle_partitions())
+            .map_groups(rank_group, batch_format="pandas"))
+
+
+def docs_length_rank(docs_ds, rank_col: str = "rank"):
+    """Documents ranked globally by character length (longest first,
+    doc_id ties ascending) — the quality-ranking shape a curation
+    pipeline uses to keep the top-N% of a corpus."""
+    def with_len(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text_len": pc.cast(pc.utf8_length(t.column("text")),
+                                pa.int64()),
+        })
+
+    import ray.data  # noqa: F401  (caller owns the session)
+
+    return global_rank(docs_ds.map_batches(with_len,
+                                           batch_format="pyarrow"),
+                       key_col="text_len", id_col="doc_id",
+                       rank_col=rank_col)
+
+
+def docs_length_rank_sql(rank_col: str = "rank") -> str:
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id)
+            AS BIGINT) AS {rank_col}
+FROM documents"""
