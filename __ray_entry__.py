@@ -215,6 +215,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_id%41 held-out slice, broadcast probe (zero-shuffle scan)
         return D.decontaminate(docs(sf_dir))
 
+    def q_training_table(sf_dir):
+        # LARGE x LARGE 1:1 feature join (documents x embeddings) — one
+        # coarse-hash exchange of scalar features, text/vectors at rest
+        from yj_schema_validator_ray.pipelines.curation import (
+            training_table)
+
+        return training_table(sf_dir)
+
+    def q_media_features_wav(sf_dir):
+        # REAL RIFF/WAVE PCM16 decode (generic chunk walk incl. junk
+        # LIST chunks + pad bytes) -> exact integer audio features;
+        # closed-form SQL oracle certifies the whole chain
+        from yj_schema_validator_ray.stages import audio as AU
+
+        return AU.wav_dataset_from_documents(sf_dir).map_batches(
+            AU.wav_stats, batch_format="pyarrow", batch_size=256)
+
     def q_docs_length_rank(sf_dir):
         # global row_number without a global sort: histogram offsets +
         # per-length-group local rank (text never moves)
@@ -462,6 +479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_pivot": R.events_user_type_pivot,
         "docs_length_rank": q_docs_length_rank,
         "quality_length_filter": q_quality_length_filter,
+        "media_features_wav": q_media_features_wav,
+        "training_table": q_training_table,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -646,6 +665,19 @@ def _quality_length_filter_sql() -> str:
     return quality_length_filter_sql()
 
 
+def _training_table_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        training_table_sql)
+
+    return training_table_sql()
+
+
+def _media_features_wav_sql() -> str:
+    from yj_schema_validator_ray.stages.audio import wav_stats_sql
+
+    return wav_stats_sql()
+
+
 def _curation_sql() -> str:
     from yj_schema_validator_ray.oracles import _DOCS_AUG3
     from yj_schema_validator_ray.pipelines.curation import curation_report_sql
@@ -745,6 +777,8 @@ def oracle_sql() -> dict[str, str]:
         "events_user_type_pivot": _events_user_type_pivot_sql(),
         "docs_length_rank": _docs_length_rank_sql(),
         "quality_length_filter": _quality_length_filter_sql(),
+        "media_features_wav": _media_features_wav_sql(),
+        "training_table": _training_table_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -298,6 +298,12 @@ def run_scaling() -> dict:
     t8s, n8s = _probe(8, 1_000_000)
     eff_small = (n8s / t8s) / (4 * (n2 / t2))
 
+    # second sub-saturation N->4N point (16 cores still leaves headroom
+    # on the shared memory system; 32 does not — see BASELINE controls)
+    t4, n4 = _probe(4, 2_000_000)
+    t16, n16 = _probe(16, 2_000_000)
+    eff_mid = (n16 / t16) / (4 * (n4 / t4))
+
     t8, n8 = _probe(8, 4_000_000)
     t32, n32 = _probe(32, 4_000_000)
     eff_big = (n32 / t32) / (4 * (n8 / t8))
@@ -308,6 +314,10 @@ def run_scaling() -> dict:
                      "files_per_sec_2": round(n2 / t2, 1),
                      "files_per_sec_8": round(n8s / t8s, 1),
                      "scaling_efficiency": round(eff_small, 3)},
+        "pair_4_16": {"sec_4": t4, "sec_16": t16,
+                      "files_per_sec_4": round(n4 / t4, 1),
+                      "files_per_sec_16": round(n16 / t16, 1),
+                      "scaling_efficiency": round(eff_mid, 3)},
         "pair_8_32": {"sec_8": t8, "sec_32": t32,
                       "files_per_sec_8": round(n8 / t8, 1),
                       "files_per_sec_32": round(n32 / t32, 1),

@@ -286,3 +286,99 @@ FROM documents
 WHERE length(text) >= (
   SELECT L FROM s
   WHERE r = greatest(1, CAST(ceil(CAST({q} AS DOUBLE) * n) AS BIGINT)))"""
+
+
+def training_table(sf_dir: str, coarse: int = 1024):
+    """Assemble the per-document TRAINING TABLE: text-side features
+    (char length, token count) joined 1:1 with embedding-side features
+    (quantized L1 checksum, label) — the "attach features onto docs"
+    step that precedes packing/sharding.
+
+    Join shape: LARGE x LARGE equi-join on doc_id — at 100 TB both
+    sides are corpus-scale so neither broadcasts; one coarse-hash
+    exchange co-locates the two sides (the same sort-shuffle machinery
+    as :mod:`..stages.exact_agg`) and a vectorized pandas merge runs
+    per coarse group.  Only the FEATURES move: text and the float
+    vectors are reduced to per-row scalars inside the map stage, so the
+    exchange carries ~40 bytes/row regardless of document size.
+
+    ``emb_q_sum`` = sum of floor(1e6 * component) over the vector —
+    an integer checksum of the embedding that both engines compute
+    identically (floor has no rounding-tie ambiguity; float sums would
+    break the driver's value-hash compare).
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..util import shuffle_partitions
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        n = t.num_rows
+        return pa.table({
+            "doc_id": ids,
+            "text_len": pc.cast(pc.utf8_length(t.column("text")),
+                                pa.int64()),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                t.column("text"), r"\w+"), pa.int64()),
+            "emb_q_sum": pa.array(np.full(n, -1, np.int64)),
+            "label": pa.array(np.full(n, -1, np.int64)),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(ids.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def emb_side(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id")
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        q = np.floor(flat.astype(np.float64) * 1e6).astype(np.int64)
+        lens = pc.list_value_length(col).fill_null(0).to_numpy()
+        offs = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+        cs = np.concatenate(([0], np.cumsum(q, dtype=np.int64)))
+        sums = cs[offs[1:]] - cs[offs[:-1]]
+        n = t.num_rows
+        return pa.table({
+            "doc_id": ids,
+            "text_len": pa.array(np.full(n, -1, np.int64)),
+            "n_tokens": pa.array(np.full(n, -1, np.int64)),
+            "emb_q_sum": pa.array(sums, pa.int64()),
+            "label": pc.cast(t.column("label"), pa.int64()),
+            "side": pa.array(np.ones(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(ids.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.loc[g["side"] == 0, ["doc_id", "text_len", "n_tokens"]]
+        e = g.loc[g["side"] == 1, ["doc_id", "emb_q_sum", "label"]]
+        return d.merge(e, on="doc_id", how="inner")
+
+    u = (docs.map_batches(doc_side, batch_format="pyarrow")
+         .union(emb.map_batches(emb_side, batch_format="pyarrow")))
+    return (u.groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(join_group, batch_format="pandas"))
+
+
+def training_table_sql() -> str:
+    return r"""
+WITH eq AS (
+  SELECT vec_id,
+         CAST(label AS BIGINT) AS label,
+         CAST(coalesce(sum(CAST(floor(CAST(u.x AS DOUBLE) * 1000000)
+                                AS BIGINT)), 0) AS BIGINT) AS emb_q_sum
+  FROM embeddings, unnest(embedding) AS u(x)
+  GROUP BY vec_id, label
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS text_len,
+       CAST(len(regexp_extract_all(d.text, '\w+')) AS BIGINT) AS n_tokens,
+       eq.emb_q_sum, eq.label
+FROM documents d JOIN eq ON eq.vec_id = d.doc_id"""
