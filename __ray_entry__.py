@@ -215,6 +215,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_id%41 held-out slice, broadcast probe (zero-shuffle scan)
         return D.decontaminate(docs(sf_dir))
 
+    def q_repetition_stats(sf_dir):
+        # Gopher repetition quality signals (dup-line / top-bigram
+        # concentration numerators), zero-shuffle scan
+        return T.repetition_stats(docs(sf_dir))
+
+    def q_compression_stats(sf_dir):
+        # zlib compressibility signal (rows-only: no SQL zlib)
+        return T.compression_stats(docs(sf_dir))
+
     def q_training_table(sf_dir):
         # LARGE x LARGE 1:1 feature join (documents x embeddings) — one
         # coarse-hash exchange of scalar features, text/vectors at rest
@@ -481,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_length_filter": q_quality_length_filter,
         "media_features_wav": q_media_features_wav,
         "training_table": q_training_table,
+        "repetition_stats": q_repetition_stats,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -538,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "events_quantile_sketch": q_quantile_sketch,
         "events_quantile_sketch_grouped": q_grouped_quantile_sketch,
+        "compression_stats": q_compression_stats,
     }
 
 
@@ -665,6 +676,12 @@ def _quality_length_filter_sql() -> str:
     return quality_length_filter_sql()
 
 
+def _repetition_stats_sql() -> str:
+    from yj_schema_validator_ray.stages.text import repetition_stats_sql
+
+    return repetition_stats_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -779,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_length_filter": _quality_length_filter_sql(),
         "media_features_wav": _media_features_wav_sql(),
         "training_table": _training_table_sql(),
+        "repetition_stats": _repetition_stats_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

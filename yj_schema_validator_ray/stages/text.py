@@ -544,3 +544,108 @@ SELECT doc_id,
               + (0.3 * least(stop_ratio_raw, 0.5)) / 0.5
               + 0.3 * length_score) * 1e6 + 0.5) / 1e6 AS quality_score
 FROM m"""
+
+
+def repetition_stats(docs_ds):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, "Scaling Language Models", table A1 repetition filters):
+    duplicate-line and top-bigram concentration — the standard
+    quality-filter inputs ``dup_line_frac = 1 - n_distinct_lines /
+    n_lines`` and ``top_bigram_frac = top_bigram_count / n_bigrams``.
+    Raw integer numerators/denominators are emitted (fractions are a
+    downstream division) so the SQL oracle compares exactly.
+
+    Zero-shuffle scan; per-doc token/line walks are bounded by document
+    size.  Bigrams use the shared ``\\w+`` lowercased tokenizer; lines
+    split on bare newline (both mirrored in the SQL CTEs).
+    """
+    import re
+    from collections import Counter
+
+    word = re.compile(WORD_RE)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        n_lines = []
+        n_distinct = []
+        n_bigrams = []
+        top_bi = []
+        for text in batch["text"]:
+            lines = text.split("\n")
+            n_lines.append(len(lines))
+            n_distinct.append(len(set(lines)))
+            ws = word.findall(text.lower())
+            if len(ws) < 2:
+                n_bigrams.append(0)
+                top_bi.append(0)
+            else:
+                c = Counter(zip(ws, ws[1:]))
+                n_bigrams.append(len(ws) - 1)
+                top_bi.append(max(c.values()))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_lines": pd.Series(n_lines, dtype="int64"),
+            "n_distinct_lines": pd.Series(n_distinct, dtype="int64"),
+            "n_bigrams": pd.Series(n_bigrams, dtype="int64"),
+            "top_bigram_count": pd.Series(top_bi, dtype="int64"),
+        })
+
+    return docs_ds.map_batches(f, batch_format="pandas")
+
+
+def repetition_stats_sql() -> str:
+    return r"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents
+),
+lstats AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(DISTINCT ln) AS n_distinct_lines
+  FROM lines GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+  FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bstats AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count
+  FROM bc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(l.n_lines AS BIGINT) AS n_lines,
+       CAST(l.n_distinct_lines AS BIGINT) AS n_distinct_lines,
+       CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(b.top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+FROM documents d
+JOIN lstats l USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)"""
+
+
+def compression_stats(docs_ds, level: int = 6):
+    """Compression-ratio quality signal: zlib-compressed size per
+    document (RefinedWeb / Gopher use compressibility to flag
+    boilerplate and gibberish — highly repetitive text compresses far
+    below natural prose).  No SQL oracle (DuckDB has no zlib);
+    determinism is pinned by unit tests on known inputs.  Zero-shuffle
+    scan; the division into a ratio stays downstream so output is
+    integer-exact."""
+    import zlib
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        raw = []
+        comp = []
+        for text in batch["text"]:
+            b = text.encode("utf-8")
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "raw_bytes": pd.Series(raw, dtype="int64"),
+            "zlib_bytes": pd.Series(comp, dtype="int64"),
+        })
+
+    return docs_ds.map_batches(f, batch_format="pandas")
