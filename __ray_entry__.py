@@ -511,12 +511,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": q_scrub_pii,
         "sample_uniform": q_sample_uniform,
         "sample_mixture": q_sample_mixture,
-        "pack_sequences": q_pack_sequences,
-        "chunk_documents": q_chunk_documents,
-        "sample_stratified": q_sample_stratified,
         # (d) oracled, below the 50-entry snapshot line: each is ALSO
         # pinned by byte-parity goldens / reference fixtures / pytest
         # and was driver-green in r02
+        "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
+        "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "ann_topk": q_ann_topk,
         "embedding_dups": q_embedding_dups,

@@ -193,6 +193,25 @@ def run_bench() -> dict:
     # zero-shuffle probe scan over the corpus
     best_of("decontaminate", lambda: D.decontaminate(docs_ds()).count())
 
+    # -- window / rank / quality wave ------------------------------------
+    from yj_schema_validator_ray.stages import text as T
+    from yj_schema_validator_ray.stages.audio import (
+        wav_dataset_from_documents, wav_stats)
+    from yj_schema_validator_ray.stages.rank import docs_length_rank
+    from yj_schema_validator_ray.pipelines.curation import training_table
+
+    best_of("events_running_total",
+            lambda: R.events_running_total(SF_DIR).count())
+    best_of("docs_length_rank",
+            lambda: docs_length_rank(docs_ds()).count())
+    best_of("training_table", lambda: training_table(SF_DIR).count())
+    best_of("repetition_stats",
+            lambda: T.repetition_stats(docs_ds()).count())
+    best_of("media_features_wav",
+            lambda: wav_dataset_from_documents(SF_DIR).map_batches(
+                wav_stats, batch_format="pyarrow",
+                batch_size=256).count())
+
     import ray.data
 
     from yj_schema_validator_ray.stages.quantiles import grouped_exact_quantiles
