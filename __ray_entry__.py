@@ -224,6 +224,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zlib compressibility signal (rows-only: no SQL zlib)
         return T.compression_stats(docs(sf_dir))
 
+    def q_tfidf_top_terms(sf_dir):
+        # per-doc distinctive terms, integer-exact (tf DESC, df ASC,
+        # term ASC) ordering; vocab-sized df broadcast, per-batch top-k
+        return T.tfidf_top_terms(docs(sf_dir))
+
+    def q_lang_confusion(sf_dir):
+        # stated-vs-detected language confusion matrix (metadata QA);
+        # partial counts only ever shuffle
+        import ray.data
+
+        d = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text", "lang"])
+        return T.lang_confusion(d)
+
+    def q_feature_zscore(sf_dir):
+        # per-lang z-score of doc length: integer moments -> IEEE-exact
+        # mean/std/z (one division/sqrt each, mirrored operand order)
+        from yj_schema_validator_ray.pipelines.curation import (
+            feature_zscore)
+
+        return feature_zscore(sf_dir)
+
+    def q_customer_order_totals(sf_dir):
+        # LEFT OUTER join keeping zero-order customers (large-large
+        # coarse-hash exchange; order side pre-aggregated per batch)
+        from yj_schema_validator_ray.pipelines.relational import (
+            customer_order_totals)
+
+        return customer_order_totals(sf_dir)
+
     def q_training_table(sf_dir):
         # LARGE x LARGE 1:1 feature join (documents x embeddings) — one
         # coarse-hash exchange of scalar features, text/vectors at rest
@@ -491,6 +521,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_wav": q_media_features_wav,
         "training_table": q_training_table,
         "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "lang_confusion": q_lang_confusion,
+        "feature_zscore": q_feature_zscore,
+        "customer_order_totals": q_customer_order_totals,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -682,6 +716,31 @@ def _repetition_stats_sql() -> str:
     return repetition_stats_sql()
 
 
+def _tfidf_top_terms_sql() -> str:
+    from yj_schema_validator_ray.stages.text import tfidf_top_terms_sql
+
+    return tfidf_top_terms_sql()
+
+
+def _lang_confusion_sql() -> str:
+    from yj_schema_validator_ray.stages.text import lang_confusion_sql
+
+    return lang_confusion_sql()
+
+
+def _feature_zscore_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import feature_zscore_sql
+
+    return feature_zscore_sql()
+
+
+def _customer_order_totals_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        customer_order_totals_sql)
+
+    return customer_order_totals_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -797,6 +856,10 @@ def oracle_sql() -> dict[str, str]:
         "media_features_wav": _media_features_wav_sql(),
         "training_table": _training_table_sql(),
         "repetition_stats": _repetition_stats_sql(),
+        "tfidf_top_terms": _tfidf_top_terms_sql(),
+        "lang_confusion": _lang_confusion_sql(),
+        "feature_zscore": _feature_zscore_sql(),
+        "customer_order_totals": _customer_order_totals_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

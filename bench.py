@@ -212,6 +212,25 @@ def run_bench() -> dict:
                 wav_stats, batch_format="pyarrow",
                 batch_size=256).count())
 
+    # -- tf-idf / metadata-QA / normalization / outer-join wave ----------
+    from yj_schema_validator_ray.pipelines.curation import feature_zscore
+    from yj_schema_validator_ray.pipelines.relational import (
+        customer_order_totals)
+
+    def docs_lang_ds():
+        import ray.data
+
+        return ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                     columns=["doc_id", "text", "lang"])
+
+    best_of("tfidf_top_terms",
+            lambda: T.tfidf_top_terms(docs_ds()).count())
+    best_of("lang_confusion",
+            lambda: T.lang_confusion(docs_lang_ds()).count())
+    best_of("feature_zscore", lambda: feature_zscore(SF_DIR).count())
+    best_of("customer_order_totals",
+            lambda: customer_order_totals(SF_DIR).count())
+
     import ray.data
 
     from yj_schema_validator_ray.stages.quantiles import grouped_exact_quantiles

@@ -382,3 +382,105 @@ SELECT d.doc_id,
        CAST(len(regexp_extract_all(d.text, '\w+')) AS BIGINT) AS n_tokens,
        eq.emb_q_sum, eq.label
 FROM documents d JOIN eq ON eq.vec_id = d.doc_id"""
+
+
+def feature_zscore(sf_dir: str):
+    """Per-group feature NORMALIZATION: z-score of document length
+    within its language — the feature-scaling step that precedes
+    training-table assembly (mixture balancing, outlier gating).
+
+    Exactly driver-oracle-able despite emitting floats, because every
+    float op is ONE correctly-rounded IEEE-754 operation on exact
+    integer inputs, evaluated in the same order as the SQL oracle: the
+    group moments are INTEGER sums (sum, sum-of-squares, count — fp
+    summation order never enters, per the repo's integer-cents
+    convention), and mean / var / std / z are a fixed tree of
+    divide / subtract / sqrt whose results are fully determined by
+    IEEE semantics (unlike transcendentals, which the convention
+    forbids).  ``sqrt`` is clamped at 0 on BOTH sides because a
+    constant group's variance can round to a tiny negative.
+
+    Shape: one coarse-hash exchange over the (lang) DOMAIN for the
+    moments (tiny — group-count rows), broadcast of the per-lang
+    (mean, std) table via ``ray.put``, then one stateless vectorized
+    attach pass (``pc.index_in`` + numpy gather).  Zero-variance and
+    singleton groups are filtered identically on both sides (z is
+    undefined there).
+
+    Integer bound: sum(n_chars^2) must fit int64 — ~1e11 docs at 3e3
+    chars is 9e17 < 2^63; shard the sum (or widen to python ints in the
+    merge) past that.
+    """
+    import ray
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow, process_cached, ref_key
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+
+    def moments_partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_chars"), pa.int64())
+        return pa.table({"lang": t.column("lang"), "s1": n,
+                         "s2": pc.multiply(n, n)})
+
+    mom = grouped_aggregate(
+        docs.map_batches(moments_partial, batch_format="pyarrow"),
+        ["lang"], [("s1", "sum", "s1"), ("s2", "sum", "s2"),
+                   ("", "count", "n")])
+    tbl = collect_small_arrow(mom)
+    s1 = tbl.column("s1").to_numpy().astype(np.float64)
+    s2 = tbl.column("s2").to_numpy().astype(np.float64)
+    nn = tbl.column("n").to_numpy().astype(np.float64)
+    # operand-order mirror of the SQL: mean = s1/n,
+    # std = sqrt(greatest((s2 - s1*s1/n)/n, 0))
+    mean = s1 / nn
+    std = np.sqrt(np.maximum((s2 - (s1 * s1) / nn) / nn, 0.0))
+    keep = std > 0
+    langs = tbl.column("lang").to_numpy(zero_copy_only=False)[keep]
+    ref = ray.put((list(langs), mean[keep], std[keep]))
+
+    class AttachZ:
+        def __init__(self, r):
+            ls, m, s = ray.get(r)
+            self.value_set = pa.array(ls, pa.string())
+            self.mean, self.std = m, s
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t.column("lang"), value_set=self.value_set)
+            mask = pc.is_valid(idx)
+            t2 = t.filter(mask)
+            ix = pc.filter(idx, mask).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            x = t2.column("n_chars").to_numpy().astype(np.float64)
+            z = (x - self.mean[ix]) / self.std[ix]
+            return pa.table({
+                "doc_id": pc.cast(t2.column("doc_id"), pa.int64()),
+                "lang": t2.column("lang"),
+                "n_chars": pc.cast(t2.column("n_chars"), pa.int64()),
+                "z": pa.array(z, pa.float64()),
+            })
+
+    return docs.map_batches(process_cached(AttachZ, ref_key(ref), ref),
+                            batch_format="pyarrow")
+
+
+def feature_zscore_sql() -> str:
+    return """
+WITH s AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars*n_chars) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang
+),
+p AS (
+  SELECT lang, CAST(s1 AS DOUBLE)/n AS mean,
+         sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n)/n,
+                       0)) AS std
+  FROM s
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       (d.n_chars - p.mean)/p.std AS z
+FROM documents d JOIN p ON p.lang = d.lang
+WHERE p.std > 0"""

@@ -1444,3 +1444,96 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        {cases}
 FROM events GROUP BY user_id"""
+
+
+def customer_order_totals(sf_dir: str, coarse: int = 1024):
+    """LEFT OUTER join: every customer with its order count and total
+    spend (integer cents), RETAINING zero-order customers with 0/0 —
+    the outer-join member of the relational family (q3/q5/training_table
+    are inner; churn / inactive-account analyses need the unmatched
+    left rows).
+
+    Shape: the orders side pre-aggregates per batch (one row per
+    custkey per batch crosses the wire, never order rows), then BOTH
+    sides — customer-cardinality each, so neither broadcasts at 100 TB
+    — co-locate through one coarse-hash exchange on custkey (the
+    :func:`~..stages.dedup.coarse_mix` bucketing shared by the other
+    large-large joins) and a vectorized pandas left-merge + fill runs
+    per coarse group.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..util import shuffle_partitions
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("c_custkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "c_custkey": keys,
+            "c_mktsegment": t.column("c_mktsegment"),
+            "order_count": pa.array(np.zeros(n, np.int64)),
+            "total_price_cents": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def order_side(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"c_custkey": pc.cast(t.column("o_custkey"),
+                                            pa.int64()),
+                       "total_price_cents": cents})
+             .group_by(["c_custkey"])
+             .aggregate([("total_price_cents", "sum"), ([], "count_all")])
+             .rename_columns(["c_custkey", "total_price_cents",
+                              "order_count"]))
+        n = g.num_rows
+        keys = g.column("c_custkey")
+        return pa.table({
+            "c_custkey": keys,
+            "c_mktsegment": pa.array([None] * n, pa.string()),
+            "order_count": pc.cast(g.column("order_count"), pa.int64()),
+            "total_price_cents": g.column("total_price_cents"),
+            "side": pa.array(np.ones(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g["side"] == 0, ["c_custkey", "c_mktsegment"]]
+        o = (g.loc[g["side"] == 1,
+                   ["c_custkey", "order_count", "total_price_cents"]]
+             .groupby("c_custkey", as_index=False).sum())
+        out = c.merge(o, on="c_custkey", how="left")
+        out["order_count"] = (out["order_count"].fillna(0)
+                              .astype("int64"))
+        out["total_price_cents"] = (out["total_price_cents"].fillna(0)
+                                    .astype("int64"))
+        return out
+
+    u = (cust.map_batches(cust_side, batch_format="pyarrow")
+         .union(orders.map_batches(order_side, batch_format="pyarrow")))
+    return (u.groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(join_group, batch_format="pandas"))
+
+
+def customer_order_totals_sql() -> str:
+    return """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_count,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_price_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(coalesce(p.order_count, 0) AS BIGINT) AS order_count,
+       CAST(coalesce(p.total_price_cents, 0) AS BIGINT)
+         AS total_price_cents
+FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey"""

@@ -649,3 +649,162 @@ def compression_stats(docs_ds, level: int = 6):
         })
 
     return docs_ds.map_batches(f, batch_format="pandas")
+
+
+def tfidf_top_terms(docs_ds, k: int = 3, max_vocab: int = 20_000_000):
+    """Per-document DISTINCTIVE terms — the tf-idf feature-extraction
+    step of a curation pipeline, with an INTEGER-EXACT ordering so the
+    result is driver-oracle-able: terms rank by (tf DESC, df ASC, term
+    ASC) — highest in-document frequency, rarest in the corpus.  For
+    any two terms of one document this orders exactly like tf * idf
+    with any idf strictly decreasing in df whenever tf ties break on
+    idf, and it sidesteps the float ``log`` whose last-ULP behavior is
+    not pinned down across engines (the repo convention: never hash-
+    compare a transcendental).
+
+    Shape: pass 1 builds the document-frequency table — per-batch local
+    ``(term, df)`` partials (each doc lives in exactly one batch, so
+    per-batch distinct-doc counts SUM to the true df, the same argument
+    as :func:`vocab_top_terms`) -> one coarse-hash exchange.  The df
+    table is VOCABULARY-sized, not corpus-sized; it broadcasts once via
+    ``ray.put`` as a sorted term array + df array and attaches per
+    batch with ``searchsorted`` (broadcast-small-side join, never a
+    shuffle).  Pass 2 recomputes per-doc tf locally and selects top-k
+    per doc inside the batch — per-doc selection never crosses blocks.
+    ``max_vocab`` bounds the driver/broadcast state with a clear error
+    (same convention as the candidate-id bound in
+    :func:`~.dedup.ngram_jaccard_pairs`); beyond it, attach df with a
+    distributed term-keyed exchange instead.
+    """
+    import ray
+
+    from ..util import collect_small_arrow, process_cached, ref_key
+    from .exact_agg import grouped_aggregate
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_rep = np.repeat(batch["doc_id"].to_numpy(), lens)
+        g = (pd.DataFrame({"term": flat, "doc_id": doc_rep})
+             .groupby("term", sort=False)
+             .agg(df=("doc_id", "nunique")).reset_index())
+        g["df"] = g["df"].astype("int64")
+        return g
+
+    df_ds = grouped_aggregate(
+        docs_ds.map_batches(df_partial, batch_format="pandas"),
+        ["term"], [("df", "sum", "df")])
+    df_tbl = collect_small_arrow(df_ds)
+    if df_tbl.num_rows > max_vocab:
+        raise ValueError(
+            f"tfidf_top_terms: vocabulary {df_tbl.num_rows} exceeds the "
+            f"broadcast bound max_vocab={max_vocab}; attach df via a "
+            "term-keyed exchange for corpora with larger vocabularies")
+    terms = df_tbl.column("term").to_numpy(zero_copy_only=False)
+    dfs = df_tbl.column("df").to_numpy()
+    order = np.argsort(terms)
+    ref = ray.put((terms[order], dfs[order]))
+
+    class TopK:
+        def __init__(self, r):
+            self.terms, self.dfs = ray.get(r)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.lower().str.findall(WORD_RE)
+            lens = toks.map(len).to_numpy()
+            if lens.sum() == 0:
+                return pd.DataFrame({
+                    "doc_id": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype="object"),
+                    "tf": pd.Series(dtype="int64"),
+                    "df": pd.Series(dtype="int64"),
+                    "rnk": pd.Series(dtype="int64")})
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            doc_rep = np.repeat(batch["doc_id"].to_numpy(), lens)
+            g = (pd.DataFrame({"doc_id": doc_rep, "term": flat})
+                 .groupby(["doc_id", "term"], sort=False).size()
+                 .rename("tf").reset_index())
+            g["tf"] = g["tf"].astype("int64")
+            g["df"] = self.dfs[np.searchsorted(self.terms,
+                                               g["term"].to_numpy())]
+            g = g.sort_values(["doc_id", "tf", "df", "term"],
+                              ascending=[True, False, True, True],
+                              kind="mergesort")
+            g["rnk"] = (g.groupby("doc_id", sort=False).cumcount() + 1
+                        ).astype("int64")
+            return g[g["rnk"] <= k].reset_index(drop=True)
+
+    return docs_ds.map_batches(process_cached(TopK, ref_key(ref), ref),
+                               batch_format="pandas")
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(row_number() OVER (PARTITION BY t.doc_id
+              ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS BIGINT) AS rnk
+  FROM tf t JOIN df d USING (term)
+)
+SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= {k}"""
+
+
+class LangConfusionPartial(LangId):
+    """Per-batch partial of the stated-vs-detected language confusion
+    matrix: reuses the :class:`LangId` stopword tables, emits grouped
+    COUNTS (lang, lang_pred, n_docs) — never per-doc rows — so the
+    exchange moves at most |langs|^2 rows per batch."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = LangId.__call__(
+            self, batch[["doc_id", "text"]])["lang_pred"]
+        g = (pd.DataFrame({"lang": batch["lang"].to_numpy(),
+                           "lang_pred": preds.to_numpy()})
+             .groupby(["lang", "lang_pred"], sort=False).size()
+             .rename("n_docs").reset_index())
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+
+def lang_confusion(docs_ds):
+    """Metadata-QA audit: confusion matrix of the corpus's STATED
+    ``lang`` column vs the DETECTED language (the same stopword-hit
+    heuristic as :func:`lang_id`, so the two queries share one SQL
+    oracle core).  The mislabeled-language rate is a standard corpus
+    health gate (CCNet-style pipelines drop or re-route documents whose
+    declared and detected languages disagree).
+
+    Shape: one scan of per-batch partial counts over the
+    (lang x lang_pred) DOMAIN + one tiny coarse-hash exchange — no
+    per-document rows ever shuffle, so the plan is flat at 100 TB.
+    """
+    from ..util import process_cached
+    from .exact_agg import grouped_aggregate
+
+    partial = process_cached(LangConfusionPartial, ())
+    return grouped_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "lang_pred"], [("n_docs", "sum", "n_docs")])
+
+
+def lang_confusion_sql() -> str:
+    return f"""
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN ({lang_id_sql()}) p ON p.doc_id = d.doc_id
+GROUP BY d.lang, p.lang_pred"""

@@ -18,6 +18,20 @@ def default_pool(max_fraction: float = 0.5, floor: int = 1) -> tuple[int, int]:
     return (floor, hi)
 
 
+def collect_small_arrow(ds):
+    """Materialize a SMALL (domain-sized, never corpus-sized) dataset
+    driver-side as one Arrow table, skipping the schema-less empty
+    blocks a coarse-hash exchange emits for unoccupied partitions
+    (``pa.concat_tables`` rejects their empty schemas)."""
+    import pyarrow as pa
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)
+
+
 _PROCESS_INSTANCES: dict = {}
 
 
