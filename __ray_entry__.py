@@ -254,6 +254,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return customer_order_totals(sf_dir)
 
+    def q_events_distinct_users(sf_dir):
+        # exact two-phase COUNT(DISTINCT user) per event type: dedupe
+        # exchange over (type,user) pairs, then a domain-sized reduce
+        return R.events_distinct_users(sf_dir)
+
+    def q_docs_top_per_group(sf_dir):
+        # grouped top-k / argmax per (source, lang); only groups x k
+        # candidate rows per batch ever shuffle, text never moves
+        return R.docs_top_per_group(sf_dir)
+
+    def q_events_value_histogram(sf_dir):
+        # equi-width histogram of a float measure: min/max pass +
+        # IEEE-mirrored bucket arithmetic, bucket-domain exchange
+        return R.events_value_histogram(sf_dir)
+
     def q_training_table(sf_dir):
         # LARGE x LARGE 1:1 feature join (documents x embeddings) — one
         # coarse-hash exchange of scalar features, text/vectors at rest
@@ -525,6 +540,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": q_lang_confusion,
         "feature_zscore": q_feature_zscore,
         "customer_order_totals": q_customer_order_totals,
+        "events_distinct_users": q_events_distinct_users,
+        "docs_top_per_group": q_docs_top_per_group,
+        "events_value_histogram": q_events_value_histogram,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -741,6 +759,27 @@ def _customer_order_totals_sql() -> str:
     return customer_order_totals_sql()
 
 
+def _events_distinct_users_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_distinct_users_sql)
+
+    return events_distinct_users_sql()
+
+
+def _docs_top_per_group_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        docs_top_per_group_sql)
+
+    return docs_top_per_group_sql()
+
+
+def _events_value_histogram_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_value_histogram_sql)
+
+    return events_value_histogram_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -860,6 +899,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": _lang_confusion_sql(),
         "feature_zscore": _feature_zscore_sql(),
         "customer_order_totals": _customer_order_totals_sql(),
+        "events_distinct_users": _events_distinct_users_sql(),
+        "docs_top_per_group": _docs_top_per_group_sql(),
+        "events_value_histogram": _events_value_histogram_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -1,0 +1,128 @@
+"""Edge cases for the tf-idf / confusion / zscore / outer-join /
+distinct / grouped-top-k / histogram wave (sf0.001 oracle parity lives
+in test_correctness_oracle.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from yj_schema_validator_ray.stages.text import tfidf_top_terms
+
+
+def _ds(tbl, parts=1):
+    import ray
+
+    ds = ray.data.from_arrow(tbl)
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def test_tfidf_tiebreaks_and_partition_invariance(ray_session):
+    # doc 0: 'rare' and 'common' both tf=2 -> rarer df wins rank 1;
+    # doc 1: 'aa'/'bb' tie on (tf, df) -> lexicographic
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "rare rare common common filler",
+            "bb aa aa bb",
+            "common one",
+            "common two",
+        ]),
+    })
+    expected_doc0 = [("rare", 1), ("common", 2), ("filler", 3)]
+    expected_doc1 = [("aa", 1), ("bb", 2)]
+    for parts in (1, 4):
+        got = (tfidf_top_terms(_ds(docs, parts)).to_pandas()
+               .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+        d0 = got[got.doc_id == 0][["term", "rnk"]].to_records(index=False)
+        assert [tuple(x) for x in d0] == expected_doc0, parts
+        d1 = got[got.doc_id == 1][["term", "rnk"]].to_records(index=False)
+        assert [tuple(x) for x in d1] == expected_doc1, parts
+        # df is global: 'common' appears in 3 docs even when split
+        assert (got[got.term == "common"]["df"] == 3).all()
+
+
+def test_tfidf_vocab_bound(ray_session):
+    docs = pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "text": pa.array(["a b c d e"])})
+    try:
+        tfidf_top_terms(_ds(docs), max_vocab=2)
+    except ValueError as e:
+        assert "max_vocab" in str(e)
+    else:
+        raise AssertionError("expected ValueError past the vocab bound")
+
+
+def test_customer_order_totals_keeps_zero_order_customers(
+        ray_session, tmp_path):
+    from yj_schema_validator_ray.pipelines.relational import (
+        customer_order_totals)
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_mktsegment": pa.array(["A", "B", "A"]),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_totalprice": pa.array([10.01, 0.5, 2.0], pa.float64()),
+    }), tmp_path / "orders.parquet")
+
+    got = (customer_order_totals(str(tmp_path)).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    assert got["c_custkey"].tolist() == [1, 2, 3]
+    assert got["order_count"].tolist() == [2, 0, 1]
+    assert got["total_price_cents"].tolist() == [1051, 0, 200]
+
+
+def test_value_histogram_constant_column(ray_session, tmp_path):
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_value_histogram)
+
+    pq.write_table(pa.table({
+        "value": pa.array([7.5] * 10, pa.float64()),
+    }), tmp_path / "events.parquet")
+    got = events_value_histogram(str(tmp_path)).to_pandas()
+    assert got["bucket"].tolist() == [0]
+    assert got["n"].tolist() == [10]
+
+
+def test_docs_top_per_group_small_groups(ray_session, tmp_path):
+    from yj_schema_validator_ray.pipelines.relational import (
+        docs_top_per_group)
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "source": pa.array(["s1", "s1", "s1", "s2"]),
+        "lang": pa.array(["en", "en", "en", "de"]),
+        "n_chars": pa.array([5, 9, 9, 4], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    got = (docs_top_per_group(str(tmp_path), k=2).to_pandas()
+           .sort_values(["source", "lang", "rnk"]).reset_index(drop=True))
+    # ties on n_chars=9 break by doc_id ASC; singleton group keeps 1 row
+    assert got[["doc_id", "rnk"]].values.tolist() == [[1, 1], [2, 2], [3, 1]]
+
+
+def test_feature_zscore_drops_constant_groups(ray_session, tmp_path):
+    from yj_schema_validator_ray.pipelines.curation import feature_zscore
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "de", "fr"]),
+        "n_chars": pa.array([10, 20, 7, 7], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    got = (feature_zscore(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # de and fr are singleton/constant groups (std=0) -> filtered
+    assert got["lang"].tolist() == ["en", "en"]
+    assert np.allclose(got["z"].to_numpy(), [-1.0, 1.0])
+
+
+def test_collect_small_arrow_handles_empty_blocks(ray_session):
+    import ray
+
+    from yj_schema_validator_ray.util import collect_small_arrow
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+    # repartition far beyond the row count -> schema-less empty blocks
+    t = collect_small_arrow(ds.repartition(16))
+    assert sorted(t.column("x").to_pylist()) == [1, 2]

@@ -1537,3 +1537,156 @@ SELECT c.c_custkey, c.c_mktsegment,
        CAST(coalesce(p.total_price_cents, 0) AS BIGINT)
          AS total_price_cents
 FROM customer c LEFT JOIN per_cust p ON p.o_custkey = c.c_custkey"""
+
+
+def events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group: distinct users + total events
+    per event type — the audience-size / cardinality accounting query.
+
+    Two-level plan, both exchanges over bounded domains: level 1
+    deduplicates (event_type, user_id) pairs with per-batch local
+    counts through one coarse-hash exchange
+    (:func:`~..stages.exact_agg.grouped_aggregate` — the exchange moves
+    DEDUPED pairs, at most |types| x |users| rows, never event rows);
+    level 2 reduces the pair table to per-type (n_users, n_events) —
+    group-domain-sized.  This is the standard two-phase exact distinct
+    aggregation; the approximate path for unbounded user domains is the
+    HLL sketch (:func:`~.constraints.distinct_sketch`).
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    pairs = grouped_aggregate(ds, ["event_type", "user_id"],
+                              [("", "count", "n_events")])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n_users": pa.array(np.ones(n, np.int64)),
+            "n_events": pc.cast(t.column("n_events"), pa.int64()),
+        })
+
+    return grouped_aggregate(
+        pairs.map_batches(pair_partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("n_users", "sum", "n_users"), ("n_events", "sum", "n_events")])
+
+
+def events_distinct_users_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type"""
+
+
+def docs_top_per_group(sf_dir: str, k: int = 2):
+    """Grouped top-k (argmax per group): the ``k`` longest documents of
+    every (source, lang) cell, ties broken deterministically by doc_id —
+    the "best exemplar per bucket" selection curation pipelines use for
+    inspection samples and per-domain anchors.
+
+    Per-batch LOCAL top-k per group (a candidate must be in its batch's
+    group top-k to be in the global top-k) -> one exchange of at most
+    groups x k rows per batch -> final per-group top-k.  Text never
+    moves; the exchange is group-domain-sized regardless of corpus
+    size.
+    """
+    import pandas as pd
+    import ray.data
+
+    from ..util import shuffle_partitions
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "lang",
+                                        "n_chars"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "lang", "n_chars", "doc_id"],
+                            ascending=[True, True, False, True],
+                            kind="mergesort")
+        out = df.groupby(["source", "lang"], sort=False).head(k).copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["n_chars"] = out["n_chars"].astype("int64")
+        return out
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "lang", "n_chars", "doc_id"],
+                            ascending=[True, True, False, True],
+                            kind="mergesort")
+        out = df.groupby(["source", "lang"], sort=False).head(k).copy()
+        out["rnk"] = (out.groupby(["source", "lang"], sort=False)
+                      .cumcount() + 1).astype("int64")
+        return out
+
+    return (ds.map_batches(local_topk, batch_format="pandas")
+            .groupby(["source", "lang"],
+                     num_partitions=min(8, shuffle_partitions()))
+            .map_groups(final_topk, batch_format="pandas"))
+
+
+def docs_top_per_group_sql(k: int = 2) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT source, lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(row_number() OVER (PARTITION BY source, lang
+              ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
+  FROM documents
+)
+SELECT source, lang, doc_id, n_chars, rnk FROM ranked WHERE rnk <= {k}"""
+
+
+def events_value_histogram(sf_dir: str, nbins: int = 20):
+    """Equi-width histogram of a float measure: global (min, max) from
+    one aggregate pass, then a vectorized bucket-assignment scan with
+    per-batch partial counts through one tiny exchange (bucket-domain-
+    sized).  Bucket arithmetic is a fixed tree of IEEE subtract /
+    divide / floor mirrored operand-for-operand in the SQL oracle, so
+    the integer bucket ids hash-match exactly; the top edge folds into
+    the last bucket on both sides (``least``).
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    mm = ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    width = (hi - lo) / float(nbins)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy().astype(np.float64)
+        if width > 0:
+            b = np.minimum(np.floor((v - lo) / width),
+                           float(nbins - 1)).astype(np.int64)
+        else:
+            b = np.zeros(len(v), np.int64)
+        return pa.table({"bucket": pa.array(b)})
+
+    return grouped_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["bucket"], [("", "count", "n")])
+
+
+def events_value_histogram_sql(nbins: int = 20) -> str:
+    return f"""
+WITH mm AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+),
+b AS (
+  SELECT CASE WHEN (mm.hi - mm.lo) / {nbins}.0 > 0
+              THEN CAST(least(floor((e.value - mm.lo)
+                        / ((mm.hi - mm.lo) / {nbins}.0)),
+                        {nbins - 1}.0) AS BIGINT)
+              ELSE 0 END AS bucket
+  FROM events e, mm
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bucket"""
