@@ -173,29 +173,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-crawls (must drop — no false negatives) + 5% changed docs
         # (kept modulo the negligible FP rate).  rows-only: Bloom FP
         # behavior is deterministic but not SQL-expressible.
-        import pyarrow as pa
-
-        from yj_schema_validator_ray.stages.bloom import (build_bloom,
-                                                          incremental_dedup)
+        from yj_schema_validator_ray.stages.bloom import (
+            build_bloom, incremental_dedup, synthesize_new_crawl)
 
         old = docs(sf_dir)
         bloom = build_bloom(old)
-
-        def make_new(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy()
-            dup = t.filter(pa.array(ids % 100 < 5))
-            chg = t.filter(pa.array(ids % 100 >= 95))
-            chg = chg.set_column(
-                chg.schema.get_field_index("text"), "text",
-                pa.array([x + " [rev2]" for x in
-                          chg.column("text").to_pylist()], pa.string()))
-            out = pa.concat_tables([dup, chg])
-            new_ids = pa.array(out.column("doc_id").to_numpy() + 1_000_000,
-                               pa.int64())
-            return out.set_column(out.schema.get_field_index("doc_id"),
-                                  "doc_id", new_ids)
-
-        new = docs(sf_dir).map_batches(make_new, batch_format="pyarrow")
+        new = synthesize_new_crawl(docs(sf_dir))
         return incremental_dedup(new, bloom).select_columns(["doc_id"])
 
     def q_dedup_ngram_exact(sf_dir):
@@ -495,6 +478,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_accuracy_minhash(sf_dir):
         return ACC.minhash_accuracy(docs(sf_dir))
 
+    def q_accuracy_quantile_sketch(sf_dir):
+        # exact per-group quantiles (hash-checked) + distributed rank
+        # check of the centroid sketch's estimates
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+        return ACC.quantile_sketch_accuracy(ev)
+
+    def q_accuracy_bloom(sf_dir):
+        # exact new-crawl overlap (hash-checked) + Bloom no-false-
+        # negative / FP-rate bound checks through one sha exchange
+        from yj_schema_validator_ray.stages.bloom import (
+            synthesize_new_crawl)
+
+        return ACC.bloom_accuracy(docs(sf_dir),
+                                  synthesize_new_crawl(docs(sf_dir)))
+
     # NOTE on ordering: the driver's correctness snapshot checks the
     # FIRST 50 dict entries (CORRECTNESS_r02 covered exactly positions
     # 1-50), so entries are ordered by evidence value: (a) the
@@ -525,6 +524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accuracy_ann_lsh": q_accuracy_ann_lsh,
         "accuracy_ann_ivf": q_accuracy_ann_ivf,
         "accuracy_minhash": q_accuracy_minhash,
+        "accuracy_quantile_sketch": q_accuracy_quantile_sketch,
+        "accuracy_bloom": q_accuracy_bloom,
         "media_features_png": q_media_features_png,
         "media_features_jpeg": q_media_features_jpeg,
         "decontaminate": q_decontaminate,
@@ -856,6 +857,19 @@ def _accuracy_minhash_sql() -> str:
     return minhash_accuracy_sql()
 
 
+def _accuracy_quantile_sketch_sql() -> str:
+    from yj_schema_validator_ray.pipelines.accuracy import (
+        quantile_sketch_accuracy_sql)
+
+    return quantile_sketch_accuracy_sql()
+
+
+def _accuracy_bloom_sql() -> str:
+    from yj_schema_validator_ray.pipelines.accuracy import bloom_accuracy_sql
+
+    return bloom_accuracy_sql()
+
+
 def _media_features_png_sql() -> str:
     from yj_schema_validator_ray.stages.multimodal import png_pixel_stats_sql
 
@@ -954,6 +968,8 @@ def oracle_sql() -> dict[str, str]:
         "accuracy_ann_lsh": _accuracy_ann_sql(),
         "accuracy_ann_ivf": _accuracy_ann_sql(),
         "accuracy_minhash": _accuracy_minhash_sql(),
+        "accuracy_quantile_sketch": _accuracy_quantile_sketch_sql(),
+        "accuracy_bloom": _accuracy_bloom_sql(),
         "media_features_png": _media_features_png_sql(),
         "media_features_jpeg": _media_features_jpeg_sql(),
         # intentionally no SQL oracle (approximate / non-SQL-expressible):

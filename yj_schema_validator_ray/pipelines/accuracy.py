@@ -209,3 +209,175 @@ def minhash_accuracy_sql(threshold: float = 0.3) -> str:
 SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
        TRUE AS recall_ok, TRUE AS mean_err_ok, TRUE AS max_err_ok
 FROM ({ngram_jaccard_exact_sql(threshold=threshold)}) exact_pairs"""
+
+
+def quantile_sketch_accuracy(events_ds, group_col: str = "event_type",
+                             value_col: str = "value",
+                             rank_err_bound: float = 0.05):
+    """(group, quantile, value, rank_err_ok): the EXACT per-group
+    quantile values (hash-checked against the window-function SQL, same
+    oracle core as ``events_quantiles``) plus a check that the mergeable
+    centroid sketch's estimate sits within ``rank_err_bound`` RANK
+    error of its target.  k=128 with multi-level compaction measures
+    <= 0.03 in tests (``test_grouped_quantile_sketch_error_bound``);
+    0.05 adds margin.
+
+    The rank of each estimate is computed DISTRIBUTED: the (group,
+    quantile, estimate) table is tiny (groups x qs), so it broadcasts
+    into a one-pass partial count of ``value <= estimate`` per group,
+    merged through one domain-sized exchange — the events rows never
+    move.
+    """
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.quantiles import (grouped_exact_quantiles,
+                                    grouped_quantile_sketch)
+    from ..util import process_cached, ref_key
+
+    import ray
+
+    exact = grouped_exact_quantiles(
+        events_ds, group_col, value_col).to_pandas()
+    sketch = grouped_quantile_sketch(events_ds, group_col, value_col)
+    est = exact.merge(sketch, on=[group_col, "quantile"])
+    ref = ray.put((est[group_col].to_numpy(dtype=object),
+                   est["quantile"].to_numpy(),
+                   est["value_est"].to_numpy()))
+
+    class RankPartial:
+        """Per-batch (group, quantile) -> (count value<=est, group n)."""
+
+        def __init__(self, r):
+            self.groups, self.qs, self.ests = ray.get(r)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            g = df[group_col].to_numpy(dtype=object)
+            v = df[value_col].to_numpy(dtype=np.float64)
+            rows = []
+            for grp, q, e in zip(self.groups, self.qs, self.ests):
+                m = g == grp
+                rows.append((grp, q, int((v[m] <= e).sum()), int(m.sum())))
+            return pd.DataFrame({
+                group_col: [r[0] for r in rows],
+                "quantile": pd.Series([r[1] for r in rows],
+                                      dtype="float64"),
+                "n_le": pd.Series([r[2] for r in rows], dtype="int64"),
+                "n_grp": pd.Series([r[3] for r in rows], dtype="int64"),
+            })
+
+    ranks = grouped_aggregate(
+        events_ds.map_batches(
+            process_cached(RankPartial, ref_key(ref), ref),
+            batch_format="pandas"),
+        [group_col, "quantile"],
+        [("n_le", "sum", "n_le"), ("n_grp", "sum", "n_grp")]).to_pandas()
+
+    out = est.merge(ranks, on=[group_col, "quantile"])
+    err = (out["n_le"] / out["n_grp"] - out["quantile"]).abs()
+    return pd.DataFrame({
+        group_col: out[group_col],
+        "quantile": out["quantile"].astype("float64"),
+        "value": out["value"].astype("float64"),
+        "rank_err_ok": (err <= rank_err_bound).astype(bool),
+    })
+
+
+def quantile_sketch_accuracy_sql(group_col: str = "event_type",
+                                 value_col: str = "value") -> str:
+    from ..stages.quantiles import grouped_exact_quantiles_sql
+
+    return f"""
+SELECT {group_col}, quantile, value, TRUE AS rank_err_ok
+FROM ({grouped_exact_quantiles_sql("events", group_col, value_col)}) x"""
+
+
+def bloom_accuracy(docs_ds, new_ds, fp_rate_bound: float = 0.02,
+                   m_bits: int = 1 << 20, k: int = 5):
+    """One row certifying the Bloom incremental-dedup operator against
+    the EXACT overlap between a new crawl and the prior corpus:
+    ``n_new`` / ``n_true_dups`` are exact (hash-checked vs the SQL
+    text-membership join), ``no_false_negatives`` asserts the Bloom
+    guarantee (every true duplicate was dropped — a structural property,
+    any violation is a bug), and ``fp_ok`` bounds the false-positive
+    drops at ``fp_rate_bound`` of the new crawl (m=2^20 bits / k=5 on
+    these corpus sizes gives FPR << 1%).
+
+    The exact side never joins row-wise on the driver: old docs, new
+    docs and Bloom-kept new docs flow (sha-keyed, per-batch
+    pre-deduped partial counts) through ONE coarse-hash exchange;
+    per-sha side counts then reduce to the four scalars.
+    """
+    import hashlib
+
+    from ..stages.bloom import build_bloom, incremental_dedup
+    from ..stages.exact_agg import grouped_aggregate
+
+    bloom = build_bloom(docs_ds, m_bits=m_bits, k=k)
+    kept = incremental_dedup(new_ds, bloom, k=k)
+
+    def side_partial(side_old, side_new, side_kept):
+        def f(t: pa.Table) -> pa.Table:
+            shas = [hashlib.sha256(x.encode()).hexdigest()
+                    for x in t.column("text").to_pylist()]
+            df = pd.DataFrame({"sha": shas})
+            g = df.groupby("sha", sort=False).size().rename("n").reset_index()
+            n = g["n"].astype("int64")
+            return pa.table({
+                "sha": pa.array(g["sha"], pa.string()),
+                "n_old": pa.array(n * side_old, pa.int64()),
+                "n_new": pa.array(n * side_new, pa.int64()),
+                "n_kept": pa.array(n * side_kept, pa.int64()),
+            })
+        return f
+
+    u = (docs_ds.map_batches(side_partial(1, 0, 0), batch_format="pyarrow")
+         .union(new_ds.map_batches(side_partial(0, 1, 0),
+                                   batch_format="pyarrow"))
+         .union(kept.map_batches(side_partial(0, 0, 1),
+                                 batch_format="pyarrow")))
+    per_sha = grouped_aggregate(
+        u, ["sha"], [("n_old", "sum", "n_old"), ("n_new", "sum", "n_new"),
+                     ("n_kept", "sum", "n_kept")])
+
+    def reduce_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        in_old = df["n_old"] > 0
+        return pa.table({
+            "n_new": pa.array([int(df["n_new"].sum())], pa.int64()),
+            "n_true_dups": pa.array([int(df.loc[in_old, "n_new"].sum())],
+                                    pa.int64()),
+            "n_false_neg": pa.array([int(df.loc[in_old, "n_kept"].sum())],
+                                    pa.int64()),
+            "n_kept": pa.array([int(df["n_kept"].sum())], pa.int64()),
+        })
+
+    tot = (per_sha.map_batches(reduce_partial, batch_format="pyarrow")
+           .to_pandas().sum())
+    n_new = int(tot["n_new"])
+    n_true = int(tot["n_true_dups"])
+    n_fp = (n_new - int(tot["n_kept"])) - n_true  # dropped - true dups
+    return pd.DataFrame({
+        "n_new": pd.Series([n_new], dtype="int64"),
+        "n_true_dups": pd.Series([n_true], dtype="int64"),
+        "no_false_negatives": [bool(int(tot["n_false_neg"]) == 0)],
+        "fp_ok": [bool(n_fp <= max(1, int(fp_rate_bound * n_new)))],
+    })
+
+
+def bloom_accuracy_sql() -> str:
+    """Exact overlap of the synthesized new crawl (ids%100<5 exact
+    re-crawls + ids%100>=95 ' [rev2]' revisions, ids shifted +1e6 —
+    byte-identical to ``stages.bloom.synthesize_new_crawl``) vs the
+    prior corpus."""
+    return """
+WITH newc AS (
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 100 < 5
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' [rev2]'
+  FROM documents WHERE doc_id % 100 >= 95
+)
+SELECT CAST(count(*) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN n.text IN (SELECT text FROM documents)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
+       TRUE AS no_false_negatives, TRUE AS fp_ok
+FROM newc n"""

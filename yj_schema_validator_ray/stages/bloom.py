@@ -113,3 +113,26 @@ def incremental_dedup(new_ds, bloom: np.ndarray, k: int = 5):
 
     return new_ds.map_batches(process_cached(Probe, (ref_key(ref), k), ref),
                               batch_format="pyarrow")
+
+
+def synthesize_new_crawl(docs_ds):
+    """Deterministic 'new crawl' over the documents corpus: 5% exact
+    re-crawls (ids%100<5, text unchanged — must drop, no false
+    negatives) + 5% revisions (ids%100>=95, ' [rev2]' appended — kept
+    modulo the FP rate), ids shifted +1e6.  Mirrored verbatim by the
+    ``bloom_accuracy`` SQL oracle's ``newc`` CTE."""
+    def make_new(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        dup = t.filter(pa.array(ids % 100 < 5))
+        chg = t.filter(pa.array(ids % 100 >= 95))
+        chg = chg.set_column(
+            chg.schema.get_field_index("text"), "text",
+            pa.array([x + " [rev2]" for x in
+                      chg.column("text").to_pylist()], pa.string()))
+        out = pa.concat_tables([dup, chg])
+        new_ids = pa.array(out.column("doc_id").to_numpy() + 1_000_000,
+                           pa.int64())
+        return out.set_column(out.schema.get_field_index("doc_id"),
+                              "doc_id", new_ids)
+
+    return docs_ds.map_batches(make_new, batch_format="pyarrow")
