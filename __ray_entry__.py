@@ -494,6 +494,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ACC.bloom_accuracy(docs(sf_dir),
                                   synthesize_new_crawl(docs(sf_dir)))
 
+    def q_accuracy_simhash(sf_dir):
+        # exact-dup pair count (hash-checked) + the structural SimHash
+        # recall guarantee through a distributed pair-membership join
+        return ACC.simhash_accuracy(_augment(docs(sf_dir), "doc_id"))
+
     # NOTE on ordering: the driver's correctness snapshot checks the
     # FIRST 50 dict entries (CORRECTNESS_r02 covered exactly positions
     # 1-50), so entries are ordered by evidence value: (a) the
@@ -526,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accuracy_minhash": q_accuracy_minhash,
         "accuracy_quantile_sketch": q_accuracy_quantile_sketch,
         "accuracy_bloom": q_accuracy_bloom,
+        "accuracy_simhash": q_accuracy_simhash,
         "media_features_png": q_media_features_png,
         "media_features_jpeg": q_media_features_jpeg,
         "decontaminate": q_decontaminate,
@@ -870,6 +876,13 @@ def _accuracy_bloom_sql() -> str:
     return bloom_accuracy_sql()
 
 
+def _accuracy_simhash_sql() -> str:
+    from yj_schema_validator_ray.oracles import _DOCS_AUG
+    from yj_schema_validator_ray.pipelines.accuracy import simhash_accuracy_sql
+
+    return simhash_accuracy_sql(_DOCS_AUG)
+
+
 def _media_features_png_sql() -> str:
     from yj_schema_validator_ray.stages.multimodal import png_pixel_stats_sql
 
@@ -970,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
         "accuracy_minhash": _accuracy_minhash_sql(),
         "accuracy_quantile_sketch": _accuracy_quantile_sketch_sql(),
         "accuracy_bloom": _accuracy_bloom_sql(),
+        "accuracy_simhash": _accuracy_simhash_sql(),
         "media_features_png": _media_features_png_sql(),
         "media_features_jpeg": _media_features_jpeg_sql(),
         # intentionally no SQL oracle (approximate / non-SQL-expressible):

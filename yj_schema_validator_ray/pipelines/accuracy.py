@@ -381,3 +381,101 @@ SELECT CAST(count(*) AS BIGINT) AS n_new,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
        TRUE AS no_false_negatives, TRUE AS fp_ok
 FROM newc n"""
+
+
+def simhash_accuracy(docs_aug_ds, max_hamming: int = 3):
+    """(n_exact_dup_pairs, all_exact_dups_found): the exact-duplicate
+    pair count over the two-crawl corpus (hash-checked vs the sha-group
+    SQL) plus the STRUCTURAL SimHash guarantee that every exact
+    duplicate pair is recovered — identical text gives an identical
+    64-bit signature, so Hamming 0 <= ``max_hamming`` and the 16-bit
+    chunk banding must surface the pair; any miss is a plumbing bug in
+    the explode/band/verify chain, which is what this certifies.
+
+    Fully distributed: exact pairs are emitted inside sha groups behind
+    the same coarse exchange as exact dedup (dup groups are
+    crawl-overlap-sized); the recall check joins the side-tagged pair
+    sets through one (a, b)-keyed exchange and reduces to scalars.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import add_text_sha, simhash_pairs
+    from ..stages.exact_agg import grouped_aggregate, hash_columns
+    from ..util import shuffle_partitions
+
+    def sha_rows(batch: pa.Table) -> pa.Table:
+        b = add_text_sha(batch.select(["doc_id", "text"]))
+        t = b.select(["text_sha", "doc_id"])
+        kh = hash_columns(t.select(["text_sha"]))
+        return t.append_column(
+            "__coarse", pa.array((kh & np.uint64(1023)).astype(np.int64)))
+
+    def emit_exact_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, part in g.groupby("text_sha", sort=False):
+            if len(part) < 2:
+                continue
+            ids = np.sort(part["doc_id"].to_numpy())
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    exact_pairs = (docs_aug_ds
+                   .map_batches(sha_rows, batch_format="pyarrow")
+                   .groupby("__coarse",
+                            num_partitions=shuffle_partitions())
+                   .map_groups(emit_exact_pairs, batch_format="pandas"))
+
+    def tag(is_exact):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "a": pc.cast(t.column("a"), pa.int64()),
+                "b": pc.cast(t.column("b"), pa.int64()),
+                "n_exact": pa.array(
+                    np.full(n, 1 if is_exact else 0, np.int64)),
+                "n_sim": pa.array(
+                    np.full(n, 0 if is_exact else 1, np.int64)),
+            })
+        return f
+
+    sim = simhash_pairs(docs_aug_ds, max_hamming=max_hamming)
+    u = (exact_pairs.map_batches(tag(True), batch_format="pyarrow")
+         .union(sim.map_batches(tag(False), batch_format="pyarrow")))
+    per_pair = grouped_aggregate(
+        u, ["a", "b"], [("n_exact", "sum", "n_exact"),
+                        ("n_sim", "sum", "n_sim")])
+
+    def reduce_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ex = df["n_exact"] > 0
+        return pa.table({
+            "n_exact_dup_pairs": pa.array([int(ex.sum())], pa.int64()),
+            "n_missed": pa.array(
+                [int((ex & (df["n_sim"] == 0)).sum())], pa.int64()),
+        })
+
+    tot = (per_pair.map_batches(reduce_partial, batch_format="pyarrow")
+           .to_pandas().sum())
+    return pd.DataFrame({
+        "n_exact_dup_pairs": pd.Series([int(tot["n_exact_dup_pairs"])],
+                                       dtype="int64"),
+        "all_exact_dups_found": [bool(int(tot["n_missed"]) == 0)],
+    })
+
+
+def simhash_accuracy_sql(docs_cte: str) -> str:
+    return f"""WITH {docs_cte},
+g AS (
+  SELECT count(*) AS n FROM docs_aug
+  GROUP BY sha256(text) HAVING count(*) > 1
+)
+SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT)
+         AS n_exact_dup_pairs,
+       TRUE AS all_exact_dups_found
+FROM g"""
