@@ -252,6 +252,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IEEE-mirrored bucket arithmetic, bucket-domain exchange
         return R.events_value_histogram(sf_dir)
 
+    def q_shard_documents(sf_dir):
+        # resumable-output layout: hash-shard -> hive-partitioned
+        # parquet write -> read-back accounting (oracle certifies the
+        # write->read round trip lost nothing)
+        from yj_schema_validator_ray.pipelines.curation import (
+            shard_documents)
+
+        return shard_documents(sf_dir)
+
     def q_training_table(sf_dir):
         # LARGE x LARGE 1:1 feature join (documents x embeddings) — one
         # coarse-hash exchange of scalar features, text/vectors at rest
@@ -550,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q_events_distinct_users,
         "docs_top_per_group": q_docs_top_per_group,
         "events_value_histogram": q_events_value_histogram,
+        "shard_documents": q_shard_documents,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -787,6 +797,12 @@ def _events_value_histogram_sql() -> str:
     return events_value_histogram_sql()
 
 
+def _shard_documents_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import shard_documents_sql
+
+    return shard_documents_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -929,6 +945,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": _events_distinct_users_sql(),
         "docs_top_per_group": _docs_top_per_group_sql(),
         "events_value_histogram": _events_value_histogram_sql(),
+        "shard_documents": _shard_documents_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

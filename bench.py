@@ -231,6 +231,10 @@ def run_bench() -> dict:
     best_of("customer_order_totals",
             lambda: customer_order_totals(SF_DIR).count())
 
+    from yj_schema_validator_ray.pipelines.curation import shard_documents
+
+    best_of("shard_documents", lambda: len(shard_documents(SF_DIR)))
+
     import ray.data
 
     from yj_schema_validator_ray.stages.quantiles import grouped_exact_quantiles

@@ -484,3 +484,73 @@ SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
        (d.n_chars - p.mean)/p.std AS z
 FROM documents d JOIN p ON p.lang = d.lang
 WHERE p.std > 0"""
+
+
+def shard_documents(sf_dir: str, out_dir: str | None = None):
+    """Resumable-output sharding: assign every document a deterministic
+    shard (the first hex digit of md5(doc_id) — the same SQL-mirrorable
+    hash family the sampling operators use), write ONE PARQUET
+    DIRECTORY PER SHARD (hive ``partition_cols`` layout, so a failed
+    run can skip finished shards and downstream readers can prune),
+    read the written corpus BACK, and account (shard, n_docs,
+    total_tokens) over the round-tripped rows.  The SQL oracle computes
+    the same accounting over the source table directly — a hash match
+    certifies the write -> read cycle lost nothing.
+
+    Output rows are shard-domain-sized; the write streams block-by-
+    block (never materializes), and the read-back prunes to the two
+    columns the accounting needs.
+    """
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.sampling import _hex8
+    from ..stages.text import WORD_RE
+
+    cleanup = out_dir is None
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="yjsv_shards_")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        hx = _hex8(t.column("doc_id").to_pylist())
+        return t.append_column("shard",
+                               pa.array([h[0] for h in hx], pa.string()))
+
+    try:
+        docs.map_batches(assign, batch_format="pyarrow").write_parquet(
+            out_dir, partition_cols=["shard"])
+
+        back = ray.data.read_parquet(out_dir, columns=["text", "shard"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "shard": pc.cast(t.column("shard"), pa.string()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t.column("text"), WORD_RE),
+                    pa.int64()),
+            })
+
+        out = grouped_aggregate(
+            back.map_batches(partial, batch_format="pyarrow"),
+            ["shard"],
+            [("", "count", "n_docs"),
+             ("n_tokens", "sum", "total_tokens")]).to_pandas()
+    finally:
+        if cleanup:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+def shard_documents_sql() -> str:
+    return r"""
+SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT)
+         AS total_tokens
+FROM documents GROUP BY 1"""
