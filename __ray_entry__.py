@@ -252,6 +252,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IEEE-mirrored bucket arithmetic, bucket-domain exchange
         return R.events_value_histogram(sf_dir)
 
+    def q_dup_ngram_fraction(sf_dir):
+        # cross-document duplicate 5-gram accounting (RefinedWeb);
+        # gram-keyed distributed attach, nothing gram-shaped on driver
+        return T.dup_ngram_fraction(docs(sf_dir))
+
     def q_shard_documents(sf_dir):
         # resumable-output layout: hash-shard -> hive-partitioned
         # parquet write -> read-back accounting (oracle certifies the
@@ -560,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_per_group": q_docs_top_per_group,
         "events_value_histogram": q_events_value_histogram,
         "shard_documents": q_shard_documents,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -803,6 +809,12 @@ def _shard_documents_sql() -> str:
     return shard_documents_sql()
 
 
+def _dup_ngram_fraction_sql() -> str:
+    from yj_schema_validator_ray.stages.text import dup_ngram_fraction_sql
+
+    return dup_ngram_fraction_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -946,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_top_per_group": _docs_top_per_group_sql(),
         "events_value_histogram": _events_value_histogram_sql(),
         "shard_documents": _shard_documents_sql(),
+        "dup_ngram_fraction": _dup_ngram_fraction_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -808,3 +808,88 @@ def lang_confusion_sql() -> str:
 SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents d JOIN ({lang_id_sql()}) p ON p.doc_id = d.doc_id
 GROUP BY d.lang, p.lang_pred"""
+
+
+def dup_ngram_fraction(docs_ds, n: int = 5):
+    """RefinedWeb-style duplicate n-gram accounting ACROSS documents:
+    per doc, how many word-``n``-gram positions carry a gram that also
+    appears in ANOTHER document (``repetition_stats`` covers the
+    within-doc signals; this is the cross-document one used to flag
+    boilerplate and templated spam).  Output (doc_id, n_grams,
+    n_dup_grams) — integers, fully SQL-oracled; the ratio stays
+    downstream.
+
+    Unlike :func:`tfidf_top_terms` (vocab-sized broadcast), the shared-
+    gram attach here is FULLY DISTRIBUTED — the gram vocabulary grows
+    with the corpus, so nothing gram-shaped ever lands on the driver:
+    per-batch (gram, doc_id, c) pre-aggregation -> exchange 1 keyed on
+    gram (within each group the distinct-doc count marks rows shared)
+    -> exchange 2 keyed on doc_id summing (c, shared*c).  Docs with
+    fewer than ``n`` tokens emit no grams and are absent from the
+    result, exactly like the SQL.
+    """
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate, hash_columns
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        ids = batch["doc_id"].to_numpy()
+        g_doc, g_str = [], []
+        for did, ts in zip(ids, toks):
+            if len(ts) < n:
+                continue
+            g_doc.extend([did] * (len(ts) - n + 1))
+            g_str.extend(" ".join(ts[i:i + n])
+                         for i in range(len(ts) - n + 1))
+        if not g_str:
+            return pd.DataFrame({"g": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64"),
+                                 "__coarse": pd.Series(dtype="int64")})
+        df = (pd.DataFrame({"g": g_str, "doc_id": g_doc})
+              .groupby(["g", "doc_id"], sort=False).size()
+              .rename("c").reset_index())
+        df["doc_id"] = df["doc_id"].astype("int64")
+        df["c"] = df["c"].astype("int64")
+        kh = hash_columns(pa.table({"g": pa.array(df["g"], pa.string())}))
+        df["__coarse"] = (kh & np.uint64(1023)).astype("int64")
+        return df
+
+    def mark_shared(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("g", sort=False)["doc_id"].transform("size")
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_grams": g["c"],
+            "n_dup_grams": g["c"].where(nd > 1, 0).astype("int64"),
+        })
+        return out
+
+    marked = (docs_ds.map_batches(gram_rows, batch_format="pandas")
+              .groupby("__coarse", num_partitions=shuffle_partitions())
+              .map_groups(mark_shared, batch_format="pandas"))
+    return grouped_aggregate(
+        marked, ["doc_id"],
+        [("n_grams", "sum", "n_grams"),
+         ("n_dup_grams", "sum", "n_dup_grams")])
+
+
+def dup_ngram_fraction_sql(n: int = 5) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_aggregate(list_slice(ws, i, i + {n - 1}), 'string_agg', ' ')
+           AS g
+  FROM toks, unnest(range(1, len(ws) - {n - 2})) AS t(i)
+),
+gd AS (SELECT g, doc_id, count(*) AS c FROM grams GROUP BY g, doc_id),
+nd AS (SELECT g, count(*) AS nd FROM gd GROUP BY g)
+SELECT gd.doc_id,
+       CAST(sum(gd.c) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN nd.nd > 1 THEN gd.c ELSE 0 END) AS BIGINT)
+         AS n_dup_grams
+FROM gd JOIN nd USING (g)
+GROUP BY gd.doc_id"""
