@@ -234,6 +234,14 @@ def run_bench() -> dict:
     from yj_schema_validator_ray.pipelines.curation import shard_documents
 
     best_of("shard_documents", lambda: len(shard_documents(SF_DIR)))
+    best_of("events_distinct_users",
+            lambda: R.events_distinct_users(SF_DIR).count())
+    best_of("docs_top_per_group",
+            lambda: R.docs_top_per_group(SF_DIR).count())
+    best_of("events_value_histogram",
+            lambda: R.events_value_histogram(SF_DIR).count())
+    best_of("dup_ngram_fraction",
+            lambda: T.dup_ngram_fraction(docs_ds()).count())
 
     import ray.data
 
