@@ -126,3 +126,25 @@ def test_collect_small_arrow_handles_empty_blocks(ray_session):
     # repartition far beyond the row count -> schema-less empty blocks
     t = collect_small_arrow(ds.repartition(16))
     assert sorted(t.column("x").to_pylist()) == [1, 2]
+
+
+def test_dup_ngram_fraction_cross_doc(ray_session):
+    from yj_schema_validator_ray.stages.text import dup_ngram_fraction
+
+    # docs 0/1 share the 3-gram "a b c"; doc 2 is too short (2 tokens);
+    # doc 3 has no shared grams; doc 0 repeats its shared gram twice
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c x a b c",   # grams: abc,bcx,cxa,xab,abc -> 2 dup pos
+            "z a b c q",       # abc shared -> 1 dup pos of 3
+            "too short",
+            "u v w x y",
+        ]),
+    })
+    for parts in (1, 4):
+        got = (dup_ngram_fraction(_ds(docs, parts), n=3).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got["doc_id"].tolist() == [0, 1, 3]  # doc 2 absent
+        assert got["n_grams"].tolist() == [5, 3, 3]
+        assert got["n_dup_grams"].tolist() == [2, 1, 0], parts
