@@ -252,6 +252,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IEEE-mirrored bucket arithmetic, bucket-domain exchange
         return R.events_value_histogram(sf_dir)
 
+    def q_events_value_quartiles(sf_dir):
+        # NTILE-by-value quartile labels from exact per-group quantile
+        # thresholds (broadcast domain-sized matrix, stateless scan)
+        return R.events_value_quartiles(sf_dir)
+
     def q_dup_ngram_fraction(sf_dir):
         # cross-document duplicate 5-gram accounting (RefinedWeb);
         # gram-keyed distributed attach, nothing gram-shaped on driver
@@ -566,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": q_events_value_histogram,
         "shard_documents": q_shard_documents,
         "dup_ngram_fraction": q_dup_ngram_fraction,
+        "events_value_quartiles": q_events_value_quartiles,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -815,6 +821,13 @@ def _dup_ngram_fraction_sql() -> str:
     return dup_ngram_fraction_sql()
 
 
+def _events_value_quartiles_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_value_quartiles_sql)
+
+    return events_value_quartiles_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -959,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": _events_value_histogram_sql(),
         "shard_documents": _shard_documents_sql(),
         "dup_ngram_fraction": _dup_ngram_fraction_sql(),
+        "events_value_quartiles": _events_value_quartiles_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -148,3 +148,21 @@ def test_dup_ngram_fraction_cross_doc(ray_session):
         assert got["doc_id"].tolist() == [0, 1, 3]  # doc 2 absent
         assert got["n_grams"].tolist() == [5, 3, 3]
         assert got["n_dup_grams"].tolist() == [2, 1, 0], parts
+
+
+def test_tfidf_distributed_matches_broadcast(ray_session):
+    from yj_schema_validator_ray.stages.text import (
+        tfidf_top_terms, tfidf_top_terms_distributed)
+
+    rng = np.random.RandomState(11)
+    vocab = np.array([f"w{i}" for i in range(60)])
+    texts = [" ".join(vocab[rng.randint(0, 60, size=rng.randint(5, 40))])
+             for _ in range(300)]
+    docs = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                     "text": pa.array(texts)})
+    a = (tfidf_top_terms(_ds(docs, 8)).to_pandas()
+         .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+    b = (tfidf_top_terms_distributed(_ds(docs, 8)).to_pandas()
+         .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[["doc_id", "term", "tf", "df", "rnk"]],
+                                  b[["doc_id", "term", "tf", "df", "rnk"]])

@@ -1690,3 +1690,76 @@ b AS (
 )
 SELECT bucket, CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY bucket"""
+
+
+def events_value_quartiles(sf_dir: str):
+    """Quantile-bucket assignment (NTILE-by-value): label every event
+    with its within-type quartile bucket — the feature-binning /
+    winsorization-prep step.  Thresholds are the EXACT ceil(q*n)-th
+    smallest values from :func:`~..stages.quantiles.grouped_exact_quantiles`
+    (group-domain-sized -> broadcast), and the bucket is a sum of
+    strict ``value > threshold`` comparisons of doubles both engines
+    read from the same parquet — deterministic, hash-exact.
+
+    One quantile pass + one stateless vectorized assignment scan; the
+    only exchange is the quantile histogram's partial exchange.
+    """
+    import ray
+    import ray.data
+
+    from ..stages.quantiles import grouped_exact_quantiles
+    from ..util import process_cached, ref_key
+
+    qs = (0.25, 0.5, 0.75)
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+    thr = grouped_exact_quantiles(ev, "event_type", "value",
+                                  qs=qs).to_pandas()
+    piv = thr.pivot_table(index="event_type", columns="quantile",
+                          values="value", aggfunc="max")
+    types = list(piv.index)
+    mat = piv[[0.25, 0.5, 0.75]].to_numpy(dtype=np.float64)
+    ref = ray.put((types, mat))
+
+    class AssignBucket:
+        def __init__(self, r):
+            ts, m = ray.get(r)
+            self.value_set = pa.array(ts, pa.string())
+            self.mat = m
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t.column("event_type"),
+                              value_set=self.value_set)
+            ix = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t.column("value").to_numpy().astype(np.float64)
+            th = self.mat[ix]
+            bucket = (v[:, None] > th).sum(axis=1).astype(np.int64)
+            return pa.table({
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "event_type": t.column("event_type"),
+                "bucket": pa.array(bucket),
+            })
+
+    return ev.map_batches(process_cached(AssignBucket, ref_key(ref), ref),
+                          batch_format="pyarrow")
+
+
+def events_value_quartiles_sql() -> str:
+    from ..stages.quantiles import grouped_exact_quantiles_sql
+
+    inner = grouped_exact_quantiles_sql("events", "event_type", "value",
+                                        qs=(0.25, 0.5, 0.75))
+    return f"""
+WITH p AS (
+  SELECT event_type,
+         max(CASE WHEN quantile = 0.25 THEN value END) AS q1,
+         max(CASE WHEN quantile = 0.5  THEN value END) AS q2,
+         max(CASE WHEN quantile = 0.75 THEN value END) AS q3
+  FROM ({inner}) x GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST((CASE WHEN e.value > p.q1 THEN 1 ELSE 0 END
+           + CASE WHEN e.value > p.q2 THEN 1 ELSE 0 END
+           + CASE WHEN e.value > p.q3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bucket
+FROM events e JOIN p ON p.event_type = e.event_type"""

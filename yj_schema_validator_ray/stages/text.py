@@ -702,8 +702,9 @@ def tfidf_top_terms(docs_ds, k: int = 3, max_vocab: int = 20_000_000):
     if df_tbl.num_rows > max_vocab:
         raise ValueError(
             f"tfidf_top_terms: vocabulary {df_tbl.num_rows} exceeds the "
-            f"broadcast bound max_vocab={max_vocab}; attach df via a "
-            "term-keyed exchange for corpora with larger vocabularies")
+            f"broadcast bound max_vocab={max_vocab}; use "
+            "tfidf_top_terms_distributed (term-keyed exchange, no "
+            "broadcast — pinned row-identical in tests)")
     terms = df_tbl.column("term").to_numpy(zero_copy_only=False)
     dfs = df_tbl.column("df").to_numpy()
     order = np.argsort(terms)
@@ -893,3 +894,62 @@ SELECT gd.doc_id,
          AS n_dup_grams
 FROM gd JOIN nd USING (g)
 GROUP BY gd.doc_id"""
+
+
+def tfidf_top_terms_distributed(docs_ds, k: int = 3):
+    """:func:`tfidf_top_terms` without the vocabulary-sized broadcast —
+    the path to take past its ``max_vocab`` bound.  Same output, same
+    ordering, pinned row-identical in tests.
+
+    Two exchanges, nothing vocabulary-shaped on the driver: exchange 1
+    keyed on term attaches df — each doc lives in exactly one batch, so
+    the per-batch (term, doc_id, tf) rows are globally unique and the
+    per-term row count IS the document frequency; exchange 2 keyed on
+    doc_id re-unites each document's terms for the local top-k.
+    """
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate, hash_columns
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "__coarse": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_rep = np.repeat(batch["doc_id"].to_numpy(), lens)
+        g = (pd.DataFrame({"term": flat, "doc_id": doc_rep})
+             .groupby(["term", "doc_id"], sort=False).size()
+             .rename("tf").reset_index())
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["tf"] = g["tf"].astype("int64")
+        kh = hash_columns(pa.table({"term": pa.array(g["term"],
+                                                     pa.string())}))
+        g["__coarse"] = (kh & np.uint64(1023)).astype("int64")
+        return g
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # each doc lives in exactly one batch, so (term, doc_id) rows
+        # are unique here and rows-per-term IS the document frequency
+        df_count = g.groupby("term", sort=False)["doc_id"].transform("size")
+        return pd.DataFrame({"doc_id": g["doc_id"], "term": g["term"],
+                             "tf": g["tf"],
+                             "df": df_count.astype("int64")})
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tf", "df", "term"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        out = g.groupby("doc_id", sort=False).head(k).copy()
+        out["rnk"] = (out.groupby("doc_id", sort=False).cumcount() + 1
+                      ).astype("int64")
+        return out[["doc_id", "term", "tf", "df", "rnk"]]
+
+    nsp = shuffle_partitions()
+    return (docs_ds.map_batches(tf_rows, batch_format="pandas")
+            .groupby("__coarse", num_partitions=nsp)
+            .map_groups(attach_df, batch_format="pandas")
+            .groupby("doc_id", num_partitions=nsp)
+            .map_groups(doc_topk, batch_format="pandas"))
