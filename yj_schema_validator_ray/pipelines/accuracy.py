@@ -479,3 +479,39 @@ SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT)
          AS n_exact_dup_pairs,
        TRUE AS all_exact_dups_found
 FROM g"""
+
+
+def hll_grouped_accuracy(sf_dir: str, p: int = 12,
+                         rel_bound: float = 0.05):
+    """(event_type, exact_distinct, within_bound): the exact per-group
+    distinct-user count (hash-checked vs COUNT(DISTINCT) SQL) plus a
+    check that the grouped HLL sketch
+    (:func:`~.constraints.grouped_distinct_sketch`, the
+    unbounded-domain path) estimates each group within ``rel_bound``
+    relative error (p=12 -> sigma ~1.6%, 5% is ~3 sigma)."""
+    import ray.data
+
+    from ..pipelines.constraints import grouped_distinct_sketch
+    from ..pipelines.relational import events_distinct_users
+
+    exact = events_distinct_users(sf_dir).to_pandas()
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    est = grouped_distinct_sketch(ev, "event_type", "user_id",
+                                  p=p).to_pandas()
+    out = exact.merge(est, on="event_type")
+    rel = (out["distinct_estimate"] - out["n_users"]).abs() \
+        / out["n_users"].clip(lower=1)
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "exact_distinct": out["n_users"].astype("int64"),
+        "within_bound": (rel <= rel_bound).astype(bool),
+    })
+
+
+def hll_grouped_accuracy_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_bound
+FROM events GROUP BY event_type"""

@@ -449,3 +449,53 @@ def repo_stats_salted(corpus_ds, salt_buckets: int = 16):
     return (salted.groupby("repo", num_partitions=shuffle_partitions())
             .aggregate(Sum("total_chars", alias_name="total_chars"),
                        Sum("n_rows", alias_name="n_rows")))
+
+
+def grouped_distinct_sketch(ds, group_col: str, value_col: str, p: int = 12):
+    """Per-GROUP HLL distinct estimates — the sketch path for
+    COUNT(DISTINCT) over unbounded value domains.  The exact two-phase
+    plan (:func:`~.relational.events_distinct_users`) moves one row per
+    distinct (group, value) pair; at billions of distinct values per
+    group this moves one 2^p-byte register blob per (group, batch)
+    instead, merged by element-wise max — the classic mergeable-sketch
+    exchange.
+
+    Per-batch per-group registers -> one group-keyed exchange ->
+    vectorized register max per group -> estimate.  Output
+    (group, distinct_estimate) is group-domain-sized.
+    """
+    import pandas as pd
+
+    from ..util import shuffle_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_pandas()
+        hs = _hash64(batch.column(value_col))
+        codes, uniques = pd.factorize(g)
+        names, blobs = [], []
+        for i, name in enumerate(uniques):
+            sk = HLLSketch(p)
+            sk.add_hashed(hs[codes == i])
+            names.append(name)
+            blobs.append(sk.registers.tobytes())
+        return pa.table({group_col: pa.array(names, pa.string()),
+                         "registers": pa.array(blobs, pa.binary())})
+
+    def merge(gdf: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_est = [], []
+        for name, part in gdf.groupby(group_col, sort=False):
+            sk = HLLSketch(p)
+            for blob in part["registers"]:
+                np.maximum(sk.registers,
+                           np.frombuffer(blob, dtype=np.uint8),
+                           out=sk.registers)
+            out_g.append(name)
+            out_est.append(round(sk.estimate()))
+        return pd.DataFrame({
+            group_col: out_g,
+            "distinct_estimate": pd.Series(out_est, dtype="int64")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col,
+                     num_partitions=min(8, shuffle_partitions()))
+            .map_groups(merge, batch_format="pandas"))
