@@ -252,6 +252,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IEEE-mirrored bucket arithmetic, bucket-domain exchange
         return R.events_value_histogram(sf_dir)
 
+    def q_token_counts_bpe(sf_dir):
+        # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
+        return T.token_counts_bpe(docs(sf_dir))
+
     def q_events_value_quartiles(sf_dir):
         # NTILE-by-value quartile labels from exact per-group quantile
         # thresholds (broadcast domain-sized matrix, stateless scan)
@@ -578,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_documents": q_shard_documents,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "events_value_quartiles": q_events_value_quartiles,
+        "token_counts_bpe": q_token_counts_bpe,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -834,6 +839,12 @@ def _events_value_quartiles_sql() -> str:
     return events_value_quartiles_sql()
 
 
+def _token_counts_bpe_sql() -> str:
+    from yj_schema_validator_ray.stages.text import token_counts_bpe_sql
+
+    return token_counts_bpe_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -986,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_documents": _shard_documents_sql(),
         "dup_ngram_fraction": _dup_ngram_fraction_sql(),
         "events_value_quartiles": _events_value_quartiles_sql(),
+        "token_counts_bpe": _token_counts_bpe_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

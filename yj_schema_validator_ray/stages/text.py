@@ -953,3 +953,40 @@ def tfidf_top_terms_distributed(docs_ds, k: int = 3):
             .map_groups(attach_df, batch_format="pandas")
             .groupby("doc_id", num_partitions=nsp)
             .map_groups(doc_topk, batch_format="pandas"))
+
+
+#: GPT-2-style pre-tokenizer split, restricted to RE2 (no lookahead —
+#: the original's trailing-space lookahead branch is dropped), so the
+#: Arrow kernel and the DuckDB oracle count identically
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_counts_bpe(docs_ds):
+    """(doc_id, n_bpe_pretokens, n_word_tokens): GPT-2-style
+    pre-tokenizer segment count (contractions split, leading-space
+    fusion, digit/punct runs — the count a BPE tokenizer's merge stage
+    starts from, and the standard cheap proxy for 'model tokens' in
+    curation budgets) alongside the plain \\w+ count.  One vectorized
+    RE2 pass per column, zero shuffle."""
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_pretokens": pc.cast(
+                pc.count_substring_regex(text, BPE_RE), pa.int64()),
+            "n_word_tokens": pc.cast(
+                pc.count_substring_regex(text, WORD_RE), pa.int64()),
+        })
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def token_counts_bpe_sql() -> str:
+    pat = BPE_RE.replace("'", "''")  # SQL string-literal quote escape
+    return rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+         AS n_bpe_pretokens,
+       CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
+         AS n_word_tokens
+FROM documents"""
