@@ -252,6 +252,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IEEE-mirrored bucket arithmetic, bucket-domain exchange
         return R.events_value_histogram(sf_dir)
 
+    def q_events_dau(sf_dir):
+        # daily active users: calendar two-phase exact COUNT(DISTINCT)
+        return R.events_dau(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -583,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "events_value_quartiles": q_events_value_quartiles,
         "token_counts_bpe": q_token_counts_bpe,
+        "events_dau": q_events_dau,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -845,6 +850,12 @@ def _token_counts_bpe_sql() -> str:
     return token_counts_bpe_sql()
 
 
+def _events_dau_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import events_dau_sql
+
+    return events_dau_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -998,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": _dup_ngram_fraction_sql(),
         "events_value_quartiles": _events_value_quartiles_sql(),
         "token_counts_bpe": _token_counts_bpe_sql(),
+        "events_dau": _events_dau_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

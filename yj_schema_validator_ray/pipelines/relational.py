@@ -1763,3 +1763,51 @@ SELECT e.event_id, e.event_type,
            + CASE WHEN e.value > p.q3 THEN 1 ELSE 0 END) AS BIGINT)
          AS bucket
 FROM events e JOIN p ON p.event_type = e.event_type"""
+
+
+def events_dau(sf_dir: str):
+    """Daily active users: per calendar day, distinct users + event
+    count — the canonical time-series health metric, and the calendar
+    variant of :func:`events_distinct_users` (same two-phase exact
+    COUNT(DISTINCT) shape: a (day, user) pair-dedupe exchange whose
+    rows are bounded by days x users, then a day-domain reduce).  Day
+    truncation is ``pc.floor_temporal`` + ``strftime`` mirrored by
+    DuckDB ``date_trunc``/``strftime`` — both emit the same
+    'YYYY-MM-DD' strings, so the hash compare is exact.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t.column("ts"), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"day": day, "user_id": t.column("user_id")})
+
+    pairs = grouped_aggregate(
+        ds.map_batches(day_rows, batch_format="pyarrow"),
+        ["day", "user_id"], [("", "count", "n_events")])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "day": t.column("day"),
+            "n_users": pa.array(np.ones(n, np.int64)),
+            "n_events": pc.cast(t.column("n_events"), pa.int64()),
+        })
+
+    return grouped_aggregate(
+        pairs.map_batches(pair_partial, batch_format="pyarrow"),
+        ["day"],
+        [("n_users", "sum", "n_users"), ("n_events", "sum", "n_events")])
+
+
+def events_dau_sql() -> str:
+    return """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY day"""
