@@ -166,3 +166,21 @@ def test_tfidf_distributed_matches_broadcast(ray_session):
          .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a[["doc_id", "term", "tf", "df", "rnk"]],
                                   b[["doc_id", "term", "tf", "df", "rnk"]])
+
+
+def test_mega_bucket_star_edges_keep_members_connected(ray_session):
+    # 250 identical docs: one LSH bucket larger than the 200-pair cap.
+    # Before the star-edge fix, members 200..249 silently got NO
+    # candidate pairs; now every member must appear in some pair.
+    from yj_schema_validator_ray.stages.dedup import (minhash_lsh_pairs,
+                                                      simhash_pairs)
+
+    n = 250
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["the same exact document text here"] * n),
+    })
+    for fn in (minhash_lsh_pairs, simhash_pairs):
+        pairs = fn(_ds(docs, 2)).to_pandas()
+        covered = set(pairs["a"]) | set(pairs["b"])
+        assert covered == set(range(n)), fn.__name__

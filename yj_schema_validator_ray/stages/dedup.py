@@ -289,10 +289,20 @@ def minhash_lsh_pairs(docs_ds, num_perm: int = 64, bands: int = 16,
             n = e - s
             if n < 2:
                 continue
-            run = ids[s:e][:200]  # cap pathological mega-buckets
-            iu, ju = np.triu_indices(len(run), k=1)
-            out_a.append(run[iu])
-            out_b.append(run[ju])
+            run = ids[s:e]
+            head = run[:200]  # quadratic emission only up to the cap
+            iu, ju = np.triu_indices(len(head), k=1)
+            out_a.append(head[iu])
+            out_b.append(head[ju])
+            if n > 200:
+                # mega-bucket tail: STAR edges to the bucket head instead
+                # of a silent drop — every member stays a candidate (the
+                # Jaccard verify confirms or rejects each edge, and
+                # connected-components clustering stays whole) at linear
+                # instead of quadratic pair count
+                tail = run[200:]
+                out_a.append(np.full(len(tail), run[0], dtype=ids.dtype))
+                out_b.append(tail)
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
@@ -671,20 +681,33 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [len(ids)]))
         out_a, out_b, out_h = [], [], []
+        def _ham(x: np.ndarray) -> np.ndarray:
+            # vectorized popcount via unpackbits on the 8 bytes
+            return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                                 axis=1).sum(axis=1)
+
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
             run_ids = ids[s:e][:200]
             run_hs = hs[s:e][:200]
             iu, ju = np.triu_indices(len(run_ids), k=1)
-            x = run_hs[iu] ^ run_hs[ju]
-            # vectorized popcount via unpackbits on the 8 bytes
-            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
-                                axis=1).sum(axis=1)
+            ham = _ham(run_hs[iu] ^ run_hs[ju])
             keep = ham <= max_hamming
             out_a.append(run_ids[iu][keep])
             out_b.append(run_ids[ju][keep])
             out_h.append(ham[keep].astype(np.int64))
+            if e - s > 200:
+                # mega-bucket tail: star edges to the bucket head (full
+                # Hamming verify per edge) instead of a silent drop —
+                # linear emission keeps every member a candidate
+                tail_ids = ids[s:e][200:]
+                ham_t = _ham(hs[s:e][200:] ^ hs[s])
+                keep_t = ham_t <= max_hamming
+                out_a.append(np.full(int(keep_t.sum()), ids[s],
+                                     dtype=ids.dtype))
+                out_b.append(tail_ids[keep_t])
+                out_h.append(ham_t[keep_t].astype(np.int64))
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64"),
