@@ -256,6 +256,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # daily active users: calendar two-phase exact COUNT(DISTINCT)
         return R.events_dau(sf_dir)
 
+    def q_events_props_stats(sf_dir):
+        # semi-structured extraction: JSON props parsed per event,
+        # measure aggregated per type (bad payloads counted, not fatal)
+        return R.events_props_stats(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -588,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quartiles": q_events_value_quartiles,
         "token_counts_bpe": q_token_counts_bpe,
         "events_dau": q_events_dau,
+        "events_props_stats": q_events_props_stats,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -856,6 +862,13 @@ def _events_dau_sql() -> str:
     return events_dau_sql()
 
 
+def _events_props_stats_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_props_stats_sql)
+
+    return events_props_stats_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1010,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quartiles": _events_value_quartiles_sql(),
         "token_counts_bpe": _token_counts_bpe_sql(),
         "events_dau": _events_dau_sql(),
+        "events_props_stats": _events_props_stats_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -1811,3 +1811,72 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY day"""
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` payload per
+    event and aggregate the extracted measure per event type — the
+    "pull a field out of the raw JSON column" step every event pipeline
+    runs before typed analytics (and the engine's bread and butter:
+    the validator already parses exactly these payloads).
+
+    Per-batch: real ``json.loads`` per event (the payloads are small;
+    parse failures and missing keys count into ``n_bad`` instead of
+    poisoning the aggregate) + local pre-aggregation, then one
+    group-domain exchange.
+    """
+    import json
+
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        types = t.column("event_type").to_pylist()
+        ks = np.empty(t.num_rows, dtype=np.int64)
+        bad = np.zeros(t.num_rows, dtype=np.int64)
+        for i, p in enumerate(t.column("props").to_pylist()):
+            try:
+                v = json.loads(p)["k"]
+                ks[i] = int(v)
+            except (TypeError, ValueError, KeyError):
+                ks[i] = 0
+                bad[i] = 1
+        g = (pd.DataFrame({"event_type": types, "sum_k": ks,
+                           "min_k": np.where(bad, np.iinfo(np.int64).max,
+                                             ks),
+                           "max_k": np.where(bad, np.iinfo(np.int64).min,
+                                             ks),
+                           "n_bad": bad, "n": 1})
+             .groupby("event_type", sort=False)
+             .agg(sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+                  max_k=("max_k", "max"), n_bad=("n_bad", "sum"),
+                  n=("n", "sum")).reset_index())
+        for c in ("sum_k", "min_k", "max_k", "n_bad", "n"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("n", "sum", "n"), ("sum_k", "sum", "sum_k"),
+         ("min_k", "min", "min_k"), ("max_k", "max", "max_k"),
+         ("n_bad", "sum", "n_bad")])
+
+
+def events_props_stats_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+FROM events GROUP BY event_type"""
