@@ -261,6 +261,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # measure aggregated per type (bad payloads counted, not fatal)
         return R.events_props_stats(sf_dir)
 
+    def q_events_window_streaming(sf_dir):
+        # STATEFUL-ACTOR streaming window (watermark buckets fed in ts
+        # order, incremental finalization) — same result as the batch
+        # tumbling window, so it shares that exact SQL oracle
+        from yj_schema_validator_ray.stages.streaming import (
+            streaming_tumbling_window)
+
+        return streaming_tumbling_window(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -594,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": q_token_counts_bpe,
         "events_dau": q_events_dau,
         "events_props_stats": q_events_props_stats,
+        "events_window_streaming": q_events_window_streaming,
         # (c) the rest of the oracled surface
         "verdicts": q_verdicts,
         "violations": q_violations,
@@ -1024,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_bpe": _token_counts_bpe_sql(),
         "events_dau": _events_dau_sql(),
         "events_props_stats": _events_props_stats_sql(),
+        "events_window_streaming": R.events_tumbling_window_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),
