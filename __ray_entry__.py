@@ -270,6 +270,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return streaming_tumbling_window(sf_dir)
 
+    def q_docs_union_evolved(sf_dir):
+        # schema-evolution union (UNION ALL BY NAME): diverged crawl
+        # schemas aligned with typed nulls, per-column coverage counts
+        from yj_schema_validator_ray.pipelines.curation import (
+            docs_union_evolved)
+
+        return docs_union_evolved(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -615,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniqueness": q_uniqueness,
         "ref_integrity": q_ref_integrity,
         "column_stats": q_column_stats,
+        "docs_union_evolved": q_docs_union_evolved,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -883,6 +892,13 @@ def _events_props_stats_sql() -> str:
     return events_props_stats_sql()
 
 
+def _docs_union_evolved_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        docs_union_evolved_sql)
+
+    return docs_union_evolved_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1039,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dau": _events_dau_sql(),
         "events_props_stats": _events_props_stats_sql(),
         "events_window_streaming": R.events_tumbling_window_sql(),
+        "docs_union_evolved": _docs_union_evolved_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -554,3 +554,62 @@ SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
        CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT)
          AS total_tokens
 FROM documents GROUP BY 1"""
+
+
+def docs_union_evolved(sf_dir: str):
+    """Schema-evolution accounting: union two crawls whose schemas
+    DIVERGED (crawl A carries ``lang``, crawl B dropped it and added
+    ``n_chars``) via :func:`~..util.union_by_name`, then count rows and
+    per-column non-null coverage — the first sanity report run after
+    ingesting a corpus whose schema drifted between dumps.  One
+    normalize-union scan + per-batch count partials, single tiny
+    reduce."""
+    import ray.data
+
+    from ..util import union_by_name
+
+    a = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"])
+    b = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "n_chars"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        ids = pc.add(pc.cast(t.column("doc_id"), pa.int64()),
+                     pa.scalar(1_000_000, pa.int64()))
+        return t.set_column(t.schema.get_field_index("doc_id"),
+                            "doc_id", ids)
+
+    u = union_by_name([a, b.map_batches(shift, batch_format="pyarrow")])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "n_lang": pa.array([t.num_rows - t.column("lang").null_count],
+                               pa.int64()),
+            "n_n_chars": pa.array(
+                [t.num_rows - t.column("n_chars").null_count], pa.int64()),
+        })
+
+    out = u.map_batches(counts, batch_format="pyarrow").to_pandas().sum()
+    import pandas as pd
+
+    return pd.DataFrame({
+        "n_rows": pd.Series([int(out["n_rows"])], dtype="int64"),
+        "n_lang": pd.Series([int(out["n_lang"])], dtype="int64"),
+        "n_n_chars": pd.Series([int(out["n_n_chars"])], dtype="int64"),
+    })
+
+
+def docs_union_evolved_sql() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(lang) AS BIGINT) AS n_lang,
+       CAST(count(n_chars) AS BIGINT) AS n_n_chars
+FROM u"""

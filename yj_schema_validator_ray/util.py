@@ -32,6 +32,44 @@ def collect_small_arrow(ds):
     return pa.concat_tables(tables)
 
 
+def union_by_name(datasets):
+    """Schema-evolution union: align Datasets with DIFFERING schemas by
+    column NAME (SQL ``UNION ALL BY NAME``), filling absent columns
+    with typed nulls — Ray's ``Dataset.union`` requires identical
+    schemas, which real multi-crawl corpora rarely have.  Column order
+    is first-seen; a column appearing with conflicting Arrow types
+    raises (silent coercion would corrupt data)."""
+    import pyarrow as pa
+
+    schemas = [ds.schema() for ds in datasets]
+    names: list[str] = []
+    types: dict[str, pa.DataType] = {}
+    for sch in schemas:
+        for name, typ in zip(sch.names, sch.types):
+            if name in types:
+                if types[name] != typ:
+                    raise ValueError(
+                        f"union_by_name: column {name!r} has conflicting "
+                        f"types {types[name]} vs {typ}")
+            else:
+                names.append(name)
+                types[name] = typ
+
+    def normalize(t: pa.Table) -> pa.Table:
+        cols = []
+        for name in names:
+            if name in t.column_names:
+                cols.append(t.column(name))
+            else:
+                cols.append(pa.nulls(t.num_rows, types[name]))
+        return pa.table(dict(zip(names, cols)))
+
+    out = datasets[0].map_batches(normalize, batch_format="pyarrow")
+    for ds in datasets[1:]:
+        out = out.union(ds.map_batches(normalize, batch_format="pyarrow"))
+    return out
+
+
 _PROCESS_INSTANCES: dict = {}
 
 
