@@ -278,6 +278,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs_union_evolved(sf_dir)
 
+    def q_docs_jsonl_roundtrip(sf_dir):
+        # JSONL sink -> JSON source round trip; oracle certifies the
+        # encode/decode cycle preserved every row and field
+        from yj_schema_validator_ray.pipelines.curation import (
+            docs_jsonl_roundtrip)
+
+        return docs_jsonl_roundtrip(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -624,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ref_integrity": q_ref_integrity,
         "column_stats": q_column_stats,
         "docs_union_evolved": q_docs_union_evolved,
+        "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -899,6 +908,13 @@ def _docs_union_evolved_sql() -> str:
     return docs_union_evolved_sql()
 
 
+def _docs_jsonl_roundtrip_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        docs_jsonl_roundtrip_sql)
+
+    return docs_jsonl_roundtrip_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1056,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": _events_props_stats_sql(),
         "events_window_streaming": R.events_tumbling_window_sql(),
         "docs_union_evolved": _docs_union_evolved_sql(),
+        "docs_jsonl_roundtrip": _docs_jsonl_roundtrip_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -613,3 +613,53 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(lang) AS BIGINT) AS n_lang,
        CAST(count(n_chars) AS BIGINT) AS n_n_chars
 FROM u"""
+
+
+def docs_jsonl_roundtrip(sf_dir: str, out_dir: str | None = None):
+    """Multi-format source/sink coverage: stream the documents table out
+    as JSONL (the interchange format most crawl dumps arrive in), read
+    it BACK with the JSON reader, and account (lang, n_docs,
+    total_chars) over the round-tripped rows — the oracle computes the
+    same numbers from the parquet source, so a hash match certifies
+    the JSONL encode -> decode cycle preserved every row and field.
+    """
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    cleanup = out_dir is None
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="yjsv_jsonl_")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+    try:
+        docs.write_json(out_dir)
+        back = ray.data.read_json(out_dir)
+
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": pc.cast(t.column("lang"), pa.string()),
+                "n_chars": pc.cast(pc.utf8_length(t.column("text")),
+                                   pa.int64()),
+            })
+
+        out = grouped_aggregate(
+            back.map_batches(partial, batch_format="pyarrow"),
+            ["lang"],
+            [("", "count", "n_docs"),
+             ("n_chars", "sum", "total_chars")]).to_pandas()
+    finally:
+        if cleanup:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+def docs_jsonl_roundtrip_sql() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang"""
