@@ -242,6 +242,8 @@ def run_bench() -> dict:
             lambda: R.events_value_histogram(SF_DIR).count())
     best_of("dup_ngram_fraction",
             lambda: T.dup_ngram_fraction(docs_ds()).count())
+    best_of("events_props_stats",
+            lambda: R.events_props_stats(SF_DIR).count())
 
     import ray.data
 
