@@ -286,6 +286,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs_jsonl_roundtrip(sf_dir)
 
+    def q_accuracy_fingerprints(sf_dir):
+        # FNV-vs-md5 partition-identity certificate for the rows-only
+        # rolling fingerprint (split and collision both flip the bit)
+        return ACC.fingerprint_consistency(_augment(docs(sf_dir),
+                                                    "doc_id"))
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -633,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_stats": q_column_stats,
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
+        "accuracy_fingerprints": q_accuracy_fingerprints,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -915,6 +922,14 @@ def _docs_jsonl_roundtrip_sql() -> str:
     return docs_jsonl_roundtrip_sql()
 
 
+def _accuracy_fingerprints_sql() -> str:
+    from yj_schema_validator_ray.oracles import _DOCS_AUG
+    from yj_schema_validator_ray.pipelines.accuracy import (
+        fingerprint_consistency_sql)
+
+    return fingerprint_consistency_sql(_DOCS_AUG)
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1073,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_streaming": R.events_tumbling_window_sql(),
         "docs_union_evolved": _docs_union_evolved_sql(),
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip_sql(),
+        "accuracy_fingerprints": _accuracy_fingerprints_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

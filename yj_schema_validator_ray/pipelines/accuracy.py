@@ -515,3 +515,81 @@ SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
        TRUE AS within_bound
 FROM events GROUP BY event_type"""
+
+
+def fingerprint_consistency(docs_aug_ds):
+    """(n_docs, n_md5_groups, fnv_consistent): consistency certificate
+    for the rows-only FNV-1a rolling fingerprint against the
+    SQL-checkable md5 fingerprint — both hash the SAME normalized text,
+    so their equality partitions of the corpus must be identical.
+    ``n_md5_groups`` is hash-checked against DuckDB; ``fnv_consistent``
+    asserts the FNV partition has the same group count AND that no md5
+    group maps to more than one FNV value (a collision, instability, or
+    vectorization bug in the byte-position walk would split or merge
+    groups and flip the bit).
+
+    Distributed: fingerprint rows -> one (md5)-keyed exchange counting
+    per-group distinct FNV values -> scalar reduce.
+    """
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.text import fingerprints
+
+    fp = fingerprints(docs_aug_ds)
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "fingerprint_md5": t.column("fingerprint_md5"),
+            "fingerprint_fnv": t.column("fingerprint_fnv"),
+        })
+
+    per_pair = grouped_aggregate(
+        fp.map_batches(pair_rows, batch_format="pyarrow"),
+        ["fingerprint_md5", "fingerprint_fnv"],
+        [("", "count", "n_docs")])
+
+    # the pair exchange hashes BOTH key columns, so an md5 group with
+    # two fnv values may span blocks — re-key each side alone before
+    # counting (all three exchanges are pair-domain-sized)
+    per_md5 = grouped_aggregate(
+        per_pair, ["fingerprint_md5"],
+        [("", "count", "n_fnv_variants"), ("n_docs", "sum", "n_docs")])
+    per_fnv = grouped_aggregate(
+        per_pair.map_batches(
+            lambda t: t.select(["fingerprint_fnv"]),
+            batch_format="pyarrow"),
+        ["fingerprint_fnv"], [("", "count", "n")])
+
+    def md5_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        multi = pc.sum(pc.cast(pc.greater(t.column("n_fnv_variants"), 1),
+                               pa.int64())).as_py() or 0
+        return pa.table({
+            "n_md5_groups": pa.array([t.num_rows], pa.int64()),
+            "n_multi_fnv": pa.array([int(multi)], pa.int64()),
+            "n_docs": pa.array(
+                [int(pc.sum(t.column("n_docs")).as_py() or 0)], pa.int64()),
+        })
+
+    m = (per_md5.map_batches(md5_partial, batch_format="pyarrow")
+         .to_pandas().sum())
+    n_fnv_groups = per_fnv.count()
+    n_md5 = int(m["n_md5_groups"])
+    # identical partitions <=> every md5 group has exactly one fnv
+    # (no split) AND distinct fnv count equals the md5 group count
+    # (no fnv collision merging two md5 groups)
+    consistent = (int(m["n_multi_fnv"]) == 0 and n_fnv_groups == n_md5)
+    return pd.DataFrame({
+        "n_docs": pd.Series([int(m["n_docs"])], dtype="int64"),
+        "n_md5_groups": pd.Series([n_md5], dtype="int64"),
+        "fnv_consistent": [bool(consistent)],
+    })
+
+
+def fingerprint_consistency_sql(docs_cte: str) -> str:
+    return f"""WITH {docs_cte}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ',
+            'g')))) AS BIGINT) AS n_md5_groups,
+       TRUE AS fnv_consistent
+FROM docs_aug"""
