@@ -292,6 +292,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ACC.fingerprint_consistency(_augment(docs(sf_dir),
                                                     "doc_id"))
 
+    def q_low_activity_customers(sf_dir):
+        # anti-join family: < k orders incl. zero-order customers
+        # (composes the outer join; an inner join would drop them)
+        return R.low_activity_customers(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -640,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "accuracy_fingerprints": q_accuracy_fingerprints,
+        "low_activity_customers": q_low_activity_customers,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -930,6 +936,13 @@ def _accuracy_fingerprints_sql() -> str:
     return fingerprint_consistency_sql(_DOCS_AUG)
 
 
+def _low_activity_customers_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        low_activity_customers_sql)
+
+    return low_activity_customers_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1089,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_union_evolved": _docs_union_evolved_sql(),
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip_sql(),
         "accuracy_fingerprints": _accuracy_fingerprints_sql(),
+        "low_activity_customers": _low_activity_customers_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

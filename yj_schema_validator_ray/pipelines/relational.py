@@ -1880,3 +1880,27 @@ SELECT event_type,
        CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
 FROM events GROUP BY event_type"""
+
+
+def low_activity_customers(sf_dir: str, k: int = 5):
+    """ANTI-join-family query: customers with FEWER than ``k`` orders —
+    the churn / low-engagement segment (zero-order customers included,
+    which is the part an inner join silently drops).  Composes the
+    LEFT OUTER join (:func:`customer_order_totals`) with a count
+    filter, so it inherits its scale shape: pre-aggregated order side,
+    one coarse-hash exchange, no broadcast of either corpus-scale
+    side."""
+    ds = customer_order_totals(sf_dir)
+    return (ds.filter(expr=f"order_count < {k}")
+            .map_batches(lambda t: t.select(
+                ["c_custkey", "c_mktsegment", "order_count"]),
+                batch_format="pyarrow"))
+
+
+def low_activity_customers_sql(k: int = 5) -> str:
+    return f"""
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(count(o.o_orderkey) AS BIGINT) AS order_count
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+HAVING count(o.o_orderkey) < {k}"""
