@@ -297,6 +297,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (composes the outer join; an inner join would drop them)
         return R.low_activity_customers(sf_dir)
 
+    def q_embedding_norm_stats(sf_dir):
+        # per-vector quantized squared-norm checksum (integer-exact;
+        # fp summation order never enters), zero-shuffle scan
+        return A.embedding_norm_stats(emb(sf_dir))
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -646,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "accuracy_fingerprints": q_accuracy_fingerprints,
         "low_activity_customers": q_low_activity_customers,
+        "embedding_norm_stats": q_embedding_norm_stats,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -943,6 +949,12 @@ def _low_activity_customers_sql() -> str:
     return low_activity_customers_sql()
 
 
+def _embedding_norm_stats_sql() -> str:
+    from yj_schema_validator_ray.stages.ann import embedding_norm_stats_sql
+
+    return embedding_norm_stats_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1103,6 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip_sql(),
         "accuracy_fingerprints": _accuracy_fingerprints_sql(),
         "low_activity_customers": _low_activity_customers_sql(),
+        "embedding_norm_stats": _embedding_norm_stats_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -435,3 +435,45 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.99):
 
     return emb_ds.map_batches(
         process_cached(PairScorer, ref_key(ref), ref), batch_format="pyarrow")
+
+
+def embedding_norm_stats(emb_ds):
+    """Per-vector embedding health stats with EXACT integer outputs:
+    dimension count plus a quantized squared-norm checksum
+    sum(floor(1e6 * x * x)) — each term is one IEEE multiply + one
+    exact floor, and the sum is integer, so fp summation ORDER never
+    enters (the same quantization trick as ``training_table``'s
+    emb_q_sum).  The all-float L2 norm itself stays downstream; this
+    is the driver-hashable audit row (zero-dim and degenerate vectors
+    surface as dim=0 / q_norm_sum=0).  Zero-shuffle scan.
+    """
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * flat * 1e6).astype(np.int64)
+        lens = pc.list_value_length(col).fill_null(0).to_numpy()
+        offs = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+        cs = np.concatenate(([0], np.cumsum(q, dtype=np.int64)))
+        sums = cs[offs[1:]] - cs[offs[:-1]]
+        return pa.table({
+            "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+            "dim": pa.array(lens.astype(np.int64)),
+            "q_norm_sum": pa.array(sums, pa.int64()),
+        })
+
+    return emb_ds.map_batches(f, batch_format="pyarrow")
+
+
+def embedding_norm_stats_sql() -> str:
+    return """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(coalesce(sum(CAST(floor(CAST(u.x AS DOUBLE)
+                                    * CAST(u.x AS DOUBLE) * 1000000)
+                              AS BIGINT)), 0) AS BIGINT) AS q_norm_sum
+FROM embeddings LEFT JOIN unnest(embedding) AS u(x) ON TRUE
+GROUP BY vec_id, len(embedding)"""
