@@ -184,3 +184,52 @@ def test_mega_bucket_star_edges_keep_members_connected(ray_session):
         pairs = fn(_ds(docs, 2)).to_pandas()
         covered = set(pairs["a"]) | set(pairs["b"])
         assert covered == set(range(n)), fn.__name__
+
+
+def test_union_by_name_conflicting_types_raise(ray_session):
+    import ray
+
+    from yj_schema_validator_ray.util import union_by_name
+
+    a = ray.data.from_arrow(pa.table({"x": pa.array([1], pa.int64())}))
+    b = ray.data.from_arrow(pa.table({"x": pa.array(["s"], pa.string())}))
+    try:
+        union_by_name([a, b])
+    except ValueError as e:
+        assert "conflicting" in str(e)
+    else:
+        raise AssertionError("expected ValueError on type conflict")
+
+
+def test_union_by_name_fills_missing_with_nulls(ray_session):
+    import ray
+
+    from yj_schema_validator_ray.util import union_by_name
+
+    a = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["en", "de"])}))
+    b = ray.data.from_arrow(pa.table({
+        "id": pa.array([3], pa.int64()),
+        "n": pa.array([7], pa.int64())}))
+    got = (union_by_name([a, b]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert list(got.columns) == ["id", "lang", "n"]
+    assert got["lang"].tolist()[:2] == ["en", "de"]
+    assert pd.isna(got["lang"].iloc[2])
+    assert pd.isna(got["n"].iloc[0]) and got["n"].iloc[2] == 7
+
+
+def test_embedding_norm_stats_empty_vector(ray_session):
+    from yj_schema_validator_ray.stages.ann import embedding_norm_stats
+
+    ds = _ds(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.5, 2.0], []],
+                              pa.list_(pa.float32())),
+    }))
+    got = (embedding_norm_stats(ds).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert got["dim"].tolist() == [2, 0]
+    # floor(1e6*0.25) + floor(1e6*4.0) = 250000 + 4000000
+    assert got["q_norm_sum"].tolist() == [4250000, 0]
