@@ -302,6 +302,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fp summation order never enters), zero-shuffle scan
         return A.embedding_norm_stats(emb(sf_dir))
 
+    def q_q10_returned_items(sf_dir):
+        # TPC-H Q10 shape: 4-table star, order-grain partials through
+        # one coarse exchange, broadcast customer/nation dims
+        return R.q10_returned_items(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -652,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accuracy_fingerprints": q_accuracy_fingerprints,
         "low_activity_customers": q_low_activity_customers,
         "embedding_norm_stats": q_embedding_norm_stats,
+        "q10_returned_items": q_q10_returned_items,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -955,6 +961,13 @@ def _embedding_norm_stats_sql() -> str:
     return embedding_norm_stats_sql()
 
 
+def _q10_returned_items_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        q10_returned_items_sql)
+
+    return q10_returned_items_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1116,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "accuracy_fingerprints": _accuracy_fingerprints_sql(),
         "low_activity_customers": _low_activity_customers_sql(),
         "embedding_norm_stats": _embedding_norm_stats_sql(),
+        "q10_returned_items": _q10_returned_items_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -1904,3 +1904,162 @@ SELECT c.c_custkey, c.c_mktsegment,
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_mktsegment
 HAVING count(o.o_orderkey) < {k}"""
+
+
+def q10_returned_items(sf_dir: str, start: str = "1996-01-01",
+                       end: str = "1996-04-01", k: int = 20):
+    """TPC-H Q10-shaped returned-item reporting: top-k customers by
+    revenue lost to returns in one quarter — a FOUR-table star
+    (lineitem x orders large-large on orderkey; customer + nation
+    broadcast dims), with the repo's exact integer revenue_e4
+    convention (cents x discount-percent, no float sums).
+
+    Scale shape: lineitem pre-aggregates returned-revenue per order
+    inside each batch (only order-grain partials reach the exchange);
+    the order side carries (orderkey, custkey) for the quarter; both
+    sides co-locate through one :func:`~..stages.dedup.coarse_mix`
+    exchange, the per-customer reduce runs through
+    :func:`~..stages.exact_agg.grouped_aggregate`, and the
+    customer/nation dims attach via one ``ray.put`` broadcast
+    (vectorized searchsorted).  Only the final top-k sorts.
+    """
+    import ray
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import process_cached, ref_key, shuffle_partitions
+
+    t0, t1 = pd.Timestamp(start), pd.Timestamp(end)
+    coarse = 1024
+
+    def order_side(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"),
+                                     pa.scalar(t0)),
+                    pc.less(t.column("o_orderdate"), pa.scalar(t1)))
+        t = t.filter(m)
+        keys = pc.cast(t.column("o_orderkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "o_orderkey": keys,
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "revenue_e4": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def li_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                               disc_pct))
+        g = (pa.table({"o_orderkey": pc.cast(t.column("l_orderkey"),
+                                             pa.int64()),
+                       "revenue_e4": rev})
+             .group_by(["o_orderkey"]).aggregate([("revenue_e4", "sum")])
+             .rename_columns(["o_orderkey", "revenue_e4"]))
+        keys = g.column("o_orderkey")
+        n = g.num_rows
+        return pa.table({
+            "o_orderkey": keys,
+            "o_custkey": pa.array(np.full(n, -1, np.int64)),
+            "revenue_e4": g.column("revenue_e4"),
+            "side": pa.array(np.ones(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == 0, ["o_orderkey", "o_custkey"]]
+        r = (g.loc[g["side"] == 1, ["o_orderkey", "revenue_e4"]]
+             .groupby("o_orderkey", as_index=False).sum())
+        out = o.merge(r, on="o_orderkey", how="inner")
+        return out[["o_custkey", "revenue_e4"]]
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+    joined = (orders.map_batches(order_side, batch_format="pyarrow")
+              .union(li.map_batches(li_side, batch_format="pyarrow"))
+              .groupby("__coarse", num_partitions=shuffle_partitions())
+              .map_groups(join_group, batch_format="pandas"))
+    per_cust = grouped_aggregate(
+        joined, ["o_custkey"], [("revenue_e4", "sum", "revenue_e4")])
+
+    cust = pa.concat_tables(ray.get(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name",
+                                       "c_nationkey"]).to_arrow_refs()))
+    nation = pa.concat_tables(ray.get(
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"])
+        .to_arrow_refs()))
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    ck = cust.column("c_custkey").to_numpy()
+    order = np.argsort(ck)
+    ref = ray.put((
+        ck[order],
+        cust.column("c_name").to_numpy(zero_copy_only=False)[order],
+        np.array([nmap.get(x) for x in
+                  cust.column("c_nationkey").to_pylist()],
+                 dtype=object)[order]))
+
+    class AttachDims:
+        def __init__(self, r):
+            self.ids, self.names, self.nations = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_numpy()
+            idx = np.searchsorted(self.ids, keys)
+            idx = np.clip(idx, 0, max(len(self.ids) - 1, 0))
+            hit = (len(self.ids) > 0) & (self.ids[idx] == keys)
+            return pa.table({
+                "c_custkey": keys,
+                "c_name": pa.array(
+                    np.where(hit, self.names[idx], None), pa.string()),
+                "n_name": pa.array(
+                    np.where(hit, self.nations[idx], None), pa.string()),
+                "revenue_e4": pc.cast(t.column("revenue_e4"), pa.int64()),
+            })
+
+    top = (per_cust.map_batches(
+        process_cached(AttachDims, ref_key(ref), ref),
+        batch_format="pyarrow")
+        .sort(["revenue_e4", "c_custkey"], descending=[True, False])
+        .limit(k).to_pandas())
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+def q10_returned_items_sql(start: str = "1996-01-01",
+                           end: str = "1996-04-01", k: int = 20) -> str:
+    return f"""
+WITH agg AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+              * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT)))
+              AS BIGINT) AS revenue_e4
+  FROM customer c, orders o, lineitem l, nation n
+  WHERE c.c_custkey = o.o_custkey
+    AND l.l_orderkey = o.o_orderkey
+    AND o.o_orderdate >= DATE '{start}'
+    AND o.o_orderdate < DATE '{end}'
+    AND l.l_returnflag = 'R'
+    AND c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name, revenue_e4,
+       CAST(row_number() OVER (ORDER BY revenue_e4 DESC, c_custkey)
+            AS BIGINT) AS rank
+FROM agg
+ORDER BY revenue_e4 DESC, c_custkey
+LIMIT {k}"""
