@@ -307,6 +307,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one coarse exchange, broadcast customer/nation dims
         return R.q10_returned_items(sf_dir)
 
+    def q_q13_customer_distribution(sf_dir):
+        # TPC-H Q13 shape: order-count histogram incl. the zero bucket
+        # (two-level aggregate over the outer join)
+        return R.q13_customer_distribution(sf_dir)
+
+    def q_q12_shipmode_priority(sf_dir):
+        # TPC-H Q12 shape: conditional counting join, both sides
+        # reduced to order-grain before one coarse exchange
+        return R.q12_shipmode_priority(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -658,6 +668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "low_activity_customers": q_low_activity_customers,
         "embedding_norm_stats": q_embedding_norm_stats,
         "q10_returned_items": q_q10_returned_items,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q12_shipmode_priority": q_q12_shipmode_priority,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -968,6 +980,20 @@ def _q10_returned_items_sql() -> str:
     return q10_returned_items_sql()
 
 
+def _q13_customer_distribution_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        q13_customer_distribution_sql)
+
+    return q13_customer_distribution_sql()
+
+
+def _q12_shipmode_priority_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        q12_shipmode_priority_sql)
+
+    return q12_shipmode_priority_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1130,6 +1156,8 @@ def oracle_sql() -> dict[str, str]:
         "low_activity_customers": _low_activity_customers_sql(),
         "embedding_norm_stats": _embedding_norm_stats_sql(),
         "q10_returned_items": _q10_returned_items_sql(),
+        "q13_customer_distribution": _q13_customer_distribution_sql(),
+        "q12_shipmode_priority": _q12_shipmode_priority_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -2063,3 +2063,135 @@ SELECT c_custkey, c_name, n_name, revenue_e4,
 FROM agg
 ORDER BY revenue_e4 DESC, c_custkey
 LIMIT {k}"""
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count DISTRIBUTION: how many
+    customers placed exactly N orders — including N=0, which only the
+    outer join preserves.  Pure composition: the LEFT OUTER join
+    (:func:`customer_order_totals`) feeds a second domain-sized
+    grouped reduce on the count itself (a histogram over a computed
+    key — the two-level aggregate shape).
+    """
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = customer_order_totals(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"order_count": pc.cast(t.column("order_count"),
+                                                pa.int64())})
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["order_count"], [("", "count", "n_customers")])
+
+
+def q13_customer_distribution_sql() -> str:
+    return """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS order_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT order_count, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY order_count"""
+
+
+def q12_shipmode_priority(sf_dir: str, start: str = "1996-01-01",
+                          end: str = "1997-01-01"):
+    """TPC-H Q12-shaped conditional counting join: per lineitem
+    return-flag class, how many of the year's line items belong to
+    high- vs low-priority orders (Q12 proper splits by ship mode,
+    which this corpus lacks; return flag plays that role).  The CASE
+    aggregation happens BEFORE the join — each side reduces to
+    order-grain partials, one coarse exchange co-locates them, and
+    the final reduce is class-domain-sized.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    t0, t1 = pd.Timestamp(start), pd.Timestamp(end)
+    coarse = 1024
+
+    def order_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("o_orderkey"), pa.int64())
+        hi = pc.cast(pc.is_in(t.column("o_orderpriority"),
+                              value_set=pa.array(["1-URGENT", "2-HIGH"])),
+                     pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "o_orderkey": keys,
+            "high_prio": hi,
+            "l_returnflag": pa.array([None] * n, pa.string()),
+            "n_items": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def li_side(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"),
+                                     pa.scalar(t0)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(t1)))
+        t = t.filter(m)
+        g = (pa.table({"o_orderkey": pc.cast(t.column("l_orderkey"),
+                                             pa.int64()),
+                       "l_returnflag": t.column("l_returnflag")})
+             .group_by(["o_orderkey", "l_returnflag"])
+             .aggregate([([], "count_all")])
+             .rename_columns(["o_orderkey", "l_returnflag", "n_items"]))
+        keys = g.column("o_orderkey")
+        n = g.num_rows
+        return pa.table({
+            "o_orderkey": keys,
+            "high_prio": pa.array(np.full(n, -1, np.int64)),
+            "l_returnflag": g.column("l_returnflag"),
+            "n_items": pc.cast(g.column("n_items"), pa.int64()),
+            "side": pa.array(np.ones(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == 0, ["o_orderkey", "high_prio"]]
+        li = g.loc[g["side"] == 1,
+                   ["o_orderkey", "l_returnflag", "n_items"]]
+        out = li.merge(o, on="o_orderkey", how="inner")
+        out["high_count"] = (out["n_items"]
+                             * out["high_prio"]).astype("int64")
+        out["low_count"] = (out["n_items"]
+                            * (1 - out["high_prio"])).astype("int64")
+        return out[["l_returnflag", "high_count", "low_count"]]
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    joined = (orders.map_batches(order_side, batch_format="pyarrow")
+              .union(li.map_batches(li_side, batch_format="pyarrow"))
+              .groupby("__coarse", num_partitions=shuffle_partitions())
+              .map_groups(join_group, batch_format="pandas"))
+    return grouped_aggregate(
+        joined, ["l_returnflag"],
+        [("high_count", "sum", "high_line_count"),
+         ("low_count", "sum", "low_line_count")])
+
+
+def q12_shipmode_priority_sql(start: str = "1996-01-01",
+                              end: str = "1997-01-01") -> str:
+    return f"""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o, lineitem l
+WHERE o.o_orderkey = l.l_orderkey
+  AND l.l_shipdate >= DATE '{start}'
+  AND l.l_shipdate < DATE '{end}'
+GROUP BY l.l_returnflag"""
