@@ -317,6 +317,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reduced to order-grain before one coarse exchange
         return R.q12_shipmode_priority(sf_dir)
 
+    def q_q18_large_volume_orders(sf_dir):
+        # TPC-H Q18 shape: HAVING over a per-order aggregate, then join
+        # the (small by construction) survivors back for custkey
+        return R.q18_large_volume_orders(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -670,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": q_q10_returned_items,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q12_shipmode_priority": q_q12_shipmode_priority,
+        "q18_large_volume_orders": q_q18_large_volume_orders,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -994,6 +1000,13 @@ def _q12_shipmode_priority_sql() -> str:
     return q12_shipmode_priority_sql()
 
 
+def _q18_large_volume_orders_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        q18_large_volume_orders_sql)
+
+    return q18_large_volume_orders_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1158,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": _q10_returned_items_sql(),
         "q13_customer_distribution": _q13_customer_distribution_sql(),
         "q12_shipmode_priority": _q12_shipmode_priority_sql(),
+        "q18_large_volume_orders": _q18_large_volume_orders_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

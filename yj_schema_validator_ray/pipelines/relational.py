@@ -2195,3 +2195,107 @@ WHERE o.o_orderkey = l.l_orderkey
   AND l.l_shipdate >= DATE '{start}'
   AND l.l_shipdate < DATE '{end}'
 GROUP BY l.l_returnflag"""
+
+
+def q18_large_volume_orders(sf_dir: str, qty_threshold: int = 200,
+                            k: int = 50):
+    """TPC-H Q18-shaped large-volume customers: orders whose TOTAL line
+    quantity exceeds a threshold, with the buying customer attached —
+    the HAVING-over-join shape (the filter applies to an aggregate the
+    scan cannot see, so it must run after the per-order reduce).
+
+    Quantities are 2-decimal doubles -> summed in exact integer
+    CENTI-UNITS (the repo's money convention) so the HAVING comparison
+    and the output hash match bit-for-bit.  Shape: per-batch per-order
+    quantity partials -> per-order reduce through
+    :func:`~..stages.exact_agg.grouped_aggregate` -> threshold filter
+    (order-grain, post-aggregate) -> one coarse exchange joins the
+    surviving orders (small by construction) with the order side for
+    custkey -> top-k.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    coarse = 1024
+    thr_centi = qty_threshold * 100
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q_centi = pc.cast(pc.round(pc.multiply(t.column("l_quantity"),
+                                               pa.scalar(100.0))),
+                          pa.int64())
+        return (pa.table({"o_orderkey": pc.cast(t.column("l_orderkey"),
+                                                pa.int64()),
+                          "qty_centi": q_centi})
+                .group_by(["o_orderkey"]).aggregate([("qty_centi", "sum")])
+                .rename_columns(["o_orderkey", "qty_centi"]))
+
+    per_order = grouped_aggregate(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["o_orderkey"], [("qty_centi", "sum", "qty_centi")])
+    big = per_order.filter(expr=f"qty_centi > {thr_centi}")
+
+    def big_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("o_orderkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "o_orderkey": keys,
+            "qty_centi": pc.cast(t.column("qty_centi"), pa.int64()),
+            "o_custkey": pa.array(np.full(n, -1, np.int64)),
+            "side": pa.array(np.ones(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def order_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("o_orderkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "o_orderkey": keys,
+            "qty_centi": pa.array(np.zeros(n, np.int64)),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.loc[g["side"] == 1, ["o_orderkey", "qty_centi"]]
+        o = g.loc[g["side"] == 0, ["o_orderkey", "o_custkey"]]
+        return b.merge(o, on="o_orderkey", how="inner")
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    joined = (big.map_batches(big_side, batch_format="pyarrow")
+              .union(orders.map_batches(order_side,
+                                        batch_format="pyarrow"))
+              .groupby("__coarse", num_partitions=shuffle_partitions())
+              .map_groups(join_group, batch_format="pandas"))
+    top = (joined.sort(["qty_centi", "o_orderkey"],
+                       descending=[True, False]).limit(k).to_pandas())
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["o_orderkey", "o_custkey", "qty_centi", "rank"]]
+
+
+def q18_large_volume_orders_sql(qty_threshold: int = 200,
+                                k: int = 50) -> str:
+    return f"""
+WITH per_order AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+           AS qty_centi
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100.0) AS BIGINT))
+         > {qty_threshold * 100}
+)
+SELECT p.o_orderkey, o.o_custkey, p.qty_centi,
+       CAST(row_number() OVER (ORDER BY p.qty_centi DESC, p.o_orderkey)
+            AS BIGINT) AS rank
+FROM per_order p JOIN orders o ON o.o_orderkey = p.o_orderkey
+ORDER BY p.qty_centi DESC, p.o_orderkey
+LIMIT {k}"""
