@@ -244,6 +244,8 @@ def run_bench() -> dict:
             lambda: T.dup_ngram_fraction(docs_ds()).count())
     best_of("events_props_stats",
             lambda: R.events_props_stats(SF_DIR).count())
+    best_of("q10_returned_items",
+            lambda: len(R.q10_returned_items(SF_DIR)))
 
     import ray.data
 
