@@ -322,6 +322,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the (small by construction) survivors back for custkey
         return R.q18_large_volume_orders(sf_dir)
 
+    def q_relational_integrity(sf_dir):
+        # multi-FK audit: broadcast dims for small referenced sides,
+        # one side-tagged deduped-key exchange for the large-large edge
+        return R.relational_integrity(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -676,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": q_q13_customer_distribution,
         "q12_shipmode_priority": q_q12_shipmode_priority,
         "q18_large_volume_orders": q_q18_large_volume_orders,
+        "relational_integrity": q_relational_integrity,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -1007,6 +1013,13 @@ def _q18_large_volume_orders_sql() -> str:
     return q18_large_volume_orders_sql()
 
 
+def _relational_integrity_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        relational_integrity_sql)
+
+    return relational_integrity_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1172,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": _q13_customer_distribution_sql(),
         "q12_shipmode_priority": _q12_shipmode_priority_sql(),
         "q18_large_volume_orders": _q18_large_volume_orders_sql(),
+        "relational_integrity": _relational_integrity_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

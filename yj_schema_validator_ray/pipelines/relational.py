@@ -2299,3 +2299,139 @@ SELECT p.o_orderkey, o.o_custkey, p.qty_centi,
 FROM per_order p JOIN orders o ON o.o_orderkey = p.o_orderkey
 ORDER BY p.qty_centi DESC, p.o_orderkey
 LIMIT {k}"""
+
+
+def relational_integrity(sf_dir: str):
+    """Multi-foreign-key integrity audit across the warehouse tables:
+    one row per FK edge with the referencing row count and the orphan
+    count — the cross-TABLE counterpart of the corpus-level
+    ``ref_integrity`` constraint.
+
+    Scale shapes per edge: small referenced sides (nation, customer at
+    dimension scale) broadcast as sorted key arrays (``pc.is_in``
+    inside a stateless scan); the LARGE-LARGE edge
+    (lineitem.l_orderkey -> orders.o_orderkey) audits through one
+    coarse-hash exchange of side-tagged DEDUPED key partials — at
+    100 TB neither side broadcasts, and only distinct keys per batch
+    cross the wire.
+    """
+    import ray
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..util import process_cached, ref_key, shuffle_partitions
+
+    rows = []
+
+    # --- broadcast edges: referenced side is dimension-scale ---------
+    def broadcast_edge(fk_name, table, col, ref_table, ref_col):
+        keys_tbl = pa.concat_tables(ray.get(
+            ray.data.read_parquet(f"{sf_dir}/{ref_table}.parquet",
+                                  columns=[ref_col]).to_arrow_refs()))
+        keys = pc.cast(keys_tbl.column(ref_col), pa.int64())
+        bref = ray.put(pa.array(sorted(set(keys.to_pylist())), pa.int64()))
+
+        class Audit:
+            def __init__(self, r):
+                self.keys = ray.get(r)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                col_a = pc.cast(t.column(col), pa.int64())
+                hit = pc.is_in(col_a, value_set=self.keys)
+                n = t.num_rows
+                miss = n - pc.sum(pc.cast(hit, pa.int64())).as_py()
+                return pa.table({"n_rows": pa.array([n], pa.int64()),
+                                 "n_orphans": pa.array([int(miss)],
+                                                       pa.int64())})
+
+        agg = (ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                     columns=[col])
+               .map_batches(process_cached(Audit, ref_key(bref), bref),
+                            batch_format="pyarrow").to_pandas().sum())
+        rows.append((fk_name, int(agg["n_rows"]), int(agg["n_orphans"])))
+
+    broadcast_edge("orders.o_custkey->customer", "orders", "o_custkey",
+                   "customer", "c_custkey")
+    broadcast_edge("customer.c_nationkey->nation", "customer",
+                   "c_nationkey", "nation", "n_nationkey")
+    broadcast_edge("nation.n_regionkey->region", "nation", "n_regionkey",
+                   "region", "r_regionkey")
+
+    # --- large-large edge: lineitem -> orders through one exchange ---
+    coarse = 1024
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        g = (pa.table({"k": pc.cast(t.column("l_orderkey"), pa.int64())})
+             .group_by(["k"]).aggregate([([], "count_all")])
+             .rename_columns(["k", "n_ref"]))
+        keys = g.column("k")
+        n = g.num_rows
+        return pa.table({
+            "k": keys, "n_ref": pc.cast(g.column("n_ref"), pa.int64()),
+            "present": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def order_keys(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("o_orderkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "k": keys,
+            "n_ref": pa.array(np.zeros(n, np.int64)),
+            "present": pa.array(np.ones(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def audit_group(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("k", sort=False).agg(
+            n_ref=("n_ref", "sum"), present=("present", "max"))
+        orphans = int(agg.loc[agg["present"] == 0, "n_ref"].sum())
+        return pd.DataFrame({"n_rows": [int(agg["n_ref"].sum())],
+                             "n_orphans": [orphans]})
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey"])
+    tot = (li.map_batches(li_keys, batch_format="pyarrow")
+           .union(orders.map_batches(order_keys, batch_format="pyarrow"))
+           .groupby("__coarse", num_partitions=shuffle_partitions())
+           .map_groups(audit_group, batch_format="pandas")
+           .to_pandas().sum())
+    rows.append(("lineitem.l_orderkey->orders", int(tot["n_rows"]),
+                 int(tot["n_orphans"])))
+
+    return pd.DataFrame({
+        "fk": [r[0] for r in rows],
+        "n_rows": pd.Series([r[1] for r in rows], dtype="int64"),
+        "n_orphans": pd.Series([r[2] for r in rows], dtype="int64"),
+    })
+
+
+def relational_integrity_sql() -> str:
+    return """
+SELECT 'orders.o_custkey->customer' AS fk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey"""
