@@ -327,6 +327,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one side-tagged deduped-key exchange for the large-large edge
         return R.relational_integrity(sf_dir)
 
+    def q_events_interarrival(sf_dir):
+        # per-user inter-arrival gap stats in integer microseconds
+        # (gap multiset is tie-order-invariant, so exact)
+        return R.events_interarrival(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -682,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_shipmode_priority": q_q12_shipmode_priority,
         "q18_large_volume_orders": q_q18_large_volume_orders,
         "relational_integrity": q_relational_integrity,
+        "events_interarrival": q_events_interarrival,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -1020,6 +1026,13 @@ def _relational_integrity_sql() -> str:
     return relational_integrity_sql()
 
 
+def _events_interarrival_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_interarrival_sql)
+
+    return events_interarrival_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1186,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_shipmode_priority": _q12_shipmode_priority_sql(),
         "q18_large_volume_orders": _q18_large_volume_orders_sql(),
         "relational_integrity": _relational_integrity_sql(),
+        "events_interarrival": _events_interarrival_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

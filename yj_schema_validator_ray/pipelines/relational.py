@@ -2435,3 +2435,70 @@ SELECT 'lineitem.l_orderkey->orders',
        CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
             AS BIGINT)
 FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey"""
+
+
+def events_interarrival(sf_dir: str, coarse: int = 64):
+    """Per-user INTER-ARRIVAL gap statistics (count / sum / min / max of
+    consecutive-event gaps in integer MICROSECONDS) — the engagement-
+    cadence features behind churn models and bot detection.  Exact by
+    construction: gaps are int64 differences of the parquet timestamps
+    (no float time math), and the gap MULTISET is invariant to how
+    equal timestamps tie-break (diffs of a sorted sequence depend only
+    on its values), so the oracle's window ordering is safe.
+
+    Same co-partition shape as :func:`events_sessionize`: users
+    co-locate via a coarse bucket key, one vectorized sorted-diff per
+    bucket; users with a single event emit nothing (no gaps), exactly
+    like the SQL.
+    """
+    import ray.data
+
+    from ..util import shuffle_partitions
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.bit_wise_and(t.column("user_id"), coarse - 1),
+                    pa.int64())
+        return t.append_column("coarse", c)
+
+    def gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                          "gap_us": np.concatenate(([0], np.diff(us)))})
+        first = d["user_id"].ne(d["user_id"].shift())
+        d = d[~first]
+        out = (d.groupby("user_id", sort=False)
+               .agg(n_gaps=("gap_us", "size"), sum_gap_us=("gap_us", "sum"),
+                    min_gap_us=("gap_us", "min"),
+                    max_gap_us=("gap_us", "max")).reset_index())
+        for c in ("n_gaps", "sum_gap_us", "min_gap_us", "max_gap_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (ds.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("coarse",
+                     num_partitions=min(coarse, shuffle_partitions()))
+            .map_groups(gaps_bucket, batch_format="pandas")
+            .map_batches(lambda t: t.select(
+                ["user_id", "n_gaps", "sum_gap_us", "min_gap_us",
+                 "max_gap_us"]), batch_format="pyarrow"))
+
+
+def events_interarrival_sql() -> str:
+    return """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+             (PARTITION BY user_id ORDER BY ts)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id"""
