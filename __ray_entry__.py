@@ -332,6 +332,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (gap multiset is tie-order-invariant, so exact)
         return R.events_interarrival(sf_dir)
 
+    def q_corpus_diff(sf_dir):
+        # snapshot diff: added/removed/changed/unchanged through one
+        # doc_id-keyed exchange of (id, sha) rows; text never shuffles
+        from yj_schema_validator_ray.pipelines.curation import corpus_diff
+
+        return corpus_diff(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -688,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_orders": q_q18_large_volume_orders,
         "relational_integrity": q_relational_integrity,
         "events_interarrival": q_events_interarrival,
+        "corpus_diff": q_corpus_diff,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -1033,6 +1041,12 @@ def _events_interarrival_sql() -> str:
     return events_interarrival_sql()
 
 
+def _corpus_diff_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import corpus_diff_sql
+
+    return corpus_diff_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1200,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_orders": _q18_large_volume_orders_sql(),
         "relational_integrity": _relational_integrity_sql(),
         "events_interarrival": _events_interarrival_sql(),
+        "corpus_diff": _corpus_diff_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -663,3 +663,115 @@ def docs_jsonl_roundtrip_sql() -> str:
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang"""
+
+
+def corpus_diff(sf_dir: str):
+    """SNAPSHOT DIFF between two corpus versions: per-document
+    added / removed / changed / unchanged accounting — the ingest-time
+    report that tells a pipeline operator what yesterday's crawl
+    actually did.  The "new" snapshot is synthesized deterministically
+    from the old one (5% of docs deleted: ids%100 in [0,5); 5% revised:
+    ids%100 >= 95 get ' [rev2]' appended; the rest carried unchanged),
+    and the SQL oracle mirrors the synthesis in CTEs.
+
+    Shape: both snapshots reduce to (doc_id, sha) rows per batch and
+    co-locate through ONE doc_id-keyed coarse exchange; per-key state
+    comparison is vectorized inside each group; the output is a
+    4-row class histogram.  Text never shuffles.
+    """
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    coarse = 1024
+
+    def old_rows(t: pa.Table) -> pa.Table:
+        return _diff_rows(t, is_new=False)
+
+    def new_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        # carried forward (5% deleted), 5% revised
+        kept = t.filter(pa.array((ids % 100) >= 5))
+        kids = kept.column("doc_id").to_numpy()
+        rev = (kids % 100) >= 95
+        texts = kept.column("text").to_pylist()
+        texts = [x + " [rev2]" if r else x for x, r in zip(texts, rev)]
+        kept = kept.set_column(kept.schema.get_field_index("text"),
+                               "text", pa.array(texts, pa.string()))
+        # 5% genuinely NEW arrivals (shifted ids)
+        arr = t.filter(pa.array((ids % 100) < 5))
+        arr = arr.set_column(
+            arr.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(arr.column("doc_id").to_numpy() + 1_000_000,
+                     pa.int64()))
+        return pa.concat_tables([_diff_rows(kept, is_new=True),
+                                 _diff_rows(arr, is_new=True)])
+
+    def _diff_rows(t: pa.Table, is_new: bool) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        shas = [hashlib.sha256(x.encode()).hexdigest()
+                for x in t.column("text").to_pylist()]
+        n = t.num_rows
+        return pa.table({
+            "doc_id": ids,
+            "sha_old": pa.array([None] * n if is_new else shas,
+                                pa.string()),
+            "sha_new": pa.array(shas if is_new else [None] * n,
+                                pa.string()),
+            "__coarse": pa.array(coarse_mix(ids.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        # '' sentinel: pandas max over object columns rejects NaN+str
+        g = g.fillna({"sha_old": "", "sha_new": ""})
+        agg = g.groupby("doc_id", sort=False).agg(
+            sha_old=("sha_old", "max"), sha_new=("sha_new", "max"))
+        old_p = agg["sha_old"] != ""
+        new_p = agg["sha_new"] != ""
+        status = np.where(~old_p, "added",
+                          np.where(~new_p, "removed",
+                                   np.where(agg["sha_old"] == agg["sha_new"],
+                                            "unchanged", "changed")))
+        out = (pd.DataFrame({"status": status}).groupby("status")
+               .size().rename("n_docs").reset_index())
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    u = (docs.map_batches(old_rows, batch_format="pyarrow")
+         .union(docs.map_batches(new_rows, batch_format="pyarrow")))
+    parts = (u.groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(classify, batch_format="pandas"))
+    return grouped_aggregate(parts, ["status"],
+                             [("n_docs", "sum", "n_docs")])
+
+
+def corpus_diff_sql() -> str:
+    return """
+WITH newc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 100 >= 95 THEN text || ' [rev2]'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 100 >= 5
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 100 < 5
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         sha256(o.text) AS sha_old, sha256(n.text) AS sha_new
+  FROM documents o FULL OUTER JOIN newc n ON n.doc_id = o.doc_id
+)
+SELECT CASE WHEN sha_old IS NULL THEN 'added'
+            WHEN sha_new IS NULL THEN 'removed'
+            WHEN sha_old = sha_new THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1"""
