@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return corpus_diff(sf_dir)
 
+    def q_orders_monthly_priority(sf_dir):
+        # month-truncated calendar rollup, exact integer cents
+        return R.orders_monthly_priority(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -696,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relational_integrity": q_relational_integrity,
         "events_interarrival": q_events_interarrival,
         "corpus_diff": q_corpus_diff,
+        "orders_monthly_priority": q_orders_monthly_priority,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -1047,6 +1052,13 @@ def _corpus_diff_sql() -> str:
     return corpus_diff_sql()
 
 
+def _orders_monthly_priority_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        orders_monthly_priority_sql)
+
+    return orders_monthly_priority_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1215,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         "relational_integrity": _relational_integrity_sql(),
         "events_interarrival": _events_interarrival_sql(),
         "corpus_diff": _corpus_diff_sql(),
+        "orders_monthly_priority": _orders_monthly_priority_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -2502,3 +2502,44 @@ SELECT user_id,
        CAST(max(gap_us) AS BIGINT) AS max_gap_us
 FROM gaps WHERE gap_us IS NOT NULL
 GROUP BY user_id"""
+
+
+def orders_monthly_priority(sf_dir: str):
+    """Calendar reporting rollup: orders and spend per (month,
+    priority) — the month-granularity counterpart of the event-time
+    windows (``strftime`` month truncation mirrored on both sides,
+    money in exact integer cents).  Per-batch partials over the
+    (months x priorities) domain, one tiny exchange."""
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.strftime(pc.floor_temporal(t.column("o_orderdate"),
+                                              unit="month"),
+                            format="%Y-%m")
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"month": month,
+                         "o_orderpriority": t.column("o_orderpriority"),
+                         "total_price_cents": cents})
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["month", "o_orderpriority"],
+        [("", "count", "n_orders"),
+         ("total_price_cents", "sum", "total_price_cents")])
+
+
+def orders_monthly_priority_sql() -> str:
+    return """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS total_price_cents
+FROM orders GROUP BY 1, 2"""
