@@ -343,6 +343,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # month-truncated calendar rollup, exact integer cents
         return R.orders_monthly_priority(sf_dir)
 
+    def q_events_transition_matrix(sf_dir):
+        # Markov next-event transitions, (ts, event_id)-pinned order
+        return R.events_transition_matrix(sf_dir)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -701,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": q_events_interarrival,
         "corpus_diff": q_corpus_diff,
         "orders_monthly_priority": q_orders_monthly_priority,
+        "events_transition_matrix": q_events_transition_matrix,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -1059,6 +1064,13 @@ def _orders_monthly_priority_sql() -> str:
     return orders_monthly_priority_sql()
 
 
+def _events_transition_matrix_sql() -> str:
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_transition_matrix_sql)
+
+    return events_transition_matrix_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1228,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival": _events_interarrival_sql(),
         "corpus_diff": _corpus_diff_sql(),
         "orders_monthly_priority": _orders_monthly_priority_sql(),
+        "events_transition_matrix": _events_transition_matrix_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

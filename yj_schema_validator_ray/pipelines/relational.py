@@ -2543,3 +2543,66 @@ SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
          AS total_price_cents
 FROM orders GROUP BY 1, 2"""
+
+
+def events_transition_matrix(sf_dir: str, coarse: int = 64):
+    """Event-type TRANSITION MATRIX: counts of (event_type ->
+    next_event_type) over each user's time-ordered stream — the Markov
+    session features behind next-action models and funnel discovery.
+    Ordering is pinned on (ts, event_id) on BOTH sides, so tied
+    timestamps cannot flake the oracle (the determinism rule the as-of
+    join established).
+
+    Same coarse user-bucket co-partition as
+    :func:`events_sessionize`; inside a bucket the next-event pairing
+    is one vectorized shift; per-batch pair counts reduce through one
+    (type x type)-domain exchange.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.bit_wise_and(t.column("user_id"), coarse - 1),
+                    pa.int64())
+        return t.append_column("coarse", c)
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cur = g["event_type"].to_numpy(dtype=object)
+        nxt = np.roll(cur, -1)
+        same_user = (g["user_id"].to_numpy()
+                     == np.roll(g["user_id"].to_numpy(), -1))
+        same_user[-1] = False
+        d = (pd.DataFrame({"event_type": cur[same_user],
+                           "next_event_type": nxt[same_user]})
+             .groupby(["event_type", "next_event_type"], sort=False)
+             .size().rename("n").reset_index())
+        d["n"] = d["n"].astype("int64")
+        return d
+
+    parts = (ds.map_batches(add_coarse, batch_format="pyarrow")
+             .groupby("coarse",
+                      num_partitions=min(coarse, shuffle_partitions()))
+             .map_groups(pairs_bucket, batch_format="pandas"))
+    return grouped_aggregate(parts, ["event_type", "next_event_type"],
+                             [("n", "sum", "n")])
+
+
+def events_transition_matrix_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+           AS next_event_type
+  FROM events
+)
+SELECT event_type, next_event_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE next_event_type IS NOT NULL
+GROUP BY event_type, next_event_type"""
