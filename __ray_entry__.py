@@ -347,6 +347,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Markov next-event transitions, (ts, event_id)-pinned order
         return R.events_transition_matrix(sf_dir)
 
+    def q_lang_top_terms(sf_dir):
+        # per-language top-k vocabulary; full vocab never gathers
+        import ray.data
+
+        d = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["lang", "text"])
+        return T.lang_top_terms(d)
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -706,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q_corpus_diff,
         "orders_monthly_priority": q_orders_monthly_priority,
         "events_transition_matrix": q_events_transition_matrix,
+        "lang_top_terms": q_lang_top_terms,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -1071,6 +1080,12 @@ def _events_transition_matrix_sql() -> str:
     return events_transition_matrix_sql()
 
 
+def _lang_top_terms_sql() -> str:
+    from yj_schema_validator_ray.stages.text import lang_top_terms_sql
+
+    return lang_top_terms_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1241,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _corpus_diff_sql(),
         "orders_monthly_priority": _orders_monthly_priority_sql(),
         "events_transition_matrix": _events_transition_matrix_sql(),
+        "lang_top_terms": _lang_top_terms_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -990,3 +990,77 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
          AS n_word_tokens
 FROM documents"""
+
+
+def lang_top_terms(docs_ds, k: int = 10):
+    """Per-LANGUAGE top-k vocabulary: the grouped counterpart of
+    :func:`vocab_top_terms` (per-language frequency reports are how
+    multilingual curation checks each slice's health).  Ordering is
+    integer-exact: (tf DESC, term ASC) within each language.
+
+    Shape: per-batch (lang, term) count partials -> one coarse-hash
+    exchange (:func:`~.exact_agg.grouped_aggregate`) -> per-BLOCK local
+    top-k per lang (a candidate must be in its block's language top-k
+    to be global: each (lang, term) lives in exactly one block after
+    the exchange) -> final langs x k selection in one tiny
+    lang-keyed reduce.  The full vocabulary never gathers anywhere.
+    """
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                                 "term": pd.Series(dtype="object"),
+                                 "tf": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        lang_rep = np.repeat(batch["lang"].to_numpy(dtype=object), lens)
+        g = (pd.DataFrame({"lang": lang_rep, "term": flat})
+             .groupby(["lang", "term"], sort=False).size()
+             .rename("tf").reset_index())
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    counts = grouped_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "term"], [("tf", "sum", "tf")])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "tf", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("lang", sort=False).head(k)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "tf", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        out = df.groupby("lang", sort=False).head(k).copy()
+        out["rnk"] = (out.groupby("lang", sort=False).cumcount() + 1
+                      ).astype("int64")
+        return out
+
+    return (counts.map_batches(local_topk, batch_format="pandas")
+            .groupby("lang", num_partitions=min(8, shuffle_partitions()))
+            .map_groups(final_topk, batch_format="pandas"))
+
+
+def lang_top_terms_sql(k: int = 10) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY lang, term
+),
+ranked AS (
+  SELECT lang, term, tf,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY tf DESC, term ASC) AS BIGINT) AS rnk
+  FROM counts
+)
+SELECT lang, term, tf, rnk FROM ranked WHERE rnk <= {k}"""
