@@ -355,6 +355,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   columns=["lang", "text"])
         return T.lang_top_terms(d)
 
+    def q_sample_intersection(sf_dir):
+        # distributed INTERSECT of two corpus-scale sample id sets
+        # (side-tagged id-keyed exchange; neither side broadcasts)
+        from yj_schema_validator_ray.stages.sampling import (
+            sample_intersection)
+
+        return sample_intersection(docs3(sf_dir))
+
     def q_token_counts_bpe(sf_dir):
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
@@ -715,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_priority": q_orders_monthly_priority,
         "events_transition_matrix": q_events_transition_matrix,
         "lang_top_terms": q_lang_top_terms,
+        "sample_intersection": q_sample_intersection,
         "lang_histogram": q_lang_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
@@ -1086,6 +1095,13 @@ def _lang_top_terms_sql() -> str:
     return lang_top_terms_sql()
 
 
+def _sample_intersection_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import (
+        sample_intersection_sql)
+
+    return sample_intersection_sql()
+
+
 def _training_table_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         training_table_sql)
@@ -1257,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_monthly_priority": _orders_monthly_priority_sql(),
         "events_transition_matrix": _events_transition_matrix_sql(),
         "lang_top_terms": _lang_top_terms_sql(),
+        "sample_intersection": _sample_intersection_sql(),
         "token_counts": oracles.token_counts_sql(),
         "quality_stats": oracles.quality_stats_sql(),
         "fingerprint_md5": oracles.fingerprint_md5_sql(),

@@ -239,3 +239,62 @@ def mixture_sample_sql(rates: dict[str, float], table: str = "documents",
     return (f"SELECT {columns} FROM {table} "
             f"WHERE substr(md5(CAST({id_col} AS VARCHAR)), 1, 8) "
             f"< (CASE {source_col} {whens} ELSE '00000000' END)")
+
+
+def sample_intersection(docs_ds, rate: float = 0.3, n_per_group: int = 10,
+                        group_col: str = "source", id_col: str = "doc_id"):
+    """Distributed set INTERSECTION of two sampling strategies: the
+    documents selected by BOTH the uniform hash sample and the
+    stratified per-group sample — the audit that tells you how much
+    two candidate training subsets overlap before committing to one.
+
+    Both inputs are corpus-scale fractions, so neither broadcasts: the
+    two id sets co-locate through one id-keyed coarse exchange of
+    side-tagged rows and intersect per group (classic INTERSECT plan).
+    Both sampling rules are themselves SQL-mirrored, so the
+    intersection oracle is their queries joined on the id.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import coarse_mix
+    from ..util import shuffle_partitions
+
+    a = hash_sample(docs_ds, rate, id_col=id_col)
+    b = stratified_sample(docs_ds, n_per_group, group_col=group_col,
+                          id_col=id_col)
+    coarse = 1024
+
+    def tag(side):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column(id_col), pa.int64())
+            n = t.num_rows
+            return pa.table({
+                id_col: ids,
+                "in_a": pa.array(np.full(n, 1 - side, np.int64)),
+                "in_b": pa.array(np.full(n, side, np.int64)),
+                "__coarse": pa.array(
+                    coarse_mix(ids.to_numpy(), coarse - 1), pa.int64()),
+            })
+        return f
+
+    def intersect(g):
+        agg = g.groupby(id_col, sort=False).agg(
+            in_a=("in_a", "max"), in_b=("in_b", "max"))
+        keep = agg[(agg["in_a"] == 1) & (agg["in_b"] == 1)]
+        return keep.reset_index()[[id_col]]
+
+    return (a.map_batches(tag(0), batch_format="pyarrow")
+            .union(b.map_batches(tag(1), batch_format="pyarrow"))
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(intersect, batch_format="pandas"))
+
+
+def sample_intersection_sql(rate: float = 0.3, n_per_group: int = 10,
+                            table: str = "documents",
+                            group_col: str = "source",
+                            id_col: str = "doc_id") -> str:
+    return (f"SELECT {id_col} FROM ("
+            f"{hash_sample_sql(rate, table, id_col, id_col)}) "
+            f"INTERSECT SELECT {id_col} FROM ("
+            f"{stratified_sample_sql(n_per_group, table, group_col, id_col)})")
