@@ -247,6 +247,12 @@ def run_bench() -> dict:
     best_of("q10_returned_items",
             lambda: len(R.q10_returned_items(SF_DIR)))
 
+    from yj_schema_validator_ray.pipelines.curation import corpus_diff
+
+    best_of("corpus_diff", lambda: corpus_diff(SF_DIR).count())
+    best_of("lang_top_terms",
+            lambda: T.lang_top_terms(docs_lang_ds()).count())
+
     import ray.data
 
     from yj_schema_validator_ray.stages.quantiles import grouped_exact_quantiles
