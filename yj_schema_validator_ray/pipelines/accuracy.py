@@ -182,6 +182,13 @@ def minhash_accuracy(docs_ds, threshold: float = 0.3,
     MinHash estimates CHAR-5-shingle Jaccard while the exact side uses
     word 3-grams; on text the two spaces track closely, which is exactly
     what this query certifies end-to-end for the dedup family.
+
+    Scale caveat: past the 200-member mega-bucket cap the LSH pair
+    generator emits verified STAR edges instead of all tail pairs (by
+    design — see ``dedup.minhash_lsh_pairs``), so the 0.9 recall bound
+    applies to corpora whose duplicate clusters stay under the cap
+    (true of every test corpus; mass-duplication clusters are certified
+    for CONNECTIVITY by the star-edge pytest instead).
     """
     from ..stages.dedup import minhash_lsh_pairs, ngram_jaccard_exact_pairs
 
@@ -383,14 +390,26 @@ SELECT CAST(count(*) AS BIGINT) AS n_new,
 FROM newc n"""
 
 
-def simhash_accuracy(docs_aug_ds, max_hamming: int = 3):
-    """(n_exact_dup_pairs, all_exact_dups_found): the exact-duplicate
-    pair count over the two-crawl corpus (hash-checked vs the sha-group
-    SQL) plus the STRUCTURAL SimHash guarantee that every exact
-    duplicate pair is recovered — identical text gives an identical
-    64-bit signature, so Hamming 0 <= ``max_hamming`` and the 16-bit
-    chunk banding must surface the pair; any miss is a plumbing bug in
-    the explode/band/verify chain, which is what this certifies.
+def simhash_accuracy(docs_aug_ds, max_hamming: int = 3,
+                     cap: int = 200):
+    """(n_exact_dup_pairs, n_mega_groups, all_exact_dups_found): the
+    exact-duplicate pair count over the two-crawl corpus (hash-checked
+    vs the sha-group SQL) plus the STRUCTURAL SimHash guarantee that
+    every exact duplicate pair is recovered — identical text gives an
+    identical 64-bit signature, so Hamming 0 <= ``max_hamming`` and the
+    16-bit chunk banding must surface the pair; any miss is a plumbing
+    bug in the explode/band/verify chain, which is what this certifies.
+
+    Pair-complete recall is claimed ONLY for duplicate groups of at
+    most ``cap`` members — the same cap past which the pair generators
+    deliberately switch from quadratic emission to verified STAR edges
+    (tail-tail pairs are not emitted there by design).  Oversized
+    groups are counted EXACTLY into ``n_mega_groups`` (hash-checked;
+    their star-edge connectivity is pinned by
+    ``test_mega_bucket_star_edges_keep_members_connected``), so the
+    certificate stays green-and-honest at mass-duplication scale
+    instead of failing on a claim the scale design intentionally does
+    not make.
 
     Fully distributed: exact pairs are emitted inside sha groups behind
     the same coarse exchange as exact dedup (dup groups are
@@ -413,8 +432,8 @@ def simhash_accuracy(docs_aug_ds, max_hamming: int = 3):
     def emit_exact_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
         for _, part in g.groupby("text_sha", sort=False):
-            if len(part) < 2:
-                continue
+            if len(part) < 2 or len(part) > cap:
+                continue  # mega groups: counted, star-edge-certified
             ids = np.sort(part["doc_id"].to_numpy())
             iu, ju = np.triu_indices(len(ids), k=1)
             out_a.append(ids[iu])
@@ -462,21 +481,35 @@ def simhash_accuracy(docs_aug_ds, max_hamming: int = 3):
 
     tot = (per_pair.map_batches(reduce_partial, batch_format="pyarrow")
            .to_pandas().sum())
+
+    # exact count of oversized dup groups (star-edge regime) — one more
+    # sha-keyed exchange of per-batch count partials, group-domain output
+    sizes = grouped_aggregate(
+        docs_aug_ds.map_batches(
+            lambda b: add_text_sha(b.select(["doc_id", "text"]))
+            .select(["text_sha"]), batch_format="pyarrow"),
+        ["text_sha"], [("", "count", "n")])
+    n_mega = sizes.filter(expr=f"n > {cap}").count()
+
     return pd.DataFrame({
         "n_exact_dup_pairs": pd.Series([int(tot["n_exact_dup_pairs"])],
                                        dtype="int64"),
+        "n_mega_groups": pd.Series([int(n_mega)], dtype="int64"),
         "all_exact_dups_found": [bool(int(tot["n_missed"]) == 0)],
     })
 
 
-def simhash_accuracy_sql(docs_cte: str) -> str:
+def simhash_accuracy_sql(docs_cte: str, cap: int = 200) -> str:
     return f"""WITH {docs_cte},
 g AS (
   SELECT count(*) AS n FROM docs_aug
   GROUP BY sha256(text) HAVING count(*) > 1
 )
-SELECT CAST(coalesce(sum(n * (n - 1) / 2), 0) AS BIGINT)
+SELECT CAST(coalesce(sum(CASE WHEN n <= {cap} THEN n * (n - 1) / 2
+                         ELSE 0 END), 0) AS BIGINT)
          AS n_exact_dup_pairs,
+       CAST(coalesce(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_mega_groups,
        TRUE AS all_exact_dups_found
 FROM g"""
 

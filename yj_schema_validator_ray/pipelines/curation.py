@@ -368,13 +368,16 @@ def training_table(sf_dir: str, coarse: int = 1024):
 
 
 def training_table_sql() -> str:
+    # LEFT JOIN lateral unnest keeps zero-length/NULL embeddings as
+    # emb_q_sum=0 rows, matching the engine's cumsum-offsets path
+    # (an inner lateral would drop the vec_id entirely)
     return r"""
 WITH eq AS (
   SELECT vec_id,
          CAST(label AS BIGINT) AS label,
          CAST(coalesce(sum(CAST(floor(CAST(u.x AS DOUBLE) * 1000000)
                                 AS BIGINT)), 0) AS BIGINT) AS emb_q_sum
-  FROM embeddings, unnest(embedding) AS u(x)
+  FROM embeddings LEFT JOIN unnest(embedding) AS u(x) ON TRUE
   GROUP BY vec_id, label
 )
 SELECT d.doc_id,

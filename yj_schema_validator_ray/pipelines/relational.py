@@ -1148,10 +1148,12 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
         def lookup(self, t: pa.Table) -> tuple[pa.Table, np.ndarray]:
             k = t.column(self.key_col).to_numpy(zero_copy_only=False)
+            if len(self.keys) == 0:  # empty dimension -> all misses
+                return (t.filter(pa.array(np.zeros(len(k), bool))),
+                        self.vals[:0])
             pos = np.searchsorted(self.keys, k)
-            pos_c = np.minimum(pos, len(self.keys) - 1) if len(self.keys) \
-                else np.zeros(len(k), dtype=np.int64)
-            hit = (len(self.keys) > 0) & (self.keys[pos_c] == k)
+            pos_c = np.minimum(pos, len(self.keys) - 1)
+            hit = self.keys[pos_c] == k
             return t.filter(pa.array(hit)), self.vals[pos_c[hit]]
 
     class OrderNation(NationAttach):
@@ -1841,8 +1843,14 @@ def events_props_stats(sf_dir: str):
         for i, p in enumerate(t.column("props").to_pylist()):
             try:
                 v = json.loads(p)["k"]
+                # "good" = an exact JSON integer (or digit string) that
+                # fits int64 — the same set TRY_CAST(... AS BIGINT)
+                # accepts in the oracle; bools/floats/words are bad on
+                # BOTH sides
+                if isinstance(v, bool) or not isinstance(v, (int, str)):
+                    raise ValueError(v)
                 ks[i] = int(v)
-            except (TypeError, ValueError, KeyError):
+            except (TypeError, ValueError, KeyError, OverflowError):
                 ks[i] = 0
                 bad[i] = 1
         g = (pd.DataFrame({"event_type": types, "sum_k": ks,
@@ -1868,16 +1876,22 @@ def events_props_stats(sf_dir: str):
 
 
 def events_props_stats_sql() -> str:
+    # TRY_CAST: non-integer payloads (strings, overflow) become NULL and
+    # count into n_bad instead of hard-erroring the oracle; the coalesce
+    # sentinels mirror the engine's all-bad-group min/max exactly
     return """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS sum_k,
-       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS min_k,
-       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS max_k,
-       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+       CAST(coalesce(sum(TRY_CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)), 0) AS BIGINT) AS sum_k,
+       CAST(coalesce(min(TRY_CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)),
+                     9223372036854775807) AS BIGINT) AS min_k,
+       CAST(coalesce(max(TRY_CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)),
+                     -9223372036854775808) AS BIGINT) AS max_k,
+       CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                          AS BIGINT) IS NULL
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
 FROM events GROUP BY event_type"""
 
@@ -2019,9 +2033,18 @@ def q10_returned_items(sf_dir: str, start: str = "1996-01-01",
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = t.column("o_custkey").to_numpy()
+            n = len(keys)
+            if len(self.ids) == 0:  # empty dimension -> all misses
+                return pa.table({
+                    "c_custkey": keys,
+                    "c_name": pa.array([None] * n, pa.string()),
+                    "n_name": pa.array([None] * n, pa.string()),
+                    "revenue_e4": pc.cast(t.column("revenue_e4"),
+                                          pa.int64()),
+                })
             idx = np.searchsorted(self.ids, keys)
-            idx = np.clip(idx, 0, max(len(self.ids) - 1, 0))
-            hit = (len(self.ids) > 0) & (self.ids[idx] == keys)
+            idx = np.clip(idx, 0, len(self.ids) - 1)
+            hit = self.ids[idx] == keys
             return pa.table({
                 "c_custkey": keys,
                 "c_name": pa.array(

@@ -58,18 +58,36 @@ def global_rank(ds, key_col: str, id_col: str, descending: bool = True,
     ref = ray.put((keys_nat[nat_order], excl.astype(np.int64)[nat_order]))
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        # one COARSE bucket per call (many keys): one vectorized lexsort
+        # over the bucket, per-key offsets via searchsorted run starts —
+        # no per-distinct-key Ray group (CLAUDE.md high-cardinality rule)
         keys_sorted, offs_sorted = ray.get(ref)
-        out = []
-        for key, grp in g.groupby(key_col, sort=False):
-            ids = np.sort(grp[id_col].to_numpy())
-            base = int(offs_sorted[np.searchsorted(keys_sorted, key)])
-            out.append(pd.DataFrame({
-                id_col: ids, key_col: grp[key_col].iloc[0],
-                rank_col: base + 1 + np.arange(len(ids), dtype=np.int64),
-            }))
-        return pd.concat(out, ignore_index=True)
+        if g.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 key_col: pd.Series(dtype="int64"),
+                                 rank_col: pd.Series(dtype="int64")})
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        starts = np.concatenate(([0], np.flatnonzero(
+            keys[1:] != keys[:-1]) + 1))
+        within = np.arange(len(ids), dtype=np.int64) \
+            - np.repeat(starts, np.diff(np.concatenate((starts,
+                                                        [len(ids)]))))
+        base = offs_sorted[np.searchsorted(keys_sorted, keys)]
+        return pd.DataFrame({id_col: ids, key_col: keys,
+                             rank_col: (base + 1 + within).astype("int64")})
 
-    return (proj.groupby(key_col, num_partitions=shuffle_partitions())
+    from .exact_agg import hash_columns
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        kh = hash_columns(t.select([key_col]))
+        return t.append_column(
+            "__coarse", pa.array((kh & np.uint64(1023)).astype(np.int64)))
+
+    return (proj.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
             .map_groups(rank_group, batch_format="pandas"))
 
 

@@ -939,6 +939,9 @@ def tfidf_top_terms_distributed(docs_ds, k: int = 3):
                              "df": df_count.astype("int64")})
 
     def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # one COARSE doc bucket per call (many docs): vectorized sort +
+        # per-doc head inside — never one Ray group per document
+        # (CLAUDE.md high-cardinality rule)
         g = g.sort_values(["doc_id", "tf", "df", "term"],
                           ascending=[True, False, True, True],
                           kind="mergesort")
@@ -947,11 +950,19 @@ def tfidf_top_terms_distributed(docs_ds, k: int = 3):
                       ).astype("int64")
         return out[["doc_id", "term", "tf", "df", "rnk"]]
 
+    def add_doc_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.dedup import coarse_mix
+
+        df = df[["doc_id", "term", "tf", "df"]].copy()
+        df["__dc"] = coarse_mix(df["doc_id"].to_numpy(), 1023)
+        return df
+
     nsp = shuffle_partitions()
     return (docs_ds.map_batches(tf_rows, batch_format="pandas")
             .groupby("__coarse", num_partitions=nsp)
             .map_groups(attach_df, batch_format="pandas")
-            .groupby("doc_id", num_partitions=nsp)
+            .map_batches(add_doc_coarse, batch_format="pandas")
+            .groupby("__dc", num_partitions=nsp)
             .map_groups(doc_topk, batch_format="pandas"))
 
 
