@@ -118,3 +118,25 @@ def test_quality_filter_q0_keeps_all(ray_session):
 
     got = quality_length_filter(docs, q=1.0).to_pandas()
     assert sorted(got["doc_id"]) == [3]  # only the max length survives
+
+
+def test_global_rank_high_cardinality_keys(ray_session):
+    """Near-unique keys (the regime the coarse-bucketed final exchange
+    exists for): 20k distinct values rank correctly and the plan never
+    creates one Ray group per key."""
+    import pyarrow as pa
+    import ray
+
+    rng = np.random.RandomState(5)
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64)
+    keys = rng.permutation(n).astype(np.int64)  # all distinct
+    tbl = pa.table({"doc_id": pa.array(ids), "k": pa.array(keys)})
+    got = (global_rank(ray.data.from_arrow(tbl).repartition(8),
+                       "k", "doc_id").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = (pd.DataFrame({"doc_id": ids, "k": keys})
+           .sort_values(["k", "doc_id"], ascending=[False, True]))
+    exp["rank"] = np.arange(1, n + 1, dtype=np.int64)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    assert (got["rank"].to_numpy() == exp["rank"].to_numpy()).all()
