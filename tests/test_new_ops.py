@@ -233,3 +233,49 @@ def test_embedding_norm_stats_empty_vector(ray_session):
     assert got["dim"].tolist() == [2, 0]
     # floor(1e6*0.25) + floor(1e6*4.0) = 250000 + 4000000
     assert got["q_norm_sum"].tolist() == [4250000, 0]
+
+
+def test_embedding_norm_stats_null_elements(ray_session):
+    # element-level nulls inside a vector: SQL sum() skips NULL terms, so
+    # the engine must contribute exactly 0 for them (never NaN->INT64_MIN)
+    from yj_schema_validator_ray.stages.ann import embedding_norm_stats
+
+    ds = _ds(pa.table({
+        "vec_id": pa.array([0], pa.int64()),
+        "embedding": pa.array([[0.5, None, 2.0]], pa.list_(pa.float32())),
+    }))
+    got = embedding_norm_stats(ds).to_pandas()
+    assert got["dim"].tolist() == [3]
+    assert got["q_norm_sum"].tolist() == [4250000]
+
+
+def test_mixed_mega_bucket_keeps_small_sha_groups_pair_complete():
+    # A band bucket larger than the cap that MIXES several small same-sha
+    # groups: every within-group pair must still be emitted (the capped
+    # head+star regime alone would drop tail-tail pairs of late groups).
+    from yj_schema_validator_ray.stages.dedup import _emit_band_pairs
+
+    groups = []  # (sha64, simhash, id_range) — same chunk0 val for all
+    base = 0x1234
+    for gi in range(5):  # 5 groups x 60 = 300 members in one bucket
+        sig = base | (gi << 16)  # chunk0 val identical, chunk1 differs
+        ids = np.arange(gi * 60, gi * 60 + 60, dtype=np.int64)
+        groups.append((gi + 1, sig, ids))
+    rows = {"chunk": [], "val": [], "doc_id": [], "simhash": [],
+            "sha64": []}
+    for sha64, sig, ids in groups:
+        rows["chunk"].extend([0] * len(ids))
+        rows["val"].extend([base] * len(ids))
+        rows["doc_id"].extend(ids.tolist())
+        rows["simhash"].extend([sig] * len(ids))
+        rows["sha64"].extend([sha64] * len(ids))
+    g = pd.DataFrame({k: pd.Series(v, dtype="int64")
+                      for k, v in rows.items()})
+    # shuffle row order: emission must not depend on input order
+    g = g.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    pairs = _emit_band_pairs(g, max_hamming=3, cap=200)
+    got = set(zip(pairs["a"].tolist(), pairs["b"].tolist()))
+    for sha64, sig, ids in groups:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in got, (sha64, ids[i], ids[j])

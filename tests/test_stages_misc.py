@@ -960,3 +960,90 @@ def test_jpeg_odd_sizes_and_decode_image_dispatch():
     color = np.stack([g, g[::-1], g[:, ::-1]], axis=-1)
     assert decode_jpeg(encode_jpeg(color, subsampling="420")).shape \
         == (13, 21, 3)
+
+
+def test_attach_dim_adaptive_plans_agree(ray_session):
+    """attach_dim_adaptive's broadcast and shuffle plans return identical
+    rows for both how='left' and how='inner', including FK orphans and
+    dim rows nobody references."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.dimjoin import attach_dim_adaptive
+
+    fact = pd.DataFrame({
+        "k": pd.Series([1, 2, 3, 99, 2], dtype="int64"),  # 99 is an orphan
+        "v": pd.Series([10, 20, 30, 40, 50], dtype="int64"),
+    })
+    dim = pd.DataFrame({
+        "dk": pd.Series([1, 2, 3, 4], dtype="int64"),  # 4 unreferenced
+        "name": ["a", "b", "c", "d"],
+        "seg": ["x", "y", "z", "w"],
+    })
+
+    def run(how, **kw):
+        out = attach_dim_adaptive(
+            ray.data.from_pandas(fact).map_batches(
+                lambda t: t, batch_format="pyarrow"),
+            "k",
+            ray.data.from_pandas(dim).map_batches(
+                lambda t: t, batch_format="pyarrow"),
+            "dk", ["name", "seg"], how=how, **kw).to_pandas()
+        out["name"] = out["name"].astype(object).where(out["name"].notna(),
+                                                       None)
+        out["seg"] = out["seg"].astype(object).where(out["seg"].notna(),
+                                                     None)
+        return sorted(map(tuple, out[["k", "v", "name", "seg"]]
+                          .itertuples(index=False)))
+
+    for how in ("left", "inner"):
+        bcast = run(how)
+        shuffle = run(how, broadcast_max_bytes=0)
+        assert bcast == shuffle, how
+        if how == "inner":
+            assert bcast == [(1, 10, "a", "x"), (2, 20, "b", "y"),
+                             (2, 50, "b", "y"), (3, 30, "c", "z")]
+        else:
+            assert (99, 40, None, None) in bcast and len(bcast) == 5
+
+
+def test_relational_integrity_edge_plans_agree(ray_session, tmp_path):
+    """The FK-audit broadcast and exchange plans count rows/orphans
+    identically, including referencing-side duplicates and orphans."""
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.pipelines.relational import (
+        relational_integrity)
+
+    # minimal warehouse: 2 orphan orders (custkeys 777, 888), dup refs
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(8), pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 3, 777, 888, 2, 1], pa.int64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1, 9], pa.int64()),  # 9 orphan
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_regionkey": pa.array([0, 5], pa.int64()),  # 5 orphan
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], pa.int64()),
+    }), tmp_path / "region.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([0, 0, 1, 42], pa.int64()),  # 42 orphan
+    }), tmp_path / "lineitem.parquet")
+
+    expect = pd.DataFrame({
+        "fk": ["customer.c_nationkey->nation",
+               "lineitem.l_orderkey->orders",
+               "nation.n_regionkey->region",
+               "orders.o_custkey->customer"],
+        "n_rows": pd.Series([4, 4, 2, 8], dtype="int64"),
+        "n_orphans": pd.Series([1, 1, 1, 2], dtype="int64"),
+    })
+    for budget in (256 << 20, 0):  # broadcast plan, then exchange plan
+        got = (relational_integrity(str(tmp_path),
+                                    broadcast_max_bytes=budget)
+               .sort_values("fk").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, expect)

@@ -402,8 +402,11 @@ def simhash_accuracy(docs_aug_ds, max_hamming: int = 3,
 
     Pair-complete recall is claimed ONLY for duplicate groups of at
     most ``cap`` members — the same cap past which the pair generators
-    deliberately switch from quadratic emission to verified STAR edges
-    (tail-tail pairs are not emitted there by design).  Oversized
+    deliberately switch from quadratic emission to verified STAR edges.
+    The claim holds even when an oversized BAND bucket mixes several
+    small same-sha groups: ``simhash_pairs`` sorts bucket runs by sha64
+    so same-sha members are contiguous and emits full quadratic for
+    every same-sha run <= ``cap`` touching the capped tail.  Oversized
     groups are counted EXACTLY into ``n_mega_groups`` (hash-checked;
     their star-edge connectivity is pinned by
     ``test_mega_bucket_star_edges_keep_members_connected``), so the

@@ -103,11 +103,17 @@ GROUP BY l_returnflag, l_linestatus"""
 
 def top_customers(sf_dir: str, k: int = 10):
     """Revenue top-k customers: orders groupby custkey (shuffle over
-    pre-aggregated partials) + BROADCAST join to the small customer
-    dimension (ray.put once, dict lookup per batch — no shuffle join)."""
+    pre-aggregated partials) + SIZE-ADAPTIVE attach of the customer
+    dimension (:func:`..stages.dimjoin.attach_dim_adaptive`) — customer
+    scales with the fact tables, so it broadcasts only under a byte
+    budget and co-locates through one coarse-hash exchange above it.
+    INNER semantics (FK orphans drop), matching the SQL oracle."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
+
+    from ..stages.dimjoin import attach_dim_adaptive
+    from ..util import shuffle_partitions
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
@@ -120,51 +126,27 @@ def top_customers(sf_dir: str, k: int = 10):
         return (tt.group_by(["o_custkey"]).aggregate([("total_price_cents", "sum")])
                 .rename_columns(["o_custkey", "total_price_cents"]))
 
-    from ..util import shuffle_partitions
-
     per_cust = (orders.map_batches(partial, batch_format="pyarrow")
                 .groupby("o_custkey", num_partitions=shuffle_partitions())
                 .aggregate(Sum("total_price_cents", alias_name="total_price_cents")))
 
-    cust_tbl = pa.concat_tables(ray.get(
-        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                              columns=["c_custkey", "c_name", "c_mktsegment"])
-        .to_arrow_refs()))
-    _ck = cust_tbl.column("c_custkey").to_numpy()
-    _order = np.argsort(_ck)
-    ref = ray.put((_ck[_order],
-                   cust_tbl.column("c_name").to_numpy(zero_copy_only=False)[_order],
-                   cust_tbl.column("c_mktsegment").to_numpy(zero_copy_only=False)[_order]))
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name",
+                                          "c_mktsegment"])
+    joined = attach_dim_adaptive(per_cust, "o_custkey", cust, "c_custkey",
+                                 ["c_name", "c_mktsegment"], how="inner")
 
-    class AttachName:
-        """Broadcast dim lookup, vectorized: sorted-key searchsorted per
-        batch instead of a per-row dict get."""
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "c_name": t.column("c_name"),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "total_price_cents": t.column("total_price_cents"),
+        })
 
-        def __init__(self, r):
-            self.ids, self.names, self.mkts = ray.get(r)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("o_custkey").to_numpy()
-            if len(self.ids) == 0:  # empty dimension -> all misses
-                names = np.full(len(keys), None, dtype=object)
-                mkts = np.full(len(keys), None, dtype=object)
-            else:
-                pos = np.searchsorted(self.ids, keys).clip(max=len(self.ids) - 1)
-                hit = self.ids[pos] == keys
-                names = np.where(hit, self.names[pos], None)
-                mkts = np.where(hit, self.mkts[pos], None)
-            return pa.table({
-                "c_custkey": pa.array(keys, pa.int64()),
-                "c_name": pa.array(names, pa.string()),
-                "c_mktsegment": pa.array(mkts, pa.string()),
-                "total_price_cents": t.column("total_price_cents"),
-            })
-
-    from ..util import process_cached, ref_key
-
-    joined = per_cust.map_batches(process_cached(AttachName, ref_key(ref), ref),
-                                  batch_format="pyarrow")
-    top = joined.sort(["total_price_cents", "c_custkey"], descending=[True, False]).limit(k)
+    top = (joined.map_batches(finalize, batch_format="pyarrow")
+           .sort(["total_price_cents", "c_custkey"],
+                 descending=[True, False]).limit(k))
 
     def add_rank(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["total_price_cents", "c_custkey"],
@@ -1934,8 +1916,10 @@ def q10_returned_items(sf_dir: str, start: str = "1996-01-01",
     sides co-locate through one :func:`~..stages.dedup.coarse_mix`
     exchange, the per-customer reduce runs through
     :func:`~..stages.exact_agg.grouped_aggregate`, and the
-    customer/nation dims attach via one ``ray.put`` broadcast
-    (vectorized searchsorted).  Only the final top-k sorts.
+    customer/nation dims attach via
+    :func:`~..stages.dimjoin.attach_dim_adaptive` (broadcast under a
+    byte budget, coarse-hash exchange above — customer is NOT assumed
+    dimension-scale).  Only the final top-k sorts.
     """
     import ray
     import ray.data
@@ -2008,57 +1992,36 @@ def q10_returned_items(sf_dir: str, start: str = "1996-01-01",
     per_cust = grouped_aggregate(
         joined, ["o_custkey"], [("revenue_e4", "sum", "revenue_e4")])
 
-    cust = pa.concat_tables(ray.get(
-        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                              columns=["c_custkey", "c_name",
-                                       "c_nationkey"]).to_arrow_refs()))
-    nation = pa.concat_tables(ray.get(
-        ray.data.read_parquet(f"{sf_dir}/nation.parquet",
-                              columns=["n_nationkey", "n_name"])
-        .to_arrow_refs()))
-    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
-                    nation.column("n_name").to_pylist()))
-    ck = cust.column("c_custkey").to_numpy()
-    order = np.argsort(ck)
-    ref = ray.put((
-        ck[order],
-        cust.column("c_name").to_numpy(zero_copy_only=False)[order],
-        np.array([nmap.get(x) for x in
-                  cust.column("c_nationkey").to_pylist()],
-                 dtype=object)[order]))
+    # customer dim enriched with n_name, then attached SIZE-ADAPTIVELY
+    # (customer scales with the fact tables — broadcast only under a
+    # byte budget, coarse-hash exchange above it).  Both attaches are
+    # INNER: FK orphans (customer missing, or customer with an unknown
+    # nation) drop, matching the oracle's inner joins.
+    from ..stages.dimjoin import attach_dim_adaptive
 
-    class AttachDims:
-        def __init__(self, r):
-            self.ids, self.names, self.nations = ray.get(r)
+    nation_ds = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                      columns=["n_nationkey", "n_name"])
+    cust_ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                    columns=["c_custkey", "c_name",
+                                             "c_nationkey"])
+    cust_dim = attach_dim_adaptive(cust_ds, "c_nationkey", nation_ds,
+                                   "n_nationkey", ["n_name"], how="inner")
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("o_custkey").to_numpy()
-            n = len(keys)
-            if len(self.ids) == 0:  # empty dimension -> all misses
-                return pa.table({
-                    "c_custkey": keys,
-                    "c_name": pa.array([None] * n, pa.string()),
-                    "n_name": pa.array([None] * n, pa.string()),
-                    "revenue_e4": pc.cast(t.column("revenue_e4"),
-                                          pa.int64()),
-                })
-            idx = np.searchsorted(self.ids, keys)
-            idx = np.clip(idx, 0, len(self.ids) - 1)
-            hit = self.ids[idx] == keys
-            return pa.table({
-                "c_custkey": keys,
-                "c_name": pa.array(
-                    np.where(hit, self.names[idx], None), pa.string()),
-                "n_name": pa.array(
-                    np.where(hit, self.nations[idx], None), pa.string()),
-                "revenue_e4": pc.cast(t.column("revenue_e4"), pa.int64()),
-            })
+    joined = attach_dim_adaptive(per_cust, "o_custkey", cust_dim,
+                                 "c_custkey", ["c_name", "n_name"],
+                                 how="inner")
 
-    top = (per_cust.map_batches(
-        process_cached(AttachDims, ref_key(ref), ref),
-        batch_format="pyarrow")
-        .sort(["revenue_e4", "c_custkey"], descending=[True, False])
-        .limit(k).to_pandas())
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "c_name": t.column("c_name"),
+            "n_name": t.column("n_name"),
+            "revenue_e4": pc.cast(t.column("revenue_e4"), pa.int64()),
+        })
+
+    top = (joined.map_batches(finalize, batch_format="pyarrow")
+           .sort(["revenue_e4", "c_custkey"], descending=[True, False])
+           .limit(k).to_pandas())
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top
 
@@ -2324,19 +2287,21 @@ ORDER BY p.qty_centi DESC, p.o_orderkey
 LIMIT {k}"""
 
 
-def relational_integrity(sf_dir: str):
+def relational_integrity(sf_dir: str,
+                         broadcast_max_bytes: int = 256 << 20):
     """Multi-foreign-key integrity audit across the warehouse tables:
     one row per FK edge with the referencing row count and the orphan
     count — the cross-TABLE counterpart of the corpus-level
     ``ref_integrity`` constraint.
 
-    Scale shapes per edge: small referenced sides (nation, customer at
-    dimension scale) broadcast as sorted key arrays (``pc.is_in``
-    inside a stateless scan); the LARGE-LARGE edge
-    (lineitem.l_orderkey -> orders.o_orderkey) audits through one
-    coarse-hash exchange of side-tagged DEDUPED key partials — at
-    100 TB neither side broadcasts, and only distinct keys per batch
-    cross the wire.
+    Scale shapes per edge, SIZE-ADAPTIVE: a referenced key set under a
+    byte budget broadcasts as a sorted key array (``pc.is_in`` inside a
+    stateless scan); above the budget — customer/orders scale with the
+    fact tables, so no referenced side is ASSUMED dimension-scale —
+    the edge audits through one coarse-hash exchange of side-tagged
+    DEDUPED key partials (only distinct keys per batch cross the
+    wire).  lineitem->orders always takes the exchange plan; both
+    plans are pinned result-identical in ``tests/test_stages_misc``.
     """
     import ray
     import ray.data
@@ -2345,14 +2310,15 @@ def relational_integrity(sf_dir: str):
     from ..util import process_cached, ref_key, shuffle_partitions
 
     rows = []
+    coarse = 1024
 
-    # --- broadcast edges: referenced side is dimension-scale ---------
-    def broadcast_edge(fk_name, table, col, ref_table, ref_col):
-        keys_tbl = pa.concat_tables(ray.get(
-            ray.data.read_parquet(f"{sf_dir}/{ref_table}.parquet",
-                                  columns=[ref_col]).to_arrow_refs()))
-        keys = pc.cast(keys_tbl.column(ref_col), pa.int64())
-        bref = ray.put(pa.array(sorted(set(keys.to_pylist())), pa.int64()))
+    # --- broadcast plan: referenced key set fits a byte budget -------
+    def broadcast_edge(fk_name, table, col, ref_keys_ds):
+        keys_tbl = pa.concat_tables(ray.get(ref_keys_ds.to_arrow_refs()))
+        keys = pc.cast(keys_tbl.column(keys_tbl.schema.names[0]),
+                       pa.int64())
+        uniq = np.sort(pc.unique(keys).to_numpy(zero_copy_only=False))
+        bref = ray.put(pa.array(uniq, pa.int64()))
 
         class Audit:
             def __init__(self, r):
@@ -2373,58 +2339,76 @@ def relational_integrity(sf_dir: str):
                             batch_format="pyarrow").to_pandas().sum())
         rows.append((fk_name, int(agg["n_rows"]), int(agg["n_orphans"])))
 
-    broadcast_edge("orders.o_custkey->customer", "orders", "o_custkey",
-                   "customer", "c_custkey")
-    broadcast_edge("customer.c_nationkey->nation", "customer",
-                   "c_nationkey", "nation", "n_nationkey")
-    broadcast_edge("nation.n_regionkey->region", "nation", "n_regionkey",
-                   "region", "r_regionkey")
+    # --- exchange plan: neither side broadcasts; side-tagged DEDUPED
+    # key partials co-locate through one coarse-hash groupby ----------
+    def exchange_edge(fk_name, table, col, ref_keys_ds, ref_col):
+        def referencing_keys(t: pa.Table) -> pa.Table:
+            g = (pa.table({"k": pc.cast(t.column(col), pa.int64())})
+                 .group_by(["k"]).aggregate([([], "count_all")])
+                 .rename_columns(["k", "n_ref"]))
+            keys = g.column("k")
+            n = g.num_rows
+            return pa.table({
+                "k": keys, "n_ref": pc.cast(g.column("n_ref"), pa.int64()),
+                "present": pa.array(np.zeros(n, np.int64)),
+                "__coarse": pa.array(coarse_mix(keys.to_numpy(),
+                                                coarse - 1), pa.int64()),
+            })
 
-    # --- large-large edge: lineitem -> orders through one exchange ---
-    coarse = 1024
+        def referenced_keys(t: pa.Table) -> pa.Table:
+            keys = pc.cast(t.column(ref_col), pa.int64())
+            n = t.num_rows
+            return pa.table({
+                "k": keys,
+                "n_ref": pa.array(np.zeros(n, np.int64)),
+                "present": pa.array(np.ones(n, np.int64)),
+                "__coarse": pa.array(coarse_mix(keys.to_numpy(),
+                                                coarse - 1), pa.int64()),
+            })
 
-    def li_keys(t: pa.Table) -> pa.Table:
-        g = (pa.table({"k": pc.cast(t.column("l_orderkey"), pa.int64())})
-             .group_by(["k"]).aggregate([([], "count_all")])
-             .rename_columns(["k", "n_ref"]))
-        keys = g.column("k")
-        n = g.num_rows
-        return pa.table({
-            "k": keys, "n_ref": pc.cast(g.column("n_ref"), pa.int64()),
-            "present": pa.array(np.zeros(n, np.int64)),
-            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
-                                 pa.int64()),
-        })
+        def audit_group(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("k", sort=False).agg(
+                n_ref=("n_ref", "sum"), present=("present", "max"))
+            orphans = int(agg.loc[agg["present"] == 0, "n_ref"].sum())
+            return pd.DataFrame({"n_rows": [int(agg["n_ref"].sum())],
+                                 "n_orphans": [orphans]})
 
-    def order_keys(t: pa.Table) -> pa.Table:
-        keys = pc.cast(t.column("o_orderkey"), pa.int64())
-        n = t.num_rows
-        return pa.table({
-            "k": keys,
-            "n_ref": pa.array(np.zeros(n, np.int64)),
-            "present": pa.array(np.ones(n, np.int64)),
-            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
-                                 pa.int64()),
-        })
+        refing = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                       columns=[col])
+        tot = (refing.map_batches(referencing_keys, batch_format="pyarrow")
+               .union(ref_keys_ds.map_batches(referenced_keys,
+                                              batch_format="pyarrow"))
+               .groupby("__coarse", num_partitions=shuffle_partitions())
+               .map_groups(audit_group, batch_format="pandas")
+               .to_pandas().sum())
+        rows.append((fk_name, int(tot["n_rows"]), int(tot["n_orphans"])))
 
-    def audit_group(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("k", sort=False).agg(
-            n_ref=("n_ref", "sum"), present=("present", "max"))
-        orphans = int(agg.loc[agg["present"] == 0, "n_ref"].sum())
-        return pd.DataFrame({"n_rows": [int(agg["n_ref"].sum())],
-                             "n_orphans": [orphans]})
+    # --- size-adaptive dispatch: broadcast only under a byte budget.
+    # nation/region are genuinely dimension-scale; customer and orders
+    # scale with the fact tables, so their edges must survive the
+    # referenced side outgrowing worker heaps (the exchange plan). ----
+    def audit_edge(fk_name, table, col, ref_table, ref_col):
+        ref_keys_ds = ray.data.read_parquet(
+            f"{sf_dir}/{ref_table}.parquet",
+            columns=[ref_col]).materialize()
+        size = ref_keys_ds.size_bytes() or broadcast_max_bytes + 1
+        if size <= broadcast_max_bytes:
+            broadcast_edge(fk_name, table, col, ref_keys_ds)
+        else:
+            exchange_edge(fk_name, table, col, ref_keys_ds, ref_col)
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
-                               columns=["l_orderkey"])
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey"])
-    tot = (li.map_batches(li_keys, batch_format="pyarrow")
-           .union(orders.map_batches(order_keys, batch_format="pyarrow"))
-           .groupby("__coarse", num_partitions=shuffle_partitions())
-           .map_groups(audit_group, batch_format="pandas")
-           .to_pandas().sum())
-    rows.append(("lineitem.l_orderkey->orders", int(tot["n_rows"]),
-                 int(tot["n_orphans"])))
+    audit_edge("orders.o_custkey->customer", "orders", "o_custkey",
+               "customer", "c_custkey")
+    audit_edge("customer.c_nationkey->nation", "customer",
+               "c_nationkey", "nation", "n_nationkey")
+    audit_edge("nation.n_regionkey->region", "nation", "n_regionkey",
+               "region", "r_regionkey")
+    # lineitem -> orders is always large-large: force the exchange plan
+    # (also keeps it continuously exercised at test scale)
+    exchange_edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+                  ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                        columns=["o_orderkey"]),
+                  "o_orderkey")
 
     return pd.DataFrame({
         "fk": [r[0] for r in rows],

@@ -453,7 +453,12 @@ def embedding_norm_stats(emb_ds):
         col = t.column("embedding")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        flat_arr = col.flatten()
+        if flat_arr.null_count:
+            # element-level nulls: SQL's sum() skips them (contributes 0);
+            # NaN from to_numpy would floor to INT64_MIN garbage instead
+            flat_arr = flat_arr.fill_null(0.0)
+        flat = flat_arr.to_numpy(zero_copy_only=False).astype(np.float64)
         q = np.floor(flat * flat * 1e6).astype(np.int64)
         lens = pc.list_value_length(col).fill_null(0).to_numpy()
         offs = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))

@@ -588,7 +588,7 @@ class SimHasher:
 
     def __init__(self):
         import re
-        self.tok = re.compile(r"\w+")
+        self.tok = re.compile(r"[0-9A-Za-z_]+")  # ASCII class == RE2 \w (oracle parity)
 
     def simhash(self, text: str) -> int:
         tokens = self.tok.findall(text.lower())
@@ -634,15 +634,34 @@ class SimHasher:
                 sh[nz] = ((score > 0).astype(np.uint64)
                           << np.arange(64, dtype=np.uint64)[None, :]
                           ).sum(axis=1, dtype=np.uint64)
+        # sha64 = first 8 bytes of sha256(text): lets the pair generator
+        # keep same-sha (exact-dup) members CONTIGUOUS inside oversized
+        # band buckets, so the exact-dup pair-completeness certificate
+        # (accuracy.simhash_accuracy) holds structurally past the cap
+        sha64 = np.fromiter(
+            (int.from_bytes(hashlib.sha256(t.encode("utf-8")).digest()[:8],
+                            "little") for t in texts),
+            np.uint64, ndocs).view(np.int64) if ndocs else \
+            np.empty(0, np.int64)
         return pa.table({"doc_id": batch.column("doc_id"),
                          "simhash": pa.array(sh.astype(np.int64),
-                                             pa.int64())})
+                                             pa.int64()),
+                         "sha64": pa.array(sha64, pa.int64())})
 
 
 def simhash_pairs(docs_ds, max_hamming: int = 3):
     """Near-dup pairs by simhash: band the 64 bits into 4 x 16-bit chunks
     (any chunk equal -> candidate; Hamming<=3 guarantees a chunk match),
-    verify Hamming distance on the full hash."""
+    verify Hamming distance on the full hash.
+
+    Oversized band buckets (>200 members) switch from quadratic emission
+    to head-200 quadratic + verified star edges, PLUS full quadratic for
+    every same-sha run (<=200 members) touching the capped tail — so the
+    exact-duplicate pair-completeness certificate
+    (:func:`..pipelines.accuracy.simhash_accuracy`) holds structurally
+    even when a mega bucket mixes several small identical-text groups.
+    Pairs are emitted (min, max)-normalized and MAY repeat across bands /
+    straddling runs; consumers aggregate or dedupe per (a, b)."""
     from ..util import process_cached
 
     sigs = docs_ds.map_batches(process_cached(SimHasher, ()),
@@ -652,16 +671,19 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         sh = batch.column("simhash").to_numpy(
             zero_copy_only=False).astype(np.uint64)
-        chunks, vals, oid, osh = [], [], [], []
+        sha64 = batch.column("sha64").to_numpy(zero_copy_only=False)
+        chunks, vals, oid, osh, osha = [], [], [], [], []
         for c in range(4):
             chunks.append(np.full(len(ids), c, dtype=np.int64))
             vals.append(((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64))
             oid.append(ids)
             osh.append(sh.astype(np.int64))
+            osha.append(sha64)
         return pa.table({"chunk": pa.array(np.concatenate(chunks)),
                          "val": pa.array(np.concatenate(vals)),
                          "doc_id": pa.array(np.concatenate(oid)),
-                         "simhash": pa.array(np.concatenate(osh))})
+                         "simhash": pa.array(np.concatenate(osh)),
+                         "sha64": pa.array(np.concatenate(osha))})
 
     # coarse-grouped vectorized pair generation (same pattern as
     # minhash_lsh_pairs: one map_groups call per coarse hash group, numpy
@@ -671,50 +693,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
                                                  t.column("chunk")), 255)
         return t.append_column("coarse", coarse)
 
-    def emit_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["chunk", "val", "doc_id"])
-        chunk = g["chunk"].to_numpy()
-        val = g["val"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        change = np.flatnonzero((chunk[1:] != chunk[:-1]) | (val[1:] != val[:-1]))
-        starts = np.concatenate(([0], change + 1))
-        ends = np.concatenate((change + 1, [len(ids)]))
-        out_a, out_b, out_h = [], [], []
-        def _ham(x: np.ndarray) -> np.ndarray:
-            # vectorized popcount via unpackbits on the 8 bytes
-            return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
-                                 axis=1).sum(axis=1)
-
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            run_ids = ids[s:e][:200]
-            run_hs = hs[s:e][:200]
-            iu, ju = np.triu_indices(len(run_ids), k=1)
-            ham = _ham(run_hs[iu] ^ run_hs[ju])
-            keep = ham <= max_hamming
-            out_a.append(run_ids[iu][keep])
-            out_b.append(run_ids[ju][keep])
-            out_h.append(ham[keep].astype(np.int64))
-            if e - s > 200:
-                # mega-bucket tail: star edges to the bucket head (full
-                # Hamming verify per edge) instead of a silent drop —
-                # linear emission keeps every member a candidate
-                tail_ids = ids[s:e][200:]
-                ham_t = _ham(hs[s:e][200:] ^ hs[s])
-                keep_t = ham_t <= max_hamming
-                out_a.append(np.full(int(keep_t.sum()), ids[s],
-                                     dtype=ids.dtype))
-                out_b.append(tail_ids[keep_t])
-                out_h.append(ham_t[keep_t].astype(np.int64))
-        if not out_a:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b),
-                             "hamming": np.concatenate(out_h)})
+    from functools import partial
 
     from ..util import shuffle_partitions
     from .exact_agg import grouped_aggregate
@@ -723,8 +702,80 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     raw = (sigs.map_batches(explode, batch_format="pyarrow")
            .map_batches(add_coarse, batch_format="pyarrow")
            .groupby("coarse", num_partitions=nsp)
-           .map_groups(emit_pairs_part, batch_format="pandas"))
+           .map_groups(partial(_emit_band_pairs, max_hamming=max_hamming),
+                       batch_format="pandas"))
     return grouped_aggregate(raw, ["a", "b"], [("hamming", "min", "hamming")])
+
+
+def _emit_band_pairs(g: pd.DataFrame, max_hamming: int = 3,
+                     cap: int = 200) -> pd.DataFrame:
+    """One coarse group of exploded (chunk, val, doc_id, simhash, sha64)
+    band rows -> verified candidate pairs.  Module-level so the capped
+    mixed-mega-bucket regime is unit-testable on synthetic signatures."""
+    # sha64 in the sort key keeps exact-dup (same-sha) members
+    # CONTIGUOUS within each band bucket, so the capped regime below
+    # can still emit every same-sha pair for sha groups <= cap
+    g = g.sort_values(["chunk", "val", "sha64", "doc_id"])
+    chunk = g["chunk"].to_numpy()
+    val = g["val"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    hs = g["simhash"].to_numpy().astype(np.uint64)
+    sha = g["sha64"].to_numpy()
+    change = np.flatnonzero((chunk[1:] != chunk[:-1]) | (val[1:] != val[:-1]))
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [len(ids)]))
+    out_a, out_b, out_h = [], [], []
+
+    def _ham(x: np.ndarray) -> np.ndarray:
+        # vectorized popcount via unpackbits on the 8 bytes
+        return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                             axis=1).sum(axis=1)
+
+    def _quad(lo: int, hi: int) -> None:
+        iu, ju = np.triu_indices(hi - lo, k=1)
+        seg_ids, seg_hs = ids[lo:hi], hs[lo:hi]
+        ham = _ham(seg_hs[iu] ^ seg_hs[ju])
+        keep = ham <= max_hamming
+        a, b = seg_ids[iu][keep], seg_ids[ju][keep]
+        out_a.append(np.minimum(a, b))
+        out_b.append(np.maximum(a, b))
+        out_h.append(ham[keep].astype(np.int64))
+
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        _quad(s, min(e, s + cap))
+        if e - s > cap:
+            # mega-bucket tail: star edges to the bucket head (full
+            # Hamming verify per edge) instead of a silent drop —
+            # linear emission keeps every member a candidate
+            tail_ids = ids[s:e][cap:]
+            ham_t = _ham(hs[s:e][cap:] ^ hs[s])
+            keep_t = ham_t <= max_hamming
+            a_t = np.full(int(keep_t.sum()), ids[s], dtype=ids.dtype)
+            b_t = tail_ids[keep_t]
+            out_a.append(np.minimum(a_t, b_t))
+            out_b.append(np.maximum(a_t, b_t))
+            out_h.append(ham_t[keep_t].astype(np.int64))
+            # exact-dup completeness past the cap: same-sha runs that
+            # touch the capped tail get their full quadratic emitted
+            # (bounded: each run <= cap, or it is a mega sha group
+            # excluded from the pair-completeness claim by design)
+            seg_sha = sha[s:e]
+            r_change = np.flatnonzero(seg_sha[1:] != seg_sha[:-1])
+            r_starts = np.concatenate(([0], r_change + 1))
+            r_ends = np.concatenate((r_change + 1, [e - s]))
+            for rs, re_ in zip(r_starts, r_ends):
+                if re_ - rs < 2 or re_ - rs > cap or re_ <= cap:
+                    continue  # inside the head quad, or mega sha run
+                _quad(s + rs, s + re_)
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b),
+                         "hamming": np.concatenate(out_h)})
 
 
 # ---------------------------------------------------------------------------
@@ -742,7 +793,7 @@ class NGramHasher:
         import re
 
         self.wanted = pa.array(np.sort(ray.get(ids_ref)), pa.int64())
-        self.tok = re.compile(r"\w+")
+        self.tok = re.compile(r"[0-9A-Za-z_]+")  # ASCII class == RE2 \w (oracle parity)
         self.n = n
 
     def gram_hashes(self, text: str) -> np.ndarray:
@@ -877,7 +928,7 @@ class AllNGramHasher(NGramHasher):
     def __init__(self, n: int):
         import re
 
-        self.tok = re.compile(r"\w+")
+        self.tok = re.compile(r"[0-9A-Za-z_]+")  # ASCII class == RE2 \w (oracle parity)
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:

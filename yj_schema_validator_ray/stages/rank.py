@@ -63,8 +63,10 @@ def global_rank(ds, key_col: str, id_col: str, descending: bool = True,
         # no per-distinct-key Ray group (CLAUDE.md high-cardinality rule)
         keys_sorted, offs_sorted = ray.get(ref)
         if g.empty:
-            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 key_col: pd.Series(dtype="int64"),
+            # mirror the incoming group's key/id dtypes (string keys are
+            # legal) so empty coarse buckets can't emit a divergent schema
+            return pd.DataFrame({id_col: pd.Series(dtype=g[id_col].dtype),
+                                 key_col: pd.Series(dtype=g[key_col].dtype),
                                  rank_col: pd.Series(dtype="int64")})
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()

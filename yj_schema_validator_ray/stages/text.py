@@ -15,8 +15,13 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# word regex shared with the DuckDB oracle (RE2 on both sides)
-WORD_RE = r"\w+"
+# Word regex shared with the DuckDB oracle.  The oracles spell it '\w+',
+# which RE2 reads as ASCII [0-9A-Za-z_]+; several engine paths tokenize
+# via pandas .str.findall (Python re, where \w is UNICODE-aware), so the
+# engine side spells the ASCII class out explicitly — the two notations
+# are byte-identical under RE2, and the explicit class keeps Python re
+# agreeing with RE2 on non-ASCII corpora too.
+WORD_RE = r"[0-9A-Za-z_]+"
 PUNCT_RE = r"[.,;:!?]"
 
 
