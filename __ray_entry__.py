@@ -367,6 +367,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GPT-2-style pre-tokenizer segment counts (RE2 both sides)
         return T.token_counts_bpe(docs(sf_dir))
 
+    def q_tokenize_bpe(sf_dir):
+        # REAL merge-table BPE encode (trained distributed on this
+        # corpus, shipped via ray.put): per-doc byte count (SQL-exact)
+        # + lossless-roundtrip / tokens<=bytes certificates; token-id
+        # values are pinned by the closed-loop pytest (SQL cannot
+        # apply a merge table)
+        from yj_schema_validator_ray.stages.bpe import tokenize_bpe_cert
+
+        return tokenize_bpe_cert(docs(sf_dir))
+
+    def q_tokenize_bpe_counts(sf_dir):
+        # rows-only companion: full per-doc token counts + token-id sum
+        from yj_schema_validator_ray.stages.bpe import tokenize_bpe
+
+        return tokenize_bpe(docs(sf_dir))
+
+    def q_validate_resume(sf_dir):
+        # end-to-end kill/resume proof of the lineage layout: full run,
+        # one partition's manifest+data destroyed, resumed run skips
+        # every intact partition; per-partition accounting is SQL-exact,
+        # resume_ok certifies frame-identity + the exact skip set
+        from yj_schema_validator_ray.state.lineage import (
+            resume_accounting)
+
+        return resume_accounting(corpus_dataset(sf_dir), _config(),
+                                 nparts=8)
+
     def q_events_value_quartiles(sf_dir):
         # NTILE-by-value quartile labels from exact per-group quantile
         # thresholds (broadcast domain-sized matrix, stateless scan)
@@ -650,64 +677,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # THE LINE (after `column_stats`) — inserting above pushes the
     # flagship out of the snapshot window.
     return {
-        # (a) relational / windows — oracled, missing from the r02 snapshot
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
-        "q4_priority_counts": R.q4_priority_counts,
-        "q5_local_supplier_volume": R.q5_local_supplier_volume,
-        "q6_forecast_revenue": R.q6_forecast_revenue,
-        "q14_promo_revenue": R.q14_promo_revenue,
-        "top_customers": R.top_customers,
-        "nation_region_counts": R.nation_region_counts,
-        "events_window": R.events_tumbling_window,
-        "events_hopping_window": R.events_hopping_window,
-        "events_sessions": R.events_sessionize,
-        "events_top_users": R.events_top_users,
-        "events_asof_join": R.events_asof_join,
-        "events_range_join": R.events_range_join,
-        "events_quantiles": q_events_quantiles,
-        "events_window_top_users": R.events_window_top_users,
-        # (b) accuracy oracles for the approximate family
-        "accuracy_hll": q_accuracy_hll,
-        "accuracy_ann_lsh": q_accuracy_ann_lsh,
-        "accuracy_ann_ivf": q_accuracy_ann_ivf,
-        "accuracy_minhash": q_accuracy_minhash,
-        "accuracy_quantile_sketch": q_accuracy_quantile_sketch,
-        "accuracy_bloom": q_accuracy_bloom,
-        "accuracy_simhash": q_accuracy_simhash,
-        "accuracy_hll_grouped": q_accuracy_hll_grouped,
-        "media_features_png": q_media_features_png,
-        "media_features_jpeg": q_media_features_jpeg,
-        "decontaminate": q_decontaminate,
-        "dedup_components": q_dedup_components,
-        "events_running_total": R.events_running_total,
-        "events_user_type_pivot": R.events_user_type_pivot,
-        "docs_length_rank": q_docs_length_rank,
-        "quality_length_filter": q_quality_length_filter,
-        "media_features_wav": q_media_features_wav,
-        "training_table": q_training_table,
-        "repetition_stats": q_repetition_stats,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "lang_confusion": q_lang_confusion,
-        "feature_zscore": q_feature_zscore,
-        "customer_order_totals": q_customer_order_totals,
-        "events_distinct_users": q_events_distinct_users,
-        "docs_top_per_group": q_docs_top_per_group,
-        "events_value_histogram": q_events_value_histogram,
-        "shard_documents": q_shard_documents,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
-        "events_value_quartiles": q_events_value_quartiles,
-        "token_counts_bpe": q_token_counts_bpe,
-        "events_dau": q_events_dau,
-        "events_props_stats": q_events_props_stats,
-        "events_window_streaming": q_events_window_streaming,
-        # (c) the rest of the oracled surface
-        "verdicts": q_verdicts,
-        "violations": q_violations,
-        "summary": q_summary,
-        "uniqueness": q_uniqueness,
-        "ref_integrity": q_ref_integrity,
-        "column_stats": q_column_stats,
+        # r4 SNAPSHOT WINDOW (positions 1-50) — ordering ledger:
+        # (a) 1-16  never driver-checked oracled entries (r01-r03);
+        # (b) 17-18 new this round (tokenize_bpe, validate_resume);
+        # (c) 19-23 queries whose code changed this round;
+        # (d) 24-50 stalest driver rows (last checked in r02).
+        # With r01-r03 this makes the driver-row union cover every
+        # oracled entry.  ADD NEW QUERIES BELOW `curation_report`.
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "accuracy_fingerprints": q_accuracy_fingerprints,
@@ -724,7 +700,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": q_events_transition_matrix,
         "lang_top_terms": q_lang_top_terms,
         "sample_intersection": q_sample_intersection,
+        "tokenize_bpe": q_tokenize_bpe,
+        "validate_resume": q_validate_resume,
+        "top_customers": R.top_customers,
+        "customer_order_totals": q_customer_order_totals,
+        "accuracy_simhash": q_accuracy_simhash,
+        "accuracy_ann_ivf": q_accuracy_ann_ivf,
+        "docs_length_rank": q_docs_length_rank,
+        "violations": q_violations,
+        "summary": q_summary,
+        "uniqueness": q_uniqueness,
+        "ref_integrity": q_ref_integrity,
+        "column_stats": q_column_stats,
         "lang_histogram": q_lang_histogram,
+        "content_length_histogram": q_content_length_histogram,
         "lang_drift": q_lang_drift,
         "repo_stats_salted": q_repo_stats_salted,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -735,31 +724,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "scrub_pii": q_scrub_pii,
+        "fingerprint_md5": q_fingerprint_md5,
         "sample_uniform": q_sample_uniform,
         "sample_mixture": q_sample_mixture,
-        # (d) oracled, below the 50-entry snapshot line: each is ALSO
-        # pinned by byte-parity goldens / reference fixtures / pytest
-        # and was driver-green in r02
+        "vocab_top_terms": q_vocab_top_terms,
+        "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
+        "curation_report": q_curation_report,
+        # --- below the driver line: r02-checked (next rotation) ---
+        "media_meta": q_media_meta,
+        "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
-        "curation_report": q_curation_report,
         "training_prep": q_training_prep,
         "docs_rollup": q_docs_rollup,
         "events_funnel": R.events_funnel,
         "events_retention": R.events_retention,
         "events_cohorts": R.events_cohorts,
-        "content_length_histogram": q_content_length_histogram,
-        "fingerprint_md5": q_fingerprint_md5,
-        "vocab_top_terms": q_vocab_top_terms,
-        "heavy_hitters": q_heavy_hitters,
-        "media_meta": q_media_meta,
-        "media_frames": q_media_frames,
-        # (e) rows-only (approximate / non-SQL-expressible)
+        # --- r03 driver-green + local sf0.001/sf0.01 harness ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q4_priority_counts": R.q4_priority_counts,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "nation_region_counts": R.nation_region_counts,
+        "events_window": R.events_tumbling_window,
+        "events_hopping_window": R.events_hopping_window,
+        "events_sessions": R.events_sessionize,
+        "events_top_users": R.events_top_users,
+        "events_asof_join": R.events_asof_join,
+        "events_range_join": R.events_range_join,
+        "events_quantiles": q_events_quantiles,
+        "events_window_top_users": R.events_window_top_users,
+        "accuracy_hll": q_accuracy_hll,
+        "accuracy_ann_lsh": q_accuracy_ann_lsh,
+        "accuracy_minhash": q_accuracy_minhash,
+        "accuracy_quantile_sketch": q_accuracy_quantile_sketch,
+        "accuracy_bloom": q_accuracy_bloom,
+        "accuracy_hll_grouped": q_accuracy_hll_grouped,
+        "media_features_png": q_media_features_png,
+        "media_features_jpeg": q_media_features_jpeg,
+        "decontaminate": q_decontaminate,
+        "dedup_components": q_dedup_components,
+        "events_running_total": R.events_running_total,
+        "events_user_type_pivot": R.events_user_type_pivot,
+        "quality_length_filter": q_quality_length_filter,
+        "media_features_wav": q_media_features_wav,
+        "training_table": q_training_table,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "lang_confusion": q_lang_confusion,
+        "feature_zscore": q_feature_zscore,
+        "events_distinct_users": q_events_distinct_users,
+        "docs_top_per_group": q_docs_top_per_group,
+        "events_value_histogram": q_events_value_histogram,
+        "shard_documents": q_shard_documents,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "events_value_quartiles": q_events_value_quartiles,
+        "token_counts_bpe": q_token_counts_bpe,
+        "events_dau": q_events_dau,
+        "events_props_stats": q_events_props_stats,
+        "events_window_streaming": q_events_window_streaming,
+        "verdicts": q_verdicts,
+        # --- rows-only (approximate / non-SQL-expressible) ---
         "distinct_sketch": q_distinct_sketch,
         "infer_structure": q_infer_structure,
         "dedup_minhash": q_dedup_minhash,
@@ -775,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_sketch": q_quantile_sketch,
         "events_quantile_sketch_grouped": q_grouped_quantile_sketch,
         "compression_stats": q_compression_stats,
+        "tokenize_bpe_counts": q_tokenize_bpe_counts,
     }
 
 
@@ -1217,6 +1250,16 @@ def _media_features_jpeg_sql() -> str:
     return jpeg_pixel_stats_sql()
 
 
+def _tokenize_bpe_sql() -> str:
+    from yj_schema_validator_ray.stages.bpe import tokenize_bpe_cert_sql
+
+    return tokenize_bpe_cert_sql()
+
+
+def _validate_resume_sql() -> str:
+    return oracles.resume_accounting_sql(nparts=8)
+
+
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
 
@@ -1255,6 +1298,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": _dup_ngram_fraction_sql(),
         "events_value_quartiles": _events_value_quartiles_sql(),
         "token_counts_bpe": _token_counts_bpe_sql(),
+        "tokenize_bpe": _tokenize_bpe_sql(),
+        "validate_resume": _validate_resume_sql(),
         "events_dau": _events_dau_sql(),
         "events_props_stats": _events_props_stats_sql(),
         "events_window_streaming": R.events_tumbling_window_sql(),

@@ -217,6 +217,26 @@ def run_bench() -> dict:
     best_of("training_table", lambda: training_table(SF_DIR).count())
     best_of("repetition_stats",
             lambda: T.repetition_stats(docs_ds()).count())
+
+    # -- BPE encode throughput: merge table trained ONCE outside the
+    # timer (one-time driver cost), the timed stage is the stateful
+    # per-process encoder over the documents table (tokens/s headline
+    # for the tokenize stage of a training-data pipeline)
+    from yj_schema_validator_ray.stages.bpe import (BPEEncoder,
+                                                    train_bpe_merges)
+    from yj_schema_validator_ray.util import process_cached, ref_key
+
+    _merges = train_bpe_merges(docs_ds(), num_merges=256)
+    _bref = ray.put(_merges)
+    _bpe_tokens: list[int] = []
+
+    def run_bpe():
+        out = docs_ds().map_batches(
+            process_cached(BPEEncoder, ref_key(_bref), _bref),
+            batch_format="pyarrow")
+        _bpe_tokens.append(int(out.sum("n_bpe_tokens")))
+
+    best_of("tokenize_bpe", run_bpe)
     best_of("media_features_wav",
             lambda: wav_dataset_from_documents(SF_DIR).map_batches(
                 wav_stats, batch_format="pyarrow",
@@ -306,6 +326,8 @@ def run_bench() -> dict:
         "files_validated": n_files,
         "files_per_sec": round(n_files / headline, 1),
         "uniqueness_dup_groups": n_dup,
+        "bpe_tokens_per_sec": round(_bpe_tokens[-1]
+                                    / timings["tokenize_bpe"], 1),
     }
     ray.shutdown()
     return result

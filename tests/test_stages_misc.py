@@ -1047,3 +1047,31 @@ def test_relational_integrity_edge_plans_agree(ray_session, tmp_path):
                                     broadcast_max_bytes=budget)
                .sort_values("fk").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, expect)
+
+
+def test_kmeans_training_sample_spans_blocks(ray_session):
+    """The k-means training sample must be a hash sample over the WHOLE
+    dataset, not a prefix of the first blocks: with ids 0..4095 split
+    into 8 ordered blocks and sample_size=256, a prefix would only see
+    ids < 512; the hash gate must pick ids from every block."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.ann import train_kmeans
+    from yj_schema_validator_ray.stages.sampling import hash_sample
+
+    n, dim = 4096, 8
+    rng = np.random.RandomState(3)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(rng.randn(n, dim).tolist(),
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    sampled_ids = (hash_sample(ds, 256 / n, id_col="vec_id")
+                   .to_pandas()["vec_id"].to_numpy())
+    # every eighth of the id range contributes (prefix would give one)
+    octants = set(sampled_ids // (n // 8))
+    assert octants == set(range(8)), octants
+    cent = train_kmeans(ds, n_centroids=4, sample_size=256)
+    assert cent.shape == (4, dim)
+    assert np.isfinite(cent).all()

