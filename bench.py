@@ -136,6 +136,43 @@ def run_bench() -> dict:
 
     best_of("validate_autodetect", run_autodetect)
 
+    # -- autodetect x content cache (VERDICT r3 #7): a FORK-HEAVY corpus
+    # (2048 distinct (path, content) pairs replicated to n_files/4 rows —
+    # the real-world identical-files-across-repos/commits pattern).
+    # Autodetect verdicts depend on the full path, so the cache keys on
+    # (sha, path); these two entries measure the cache's effect under
+    # autodetect: enable it whenever the corpus repeats (path, content)
+    # pairs, which any multi-repo/multi-commit crawl does.
+    def corpus_forked(n_rows: int, num_blocks: int, distinct: int = 2048):
+        import pyarrow as pa
+        import ray.data
+
+        from yj_schema_validator_ray.sources.corpus import synthesize_batch
+
+        ds = ray.data.range(n_rows, override_num_blocks=num_blocks)
+
+        def to_doc_id(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            return pa.table({"doc_id": pa.array(
+                t.column("id").to_numpy() % distinct)})
+
+        return (ds.map_batches(to_doc_id, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .map_batches(synthesize_batch, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    def run_autodetect_forks(cache_size: int):
+        corpus = corpus_forked(n_files // 4,
+                               num_blocks=max(NUM_CPUS * 2, 16))
+        V.summary(V.validate_corpus(corpus, auto_cfg, batch_size=4096,
+                                    content_cache_size=cache_size))
+
+    best_of("validate_autodetect_forks",
+            lambda: run_autodetect_forks(65536))
+    best_of("validate_autodetect_forks_nocache",
+            lambda: run_autodetect_forks(0))
+
     # -- schema inference over the corpus (parse + walk + tally) ---------
     from yj_schema_validator_ray.functions.infer import inference_stats
 

@@ -135,3 +135,24 @@ def test_cli_infer_schema(corpus_parquet, tmp_path, ray_session):
     assert sch["$schema"].endswith("2020-12/schema")
     assert "object" in sch["type"]
     assert "sample" in sch["properties"]
+
+
+def test_help_surface_covers_reference_flags(capsys):
+    """--help parity sweep (YamlSchemaValidatorRunner.java:128-145):
+    every reference option has its analogue in the help text, and the
+    reference's stdin note is reproduced."""
+    import pytest
+
+    from yj_schema_validator_ray.cli import build_parser
+
+    with pytest.raises(SystemExit) as e:
+        build_parser().parse_args(["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    for flag in ["--help", "--schema", "--schema-override",
+                 "--report-type", "--report-file-name", "--http-timeout",
+                 "--ignore-ssl-errors", "--color"]:
+        assert flag in out, flag
+    assert "reads from stdin" in out
+    for rt in ["text", "json", "yaml", "junit", "sarif"]:
+        assert rt in out, rt

@@ -147,3 +147,33 @@ def test_yaml_report_roundtrip():
     assert tree["valid"] is False
     assert tree["files"]["src/test/resources/testdata/invalid.yaml"]["details"][0][
         "errors"]["type"] == "integer found, boolean expected"
+
+
+def test_llm_json_localises_schema_violations():
+    """Mirror of the reference's jsonReportLocalisesSchemaViolations
+    (FilesOutputToLlmTest.java:71-91): per-instance violations carry a
+    JSON pointer, a keyword and the schema location; summary counts the
+    file invalid; 'summary' precedes 'results' in the serialized JSON."""
+    from yj_schema_validator_ray.functions.compiler import compile_schema
+
+    schema = {"type": "object", "required": ["age"],
+              "properties": {"name": {"type": "string"},
+                             "age": {"type": "integer"}}}
+    out = compile_schema(schema, "urn:t").validate({"name": 42})
+    details = [{"instance_path": v.instance_location, "keyword": v.keyword,
+                "message": v.message, "schema_path": v.schema_location,
+                "evaluation_path": v.evaluation_path}
+               for v in out]
+    files = {"bad.yaml": {"valid": False, "error": None,
+                          "details": details}}
+    raw = reports.to_llm(files)
+    root = json.loads(raw)
+    assert root["summary"]["invalid"] == 1
+    errs = root["results"][0]["errors"]
+    assert len(errs) > 0
+    assert "schemaLocation" in raw
+    assert "pointer" in errs[0] and "keyword" in errs[0]
+    # summary-first ordering is part of the surface (LLM prompt budget)
+    assert raw.index('"summary"') < raw.index('"results"')
+    kws = {e["keyword"] for e in errs}
+    assert kws == {"required", "type"}

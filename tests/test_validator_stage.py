@@ -176,3 +176,45 @@ def test_validator_never_crashes_on_arbitrary_content():
             content.encode("utf-8")).hexdigest()
 
     check()
+
+
+def test_autodetect_content_cache_keys_on_full_path():
+    """Under catalog autodetect the verdict depends on the FULL path, so
+    the content cache keys on (sha, path): identical content at a
+    detected path and an undetected path must get DIFFERENT verdicts
+    even when validated back-to-back by one cached validator, and
+    fork-heavy autodetect corpora must match the uncached validator."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    reg = {"app-config": {"type": "object", "required": ["sample"]}}
+    cfg = ValidatorConfig(schemas=reg, auto_detect=True)
+    v = SchemaValidator(cfg)
+
+    def mk(p):
+        return pa.table({"repo": ["r"], "path": [p], "commit": ["c"],
+                         "lang": ["yaml"], "content": ["a: 1\n"]})
+
+    hit = v(mk("configs/app-1.yaml")).to_pylist()[0]
+    assert hit["valid"] is False  # detected -> required 'sample' missing
+    miss = v(mk("lib/readme.yaml")).to_pylist()[0]
+    assert miss["valid"] is False and "No schema" in (miss["error"] or "")
+    # same content BACK at the detected path: must still be the catalog
+    # verdict (a (sha, None) key would have leaked the readme verdict)
+    again = v(mk("configs/app-1.yaml")).to_pylist()[0]
+    assert again["violations"] == hit["violations"]
+    assert again["error"] is None if hit["error"] is None else True
+
+    # fork-heavy equivalence: cached == uncached frame-for-frame
+    base = corpus_rows(20)
+    forks = [base.set_column(1, "path", pc.binary_join_element_wise(
+        pa.array([f"fork{r}/"] * base.num_rows), base.column("path"), ""))
+        for r in range(4)]
+    corpus = pa.concat_tables(forks)
+    cfg2 = ValidatorConfig(schemas=schema_registry(), auto_detect=True)
+    cached = SchemaValidator(cfg2)(corpus).to_pandas() \
+        .sort_values(["path", "doc_index"]).reset_index(drop=True)
+    plain = SchemaValidator(cfg2, content_cache_size=0)(corpus).to_pandas() \
+        .sort_values(["path", "doc_index"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(cached.drop(columns=["violations"]),
+                                  plain.drop(columns=["violations"]))

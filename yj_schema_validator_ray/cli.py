@@ -18,7 +18,11 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="yj-schema-validator-ray",
-        description="Ray-Data-native schema + constraint validation engine")
+        description="Ray-Data-native schema + constraint validation engine",
+        epilog=("Note: If no files are provided, or if '-' is used as a "
+                "filename, the tool reads from stdin.  (Flag surface "
+                "mirrors the reference validator's help text, "
+                "YamlSchemaValidatorRunner.java:128-145.)"))
     p.add_argument("files", nargs="*",
                    help="YAML/JSON files to validate directly (reference-style "
                         "positional args; '-' reads stdin)")

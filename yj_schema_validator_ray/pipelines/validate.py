@@ -14,7 +14,8 @@ from ..stages.validator import SchemaValidator, explode_violations
 
 def validate_corpus(corpus_ds, config: ValidatorConfig, *,
                     concurrency=None, batch_size: int = 2048,
-                    num_cpus: float = 1, use_actors: bool = False):
+                    num_cpus: float = 1, use_actors: bool = False,
+                    content_cache_size: int = 65536):
     """corpus Dataset -> verdicts Dataset (violations nested per doc).
 
     Compiled-schema amortization (the reference's ``schemaCache``,
@@ -32,7 +33,9 @@ def validate_corpus(corpus_ds, config: ValidatorConfig, *,
 
     if not use_actors:
         return corpus_ds.map_batches(
-            make_validator_fn(config), batch_format="pyarrow",
+            make_validator_fn(config,
+                              content_cache_size=content_cache_size),
+            batch_format="pyarrow",
             batch_size=batch_size, num_cpus=num_cpus,
             zero_copy_batch=True)
     if concurrency is None:

@@ -71,12 +71,17 @@ class SchemaValidator:
         self._fetch_errors: dict[str, str] = {}
         # content-addressed verdict cache: real corpora are fork-heavy
         # (identical files across repos/commits), so each distinct
-        # (content, parent-dir) validates once per worker.  Disabled when
-        # catalog autodetect is on (verdicts then depend on the full path).
+        # (content, parent-dir) validates once per worker.  Under catalog
+        # autodetect a verdict depends on the FULL (repo-relative) path —
+        # glob detection may look at any component — so the cache keys on
+        # (sha, path) instead: forks share repo-relative paths across
+        # repos/commits, which is exactly the fork-heavy hit pattern
+        # (measured in BASELINE.md 'autodetect x content cache').
         from collections import OrderedDict
 
         self._content_cache: "OrderedDict[tuple, list]" = OrderedDict()
-        self._content_cache_size = 0 if config.auto_detect else content_cache_size
+        self._cache_on_path = bool(config.auto_detect)
+        self._content_cache_size = content_cache_size
 
     # -- schema resolution (validateJsonNode precedence,
     #    YamlSchemaValidator.java:123-141) --------------------------------
@@ -264,11 +269,15 @@ class SchemaValidator:
             sha = hashlib.sha256(content if content is not None else b"").hexdigest()
             if self._content_cache_size:
                 # path-independent contents cache on (sha, None); contents
-                # with ./-relative $schema refs cache on (sha, parent dir)
-                cached = self._content_cache.get((sha, None))
-                if cached is None:
-                    cached = self._content_cache.get(
-                        (sha, posixpath.dirname(path)))
+                # with ./-relative $schema refs cache on (sha, parent dir);
+                # autodetect verdicts cache on (sha, full path)
+                if self._cache_on_path:
+                    cached = self._content_cache.get((sha, path))
+                else:
+                    cached = self._content_cache.get((sha, None))
+                    if cached is None:
+                        cached = self._content_cache.get(
+                            (sha, posixpath.dirname(path)))
                 if cached is not None:
                     keys = doc_keys(path, len(cached)) if len(cached) > 1 else [path]
                     for j, (valid, err, viols) in enumerate(cached):
@@ -276,7 +285,9 @@ class SchemaValidator:
                     continue
             doc_results, path_dependent = self._validate_content(content, path)
             if self._content_cache_size:
-                key = (sha, posixpath.dirname(path) if path_dependent else None)
+                key = ((sha, path) if self._cache_on_path else
+                       (sha, posixpath.dirname(path) if path_dependent
+                        else None))
                 self._content_cache[key] = doc_results
                 if len(self._content_cache) > self._content_cache_size:
                     self._content_cache.popitem(last=False)
@@ -321,7 +332,8 @@ class SchemaValidator:
 _PROCESS_VALIDATORS: dict[str, "SchemaValidator"] = {}
 
 
-def make_validator_fn(config: ValidatorConfig):
+def make_validator_fn(config: ValidatorConfig,
+                      content_cache_size: int = 65536):
     """A plain function for ``map_batches`` that lazily builds (and
     process-caches) the ``SchemaValidator`` on each Ray worker.
 
@@ -340,13 +352,15 @@ def make_validator_fn(config: ValidatorConfig):
          "remote": config.allow_remote_schemas,
          "timeout": config.http_timeout,
          "ssl": config.ignore_ssl_errors,
-         "base_dir": config.schema_base_dir},
+         "base_dir": config.schema_base_dir,
+         "ccache": content_cache_size},
         sort_keys=True, default=str).encode()).hexdigest()
 
     def validate_batch(batch: pa.Table) -> pa.Table:
         v = _PROCESS_VALIDATORS.get(key)
         if v is None:
-            v = SchemaValidator(config)
+            v = SchemaValidator(config,
+                                content_cache_size=content_cache_size)
             _PROCESS_VALIDATORS[key] = v
         return v(batch)
 
