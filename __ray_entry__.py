@@ -680,8 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4 SNAPSHOT WINDOW (positions 1-50) — ordering ledger:
         # (a) 1-16  never driver-checked oracled entries (r01-r03);
         # (b) 17-18 new this round (tokenize_bpe, validate_resume);
-        # (c) 19-23 queries whose code changed this round;
-        # (d) 24-50 stalest driver rows (last checked in r02).
+        # (c) 19-26 queries whose code changed this round;
+        # (d) 27-50 stalest driver rows (last checked in r02).
         # With r01-r03 this makes the driver-row union cover every
         # oracled entry.  ADD NEW QUERIES BELOW `curation_report`.
         "docs_union_evolved": q_docs_union_evolved,
@@ -707,6 +707,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accuracy_simhash": q_accuracy_simhash,
         "accuracy_ann_ivf": q_accuracy_ann_ivf,
         "docs_length_rank": q_docs_length_rank,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q14_promo_revenue": R.q14_promo_revenue,
         "violations": q_violations,
         "summary": q_summary,
         "uniqueness": q_uniqueness,
@@ -731,10 +734,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
+        # --- below the driver line: r02-checked (next rotation) ---
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "curation_report": q_curation_report,
-        # --- below the driver line: r02-checked (next rotation) ---
         "media_meta": q_media_meta,
         "media_frames": q_media_frames,
         "ann_topk": q_ann_topk,
@@ -747,11 +750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohorts": R.events_cohorts,
         # --- r03 driver-green + local sf0.001/sf0.01 harness ---
         "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_shipping_priority": R.q3_shipping_priority,
         "q4_priority_counts": R.q4_priority_counts,
-        "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q6_forecast_revenue": R.q6_forecast_revenue,
-        "q14_promo_revenue": R.q14_promo_revenue,
         "nation_region_counts": R.nation_region_counts,
         "events_window": R.events_tumbling_window,
         "events_hopping_window": R.events_hopping_window,

@@ -1075,3 +1075,44 @@ def test_kmeans_training_sample_spans_blocks(ray_session):
     cent = train_kmeans(ds, n_centroids=4, sample_size=256)
     assert cent.shape == (4, dim)
     assert np.isfinite(cent).all()
+
+
+def test_attach_dim_adaptive_semijoin_and_int_payload(ray_session):
+    """The two shapes q3/q14 rely on: dim_cols=[] is a pure semi-join
+    (inner) and an int64 payload under how='left' must null-fill without
+    collapsing to float64 — identical rows under both plans."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.dimjoin import attach_dim_adaptive
+
+    fact = pd.DataFrame({
+        "k": pd.Series([1, 2, 3, 99, 2], dtype="int64"),
+        "v": pd.Series([10, 20, 30, 40, 50], dtype="int64"),
+    })
+    dim = pd.DataFrame({
+        "dk": pd.Series([1, 2, 4], dtype="int64"),
+        "flag": pd.Series([7, 8, 9], dtype="int64"),
+    })
+
+    def run(dim_cols, how, **kw):
+        out = attach_dim_adaptive(
+            ray.data.from_pandas(fact).map_batches(
+                lambda t: t, batch_format="pyarrow"),
+            "k",
+            ray.data.from_pandas(dim).map_batches(
+                lambda t: t, batch_format="pyarrow"),
+            "dk", dim_cols, how=how, **kw).to_pandas()
+        cols = ["k", "v"] + dim_cols
+        if dim_cols:
+            out[dim_cols[0]] = out[dim_cols[0]].astype("Int64")
+        return sorted(map(tuple, out[cols].fillna(-1).itertuples(
+            index=False)))
+
+    # semi-join: inner with no payload columns
+    for kw in ({}, {"broadcast_max_bytes": 0}):
+        assert run([], "inner", **kw) == [(1, 10), (2, 20), (2, 50)]
+    # int64 payload, left: misses null (here -1 via fillna), not float
+    a = run(["flag"], "left")
+    b = run(["flag"], "left", broadcast_max_bytes=0)
+    assert a == b == [(1, 10, 7), (2, 20, 8), (2, 50, 8), (3, 30, -1),
+                      (99, 40, -1)]

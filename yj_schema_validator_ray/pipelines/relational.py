@@ -430,48 +430,41 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     """TPC-H Q3-shaped: revenue of unshipped orders for one segment.
 
     Demonstrates the large-large HASH JOIN primitive (``Dataset.join``
-    on l_orderkey/o_orderkey) with the small customer side broadcast as
-    a key set; lineitem revenue is pre-aggregated per batch BEFORE the
-    join so the shuffle moves order-grained partials.
+    on l_orderkey/o_orderkey); lineitem revenue is pre-aggregated per
+    batch BEFORE the join so the shuffle moves order-grained partials.
+    The segment's customer keys SEMI-JOIN onto orders size-adaptively
+    (:func:`~..stages.dimjoin.attach_dim_adaptive` with no payload
+    columns — customer scales with the fact tables, so the key set
+    broadcasts only under a byte budget and co-locates through one
+    coarse-hash exchange above it).
     """
     import ray
     import ray.data
 
+    from ..stages.dimjoin import attach_dim_adaptive
     from ..util import shuffle_partitions
 
     cut = pd.Timestamp(cutoff)
 
-    cust = pa.concat_tables(ray.get(
-        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                              columns=["c_custkey", "c_mktsegment"])
-        .to_arrow_refs()))
-    seg_keys = frozenset(
-        k_ for k_, s in zip(cust.column("c_custkey").to_pylist(),
-                            cust.column("c_mktsegment").to_pylist())
-        if s == segment)
-    seg_ref = ray.put(seg_keys)
+    cust_seg = (ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+        .map_batches(lambda t: t.filter(
+            pc.equal(t.column("c_mktsegment"), segment))
+            .select(["c_custkey"]), batch_format="pyarrow"))
 
-    from ..util import process_cached as _pcached, ref_key as _rkey
+    def order_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cut)))
+        return t.select(["o_orderkey", "o_custkey"])
 
-    def _pc_of(cls, r):
-        return _pcached(cls, _rkey(r), r)
-
-    class OrderFilter:
-        def __init__(self, ref):
-            # Arrow value-set built ONCE per actor -> vectorized pc.is_in
-            # (same pattern as constraints.OrphanFilter)
-            self.keys = pa.array(sorted(ray.get(ref)), pa.int64())
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m1 = pc.less(t.column("o_orderdate"), pa.scalar(cut))
-            t = t.filter(m1)
-            mask = pc.is_in(t.column("o_custkey"), value_set=self.keys)
-            return pa.table({"o_orderkey": t.filter(mask).column("o_orderkey")})
-
-    orders = (ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .map_batches(_pc_of(OrderFilter, seg_ref), batch_format="pyarrow"))
+    orders = attach_dim_adaptive(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(order_filter, batch_format="pyarrow"),
+        "o_custkey", cust_seg, "c_custkey", [], how="inner"
+    ).map_batches(lambda t: t.select(["o_orderkey"]),
+                  batch_format="pyarrow")
 
     def li_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cut)))
@@ -1072,20 +1065,22 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     """TPC-H Q5-shaped local-supplier volume: revenue per nation where
     the CUSTOMER and the SUPPLIER sit in the same nation of one region.
 
-    Ray-first plan for the 6-table join: the three dimension tables
-    (region, nation, customer, supplier) are genuinely small at any
-    scale factor -> broadcast lookups applied inside ``map_batches``
-    (sorted-key searchsorted, built once per worker process); the only
-    large-large exchange is lineitem-partials JOIN orders on the order
-    key (``Dataset.join`` hash shuffle).  Lineitem revenue is
-    pre-aggregated per (orderkey, supplier-nation) per batch before the
-    shuffle, so the exchange moves order-grained partials, and the
+    Ray-first plan for the 6-table join: region/nation are genuinely
+    dimension-scale (broadcast as inline constants); customer and
+    supplier SCALE with the fact tables, so their nationkey columns
+    attach size-adaptively
+    (:func:`~..stages.dimjoin.attach_dim_adaptive` — broadcast under a
+    byte budget, coarse-hash exchange co-location above it, INNER so
+    out-of-region rows drop).  The only unconditional large-large
+    exchange is lineitem-partials JOIN orders on the order key
+    (``Dataset.join`` hash shuffle); lineitem revenue is pre-aggregated
+    per (orderkey, suppkey) per batch before any exchange, and the
     same-nation equality filter runs on the join output."""
     import ray
     import ray.data
 
+    from ..stages.dimjoin import attach_dim_adaptive
     from ..stages.exact_agg import grouped_aggregate
-    from ..util import process_cached as _pcached, ref_key as _rkey
     from ..util import shuffle_partitions
 
     lo = pd.Timestamp(f"{year}-01-01")
@@ -1103,84 +1098,79 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                 if rk in rkeys]
     nat_names = dict(zip(nation.column("n_nationkey").to_pylist(),
                          nation.column("n_name").to_pylist()))
-    in_region = frozenset(nat_keys)
+    # nation-domain constant (<=25 keys): legal inline broadcast
+    in_region = pa.array(sorted(nat_keys), pa.int64())
 
-    def _lookup_arrays(path, key_col, val_col):
-        t = pa.concat_tables(ray.get(
-            ray.data.read_parquet(path, columns=[key_col, val_col])
-            .to_arrow_refs()))
-        keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        vals = t.column(val_col).to_numpy(zero_copy_only=False)
-        keep = np.isin(vals, list(in_region))
-        keys, vals = keys[keep], vals[keep]
-        order = np.argsort(keys, kind="stable")
-        return keys[order], vals[order]
+    def region_only(key_col, nk_col):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(pc.cast(t.column(nk_col), pa.int64()),
+                            value_set=in_region)
+            sel = t.filter(keep)
+            return pa.table({key_col: sel.column(key_col),
+                             nk_col: pc.cast(sel.column(nk_col),
+                                             pa.int64())})
+        return f
 
-    cust_ref = ray.put(_lookup_arrays(f"{sf_dir}/customer.parquet",
-                                      "c_custkey", "c_nationkey"))
-    supp_ref = ray.put(_lookup_arrays(f"{sf_dir}/supplier.parquet",
-                                      "s_suppkey", "s_nationkey"))
-
-    class NationAttach:
-        """Broadcast lookup key -> nationkey; drops non-region rows."""
-
-        def __init__(self, ref, key_col, out_col):
-            self.keys, self.vals = ray.get(ref)
-            self.key_col, self.out_col = key_col, out_col
-
-        def lookup(self, t: pa.Table) -> tuple[pa.Table, np.ndarray]:
-            k = t.column(self.key_col).to_numpy(zero_copy_only=False)
-            if len(self.keys) == 0:  # empty dimension -> all misses
-                return (t.filter(pa.array(np.zeros(len(k), bool))),
-                        self.vals[:0])
-            pos = np.searchsorted(self.keys, k)
-            pos_c = np.minimum(pos, len(self.keys) - 1)
-            hit = self.keys[pos_c] == k
-            return t.filter(pa.array(hit)), self.vals[pos_c[hit]]
-
-    class OrderNation(NationAttach):
-        def __init__(self, ref):
-            super().__init__(ref, "o_custkey", "c_nationkey")
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = pc.and_(pc.greater_equal(t.column("o_orderdate"),
-                                         pa.scalar(lo)),
-                        pc.less(t.column("o_orderdate"), pa.scalar(hi)))
-            t, nk = self.lookup(t.filter(m))
-            return pa.table({"o_orderkey": t.column("o_orderkey"),
-                             "c_nationkey": pa.array(nk, pa.int64())})
-
-    class LineitemNation(NationAttach):
-        def __init__(self, ref):
-            super().__init__(ref, "l_suppkey", "s_nationkey")
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t, nk = self.lookup(t)
-            price_c = pc.cast(pc.round(pc.multiply(
-                t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
-            disc_c = pc.cast(pc.round(pc.multiply(
-                t.column("l_discount"), pa.scalar(100.0))), pa.int64())
-            rev_e4 = pc.multiply(price_c,
-                                 pc.subtract(pa.scalar(100, pa.int64()),
-                                             disc_c))
-            tt = pa.table({"l_orderkey": t.column("l_orderkey"),
-                           "s_nationkey": pa.array(nk, pa.int64()),
-                           "revenue_e4": rev_e4})
-            return (tt.group_by(["l_orderkey", "s_nationkey"])
-                    .aggregate([("revenue_e4", "sum")])
-                    .rename_columns(["l_orderkey", "s_nationkey",
-                                     "revenue_e4"]))
-
-    orders = (ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .map_batches(_pcached(OrderNation, _rkey(cust_ref), cust_ref),
+    cust_dim = (ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+        .map_batches(region_only("c_custkey", "c_nationkey"),
                      batch_format="pyarrow"))
-    li = (ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-        .map_batches(_pcached(LineitemNation, _rkey(supp_ref), supp_ref),
+    supp_dim = (ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"])
+        .map_batches(region_only("s_suppkey", "s_nationkey"),
                      batch_format="pyarrow"))
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"),
+                                     pa.scalar(lo)),
+                    pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = attach_dim_adaptive(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ord_prep, batch_format="pyarrow"),
+        "o_custkey", cust_dim, "c_custkey", ["c_nationkey"], how="inner",
+    ).map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
+                  batch_format="pyarrow")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        rev_e4 = pc.multiply(price_c,
+                             pc.subtract(pa.scalar(100, pa.int64()),
+                                         disc_c))
+        tt = pa.table({"l_orderkey": t.column("l_orderkey"),
+                       "l_suppkey": t.column("l_suppkey"),
+                       "revenue_e4": rev_e4})
+        return (tt.group_by(["l_orderkey", "l_suppkey"])
+                .aggregate([("revenue_e4", "sum")])
+                .rename_columns(["l_orderkey", "l_suppkey",
+                                 "revenue_e4"]))
+
+    def li_project(t: pa.Table) -> pa.Table:
+        tt = pa.table({"l_orderkey": t.column("l_orderkey"),
+                       "s_nationkey": pc.cast(t.column("s_nationkey"),
+                                              pa.int64()),
+                       "revenue_e4": t.column("revenue_e4")})
+        return (tt.group_by(["l_orderkey", "s_nationkey"])
+                .aggregate([("revenue_e4", "sum")])
+                .rename_columns(["l_orderkey", "s_nationkey",
+                                 "revenue_e4"]))
+
+    li = attach_dim_adaptive(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"])
+        .map_batches(li_prep, batch_format="pyarrow"),
+        "l_suppkey", supp_dim, "s_suppkey", ["s_nationkey"], how="inner",
+    ).map_batches(li_project, batch_format="pyarrow")
 
     joined = li.join(orders, join_type="inner",
                      num_partitions=min(8, shuffle_partitions()),
@@ -1227,63 +1217,80 @@ ORDER BY revenue_e4 DESC, n.n_name"""
 
 def q14_promo_revenue(sf_dir: str, ptype: str = "PROMO",
                       year: str = "1996", month: str = "06"):
-    """TPC-H Q14-shaped promo-revenue share: conditional aggregation
-    against a broadcast part-attribute set (the part table is the
-    small dimension side -> one ray.put key set, `pc.is_in` per batch,
-    zero shuffle; the two integer-cent sums meet in one global
-    aggregate and the ratio derives from exact ints on both sides)."""
+    """TPC-H Q14-shaped promo-revenue share: LEFT membership flag
+    against the promo subset of the part table.  Part scales with the
+    fact tables (TPC-H: sf x 200k rows), so the flag attaches
+    size-adaptively (:func:`~..stages.dimjoin.attach_dim_adaptive`):
+    lineitem pre-aggregates revenue per (partkey) inside each batch —
+    only part-grain partials reach the attach — and the promo key set
+    broadcasts only under a byte budget, co-locating through one
+    coarse-hash exchange above it.  A missing flag means "not promo"
+    (LEFT semantics — rows whose partkey is absent from part still
+    count toward total revenue, mirrored by the SQL's IN-subquery).
+    The two integer-cent sums meet in one global aggregate and the
+    ratio derives from exact ints on both sides."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
-    from ..util import process_cached as _pcached, ref_key as _rkey
+    from ..stages.dimjoin import attach_dim_adaptive
 
     lo = pd.Timestamp(f"{year}-{month}-01")
     hi = (lo + pd.offsets.MonthBegin(1)).normalize()
-    hi_str = hi.strftime("%Y-%m-%d")
 
-    part = pa.concat_tables(ray.get(
-        ray.data.read_parquet(f"{sf_dir}/part.parquet",
-                              columns=["p_partkey", "p_type"])
-        .to_arrow_refs()))
-    promo = sorted(
-        k for k, t in zip(part.column("p_partkey").to_pylist(),
-                          part.column("p_type").to_pylist()) if t == ptype)
-    promo_ref = ray.put(promo)
+    def promo_rows(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t.column("p_type"), ptype))
+        return pa.table({
+            "p_partkey": sel.column("p_partkey"),
+            "is_promo": pa.array(np.ones(sel.num_rows, np.int64)),
+        })
 
-    class PromoPartial:
-        def __init__(self, ref):
-            self.promo = pa.array(ray.get(ref), pa.int64())
+    promo_dim = (ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+        .map_batches(promo_rows, batch_format="pyarrow"))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = pc.and_(pc.greater_equal(t.column("l_shipdate"),
-                                         pa.scalar(lo)),
-                        pc.less(t.column("l_shipdate"), pa.scalar(hi)))
-            t = t.filter(m)
-            price_c = pc.cast(pc.round(pc.multiply(
-                t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
-            disc_c = pc.cast(pc.round(pc.multiply(
-                t.column("l_discount"), pa.scalar(100.0))), pa.int64())
-            rev_e4 = pc.multiply(price_c,
-                                 pc.subtract(pa.scalar(100, pa.int64()),
-                                             disc_c))
-            is_promo = pc.is_in(t.column("l_partkey"), value_set=self.promo)
-            promo_rev = pc.if_else(is_promo, rev_e4,
-                                   pa.scalar(0, pa.int64()))
-            return pa.table({
-                "promo_rev_e4": pa.array(
-                    [pc.sum(promo_rev).as_py() or 0], pa.int64()),
-                "total_rev_e4": pa.array(
-                    [pc.sum(rev_e4).as_py() or 0], pa.int64()),
-            })
+    def li_partials(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"),
+                                     pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        rev_e4 = pc.multiply(price_c,
+                             pc.subtract(pa.scalar(100, pa.int64()),
+                                         disc_c))
+        tt = pa.table({"l_partkey": t.column("l_partkey"),
+                       "rev_e4": rev_e4})
+        return (tt.group_by(["l_partkey"]).aggregate([("rev_e4", "sum")])
+                .rename_columns(["l_partkey", "rev_e4"]))
 
-    ds = (ray.data.read_parquet(
+    per_part = (ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
-        .map_batches(_pcached(PromoPartial, _rkey(promo_ref), promo_ref),
-                     batch_format="pyarrow"))
-    agg = ds.aggregate(Sum("promo_rev_e4", alias_name="promo_rev_e4"),
-                       Sum("total_rev_e4", alias_name="total_rev_e4"))
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(li_partials, batch_format="pyarrow"))
+
+    flagged = attach_dim_adaptive(per_part, "l_partkey", promo_dim,
+                                  "p_partkey", ["is_promo"], how="left")
+
+    def reduce_partial(t: pa.Table) -> pa.Table:
+        rev = t.column("rev_e4")
+        is_promo = pc.fill_null(pc.cast(t.column("is_promo"), pa.int64()),
+                                0)
+        promo_rev = pc.if_else(pc.equal(is_promo, 1), rev,
+                               pa.scalar(0, pa.int64()))
+        return pa.table({
+            "promo_rev_e4": pa.array([pc.sum(promo_rev).as_py() or 0],
+                                     pa.int64()),
+            "total_rev_e4": pa.array([pc.sum(rev).as_py() or 0],
+                                     pa.int64()),
+        })
+
+    agg = (flagged.map_batches(reduce_partial, batch_format="pyarrow")
+           .aggregate(Sum("promo_rev_e4", alias_name="promo_rev_e4"),
+                      Sum("total_rev_e4", alias_name="total_rev_e4")))
     promo_rev = int(agg["promo_rev_e4"] or 0)
     total_rev = int(agg["total_rev_e4"] or 0)
     # raw IEEE division of exact ints: bit-identical to the SQL mirror
