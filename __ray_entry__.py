@@ -394,6 +394,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return resume_accounting(corpus_dataset(sf_dir), _config(),
                                  nparts=8)
 
+    def q_docs_token_budget(sf_dir):
+        # global ORDER BY + cumulative-window budget gate without a
+        # total sort (two-phase key histogram, rank.budget_select)
+        from yj_schema_validator_ray.stages.rank import docs_token_budget
+
+        return docs_token_budget(docs(sf_dir))
+
     def q_events_value_quartiles(sf_dir):
         # NTILE-by-value quartile labels from exact per-group quantile
         # thresholds (broadcast domain-sized matrix, stateless scan)
@@ -733,8 +740,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_terms": q_vocab_top_terms,
         "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
-        "chunk_documents": q_chunk_documents,
+        "docs_token_budget": q_docs_token_budget,
         # --- below the driver line: r02-checked (next rotation) ---
+        "chunk_documents": q_chunk_documents,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "curation_report": q_curation_report,
@@ -1260,6 +1268,12 @@ def _validate_resume_sql() -> str:
     return oracles.resume_accounting_sql(nparts=8)
 
 
+def _docs_token_budget_sql() -> str:
+    from yj_schema_validator_ray.stages.rank import docs_token_budget_sql
+
+    return docs_token_budget_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
 
@@ -1283,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running_total": _events_running_total_sql(),
         "events_user_type_pivot": _events_user_type_pivot_sql(),
         "docs_length_rank": _docs_length_rank_sql(),
+        "docs_token_budget": _docs_token_budget_sql(),
         "quality_length_filter": _quality_length_filter_sql(),
         "media_features_wav": _media_features_wav_sql(),
         "training_table": _training_table_sql(),

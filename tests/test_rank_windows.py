@@ -140,3 +140,32 @@ def test_global_rank_high_cardinality_keys(ray_session):
     exp["rank"] = np.arange(1, n + 1, dtype=np.int64)
     exp = exp.sort_values("doc_id").reset_index(drop=True)
     assert (got["rank"].to_numpy() == exp["rank"].to_numpy()).all()
+
+
+def test_budget_select_matches_pandas_reference(ray_session):
+    """budget_select == the pandas sort+cumsum reference, including key
+    ties straddling the budget boundary and multi-partition inputs."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.rank import budget_select
+
+    rng = np.random.RandomState(9)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "key": rng.randint(0, 40, n).astype(np.int64),  # heavy ties
+        "w": rng.randint(1, 50, n).astype(np.int64),
+    })
+    ref = df.sort_values(["key", "id"], ascending=[False, True]).copy()
+    ref["cum"] = ref["w"].cumsum()
+    budget = int(ref["cum"].iloc[n // 3])  # boundary mid-tie on purpose
+    ref = ref[ref["cum"] <= budget]
+
+    ds = ray.data.from_pandas(df).repartition(8).map_batches(
+        lambda t: t, batch_format="pyarrow")
+    got = (budget_select(ds, "key", "id", "w", budget=budget)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = (ref[["id", "key", "w", "cum"]].sort_values("id")
+           .reset_index(drop=True).astype("int64"))
+    got = got.astype("int64")
+    pd.testing.assert_frame_equal(got, exp)

@@ -119,3 +119,131 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id)
             AS BIGINT) AS {rank_col}
 FROM documents"""
+
+
+def budget_select(ds, key_col: str, id_col: str, weight_col: str,
+                  budget: int, descending: bool = True,
+                  max_distinct: int = 2_000_000):
+    """Global TOKEN-BUDGET selection: keep rows, in ``key_col`` order
+    (desc by default, ties by ascending ``id_col``), while the running
+    sum of ``weight_col`` stays <= ``budget`` — the "take the best
+    documents until the token budget is spent" primitive of
+    training-data mixing/selection pipelines.
+
+    Same two-phase histogram shape as :func:`global_rank` (a global
+    ORDER BY + cumulative window without a total sort):
+
+    1. one exchange of per-key (count, weight_sum) PARTIALS;
+    2. driver: exclusive prefix of weight_sums in key order (state =
+       distinct keys only, ``max_distinct``-guarded);
+    3. one exchange of (id, key, weight) rows co-located BY KEY; each
+       key group sorts by id, adds the broadcast base to its in-group
+       weight cumsum, and filters ``cum <= budget`` vectorized.
+
+    Output: (id, key, weight, cum) for kept rows — ``cum`` INCLUDES the
+    row's own weight (SQL ``ROWS UNBOUNDED PRECEDING`` inclusive frame).
+    ``key_col == weight_col`` is legal (select-the-longest-first) and
+    collapses the two output columns into one.
+    """
+    import ray
+
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate, hash_columns
+
+    cols = list(dict.fromkeys([id_col, key_col, weight_col]))
+    proj = ds.map_batches(lambda t: t.select(cols),
+                          batch_format="pyarrow").materialize()
+
+    hist = grouped_aggregate(
+        proj, [key_col], [("", "count", "n"),
+                          (weight_col, "sum", "w")],
+        num_partitions=min(8, shuffle_partitions())).to_pandas()
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"budget_select: {len(hist):,} distinct {key_col!r} values "
+            f"exceed max_distinct={max_distinct:,}; bucket the key")
+    hist = hist.sort_values(key_col, ascending=not descending)
+    excl = np.concatenate(([0], np.cumsum(hist["w"].to_numpy())))[:-1]
+    keys_nat = hist[key_col].to_numpy()
+    nat_order = np.argsort(keys_nat, kind="stable")
+    ref = ray.put((keys_nat[nat_order], excl.astype(np.int64)[nat_order]))
+
+    def select_group(g: pd.DataFrame) -> pd.DataFrame:
+        keys_sorted, base_sorted = ray.get(ref)
+        if g.empty:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=g[id_col].dtype),
+                key_col: pd.Series(dtype=g[key_col].dtype),
+                weight_col: pd.Series(dtype="int64"),
+                "cum": pd.Series(dtype="int64")})
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        w = g[weight_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, keys))
+        keys, ids, w = keys[order], ids[order], w[order]
+        starts = np.concatenate(([0], np.flatnonzero(
+            keys[1:] != keys[:-1]) + 1))
+        cs = np.cumsum(w)
+        seg_base = np.repeat(
+            np.concatenate(([0], cs[starts[1:] - 1])), np.diff(
+                np.concatenate((starts, [len(w)]))))
+        within = cs - seg_base  # inclusive in-key cumsum
+        base = base_sorted[np.searchsorted(keys_sorted, keys)]
+        cum = base + within
+        keep = cum <= budget
+        return pd.DataFrame({id_col: ids[keep],
+                             key_col: keys[keep],
+                             weight_col: w[keep],
+                             "cum": cum[keep].astype("int64")})
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        kh = hash_columns(t.select([key_col]))
+        return t.append_column(
+            "__coarse", pa.array((kh & np.uint64(1023)).astype(np.int64)))
+
+    return (proj.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(select_group, batch_format="pandas"))
+
+
+def docs_token_budget(docs_ds, budget: int = 20_000):
+    """Documents selected longest-first under a global token budget —
+    (doc_id, n_tokens, cum_tokens); the corpus-curation "fill the
+    training budget with the best docs" gate."""
+    from .text import WORD_RE
+
+    def with_tokens(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t.column("text"), WORD_RE),
+                pa.int64()),
+        })
+
+    out = budget_select(
+        docs_ds.map_batches(with_tokens, batch_format="pyarrow"),
+        key_col="n_tokens", id_col="doc_id", weight_col="n_tokens",
+        budget=budget)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
+            "cum_tokens": t.column("cum"),
+        }), batch_format="pyarrow")
+
+
+def docs_token_budget_sql(budget: int = 20_000) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {budget}"""
