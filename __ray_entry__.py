@@ -401,6 +401,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs_token_budget(docs(sf_dir))
 
+    def q_mixture_token_budget(sf_dir):
+        # per-SOURCE token budgets filled longest-first (training mix)
+        from yj_schema_validator_ray.stages.rank import (
+            mixture_token_budget)
+
+        return mixture_token_budget(docs3(sf_dir))
+
     def q_events_value_quartiles(sf_dir):
         # NTILE-by-value quartile labels from exact per-group quantile
         # thresholds (broadcast domain-sized matrix, stateless scan)
@@ -735,7 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "scrub_pii": q_scrub_pii,
         "fingerprint_md5": q_fingerprint_md5,
-        "sample_uniform": q_sample_uniform,
+        "mixture_token_budget": q_mixture_token_budget,
         "sample_mixture": q_sample_mixture,
         "vocab_top_terms": q_vocab_top_terms,
         "heavy_hitters": q_heavy_hitters,
@@ -743,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_budget": q_docs_token_budget,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
+        "sample_uniform": q_sample_uniform,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "curation_report": q_curation_report,
@@ -1274,6 +1282,13 @@ def _docs_token_budget_sql() -> str:
     return docs_token_budget_sql()
 
 
+def _mixture_token_budget_sql() -> str:
+    from yj_schema_validator_ray.stages.rank import (
+        mixture_token_budget_sql)
+
+    return mixture_token_budget_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
 
@@ -1298,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_type_pivot": _events_user_type_pivot_sql(),
         "docs_length_rank": _docs_length_rank_sql(),
         "docs_token_budget": _docs_token_budget_sql(),
+        "mixture_token_budget": _mixture_token_budget_sql(),
         "quality_length_filter": _quality_length_filter_sql(),
         "media_features_wav": _media_features_wav_sql(),
         "training_table": _training_table_sql(),

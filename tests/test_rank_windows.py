@@ -169,3 +169,36 @@ def test_budget_select_matches_pandas_reference(ray_session):
            .reset_index(drop=True).astype("int64"))
     got = got.astype("int64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grouped_budget_select_matches_pandas_reference(ray_session):
+    """Per-group budgets == pandas per-group sort+cumsum reference;
+    groups without a budget drop entirely."""
+    import ray.data
+
+    from yj_schema_validator_ray.stages.rank import grouped_budget_select
+
+    rng = np.random.RandomState(12)
+    n = 3000
+    df = pd.DataFrame({
+        "src": rng.choice(["a", "b", "c"], n),
+        "id": np.arange(n, dtype=np.int64),
+        "key": rng.randint(0, 30, n).astype(np.int64),
+        "w": rng.randint(1, 40, n).astype(np.int64),
+    })
+    budgets = {"a": 4000, "b": 1500}  # 'c' unbudgeted -> dropped
+    ref = (df[df["src"].isin(budgets)]
+           .sort_values(["src", "key", "id"],
+                        ascending=[True, False, True]).copy())
+    ref["cum"] = ref.groupby("src")["w"].cumsum()
+    ref = ref[ref["cum"] <= ref["src"].map(budgets)]
+
+    ds = ray.data.from_pandas(df).repartition(6).map_batches(
+        lambda t: t, batch_format="pyarrow")
+    got = (grouped_budget_select(ds, "src", "key", "id", "w", budgets)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = (ref[["src", "id", "key", "w", "cum"]].sort_values("id")
+           .reset_index(drop=True))
+    for c in ["id", "key", "w", "cum"]:
+        got[c] = got[c].astype("int64"); exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)

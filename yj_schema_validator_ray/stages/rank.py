@@ -247,3 +247,146 @@ c AS (
 )
 SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= {budget}"""
+
+
+def grouped_budget_select(ds, group_col: str, key_col: str, id_col: str,
+                          weight_col: str, budgets: dict,
+                          max_distinct: int = 2_000_000):
+    """PER-GROUP token-budget selection — the training-MIX shape: each
+    source gets its own budget, filled with its best rows first
+    (``key_col`` desc, ``id_col`` ties asc).  Groups absent from
+    ``budgets`` are dropped (same contract as ``mixture_sample``).
+
+    Same two-phase histogram machinery as :func:`budget_select`, keyed
+    by (group, key): the driver state is the (group, key) domain
+    (``max_distinct``-guarded), never row-scale; rows co-locate by
+    hash of (group, key) so every (group, key) run reduces in one
+    vectorized pass, with one dict probe per RUN (not per row).
+    """
+    import ray
+
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate, hash_columns
+
+    cols = list(dict.fromkeys([group_col, id_col, key_col, weight_col]))
+    proj = ds.map_batches(lambda t: t.select(cols),
+                          batch_format="pyarrow").materialize()
+
+    hist = grouped_aggregate(
+        proj, [group_col, key_col], [(weight_col, "sum", "w")],
+        num_partitions=min(8, shuffle_partitions())).to_pandas()
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"grouped_budget_select: {len(hist):,} distinct "
+            f"(group, key) pairs exceed {max_distinct:,}; bucket the key")
+    hist = hist[hist[group_col].isin(budgets)]
+    hist = hist.sort_values([group_col, key_col],
+                            ascending=[True, False])
+    excl = (hist.groupby(group_col, sort=False)["w"]
+            .apply(lambda s: s.cumsum().shift(fill_value=0)))
+    base_map = dict(zip(zip(hist[group_col], hist[key_col]),
+                        np.asarray(excl, dtype=np.int64)))
+    ref = ray.put((base_map, dict(budgets)))
+
+    def select_group(g: pd.DataFrame) -> pd.DataFrame:
+        bases, buds = ray.get(ref)
+        out_cols = [group_col, id_col, key_col, weight_col]
+        if g.empty:
+            d = {c: pd.Series(dtype=g[c].dtype) for c in out_cols}
+            d["cum"] = pd.Series(dtype="int64")
+            return pd.DataFrame(d)
+        g = g[g[group_col].isin(buds)]
+        if g.empty:
+            d = {c: pd.Series(dtype=object if c == group_col else "int64")
+                 for c in out_cols}
+            d["cum"] = pd.Series(dtype="int64")
+            return pd.DataFrame(d)
+        grp = g[group_col].to_numpy()
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        w = g[weight_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, keys, grp))
+        grp, keys, ids, w = grp[order], keys[order], ids[order], w[order]
+        change = (keys[1:] != keys[:-1]) | (grp[1:] != grp[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        cs = np.cumsum(w)
+        seg_base = np.repeat(
+            np.concatenate(([0], cs[starts[1:] - 1])),
+            np.diff(np.concatenate((starts, [len(w)]))))
+        within = cs - seg_base
+        base = np.repeat(
+            np.fromiter((bases[(grp[s], keys[s])] for s in starts),
+                        np.int64, len(starts)),
+            np.diff(np.concatenate((starts, [len(w)]))))
+        bud = np.repeat(
+            np.fromiter((buds[grp[s]] for s in starts), np.int64,
+                        len(starts)),
+            np.diff(np.concatenate((starts, [len(w)]))))
+        cum = base + within
+        keep = cum <= bud
+        return pd.DataFrame({group_col: grp[keep], id_col: ids[keep],
+                             key_col: keys[keep], weight_col: w[keep],
+                             "cum": cum[keep].astype("int64")})
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        kh = hash_columns(t.select([group_col, key_col]))
+        return t.append_column(
+            "__coarse", pa.array((kh & np.uint64(1023)).astype(np.int64)))
+
+    return (proj.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(select_group, batch_format="pandas"))
+
+
+def mixture_token_budget(docs_ds, budgets: dict | None = None):
+    """Per-SOURCE token budgets filled longest-first — the data-mixing
+    curation gate; (source, doc_id, n_tokens, cum_tokens)."""
+    from .text import WORD_RE
+
+    if budgets is None:
+        budgets = {"src1": 20_000, "src2": 10_000, "src3": 5_000,
+                   "src4": 2_000}
+
+    def with_tokens(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"),
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t.column("text"), WORD_RE),
+                pa.int64()),
+        })
+
+    out = grouped_budget_select(
+        docs_ds.map_batches(with_tokens, batch_format="pyarrow"),
+        group_col="source", key_col="n_tokens", id_col="doc_id",
+        weight_col="n_tokens", budgets=budgets)
+    return out.map_batches(
+        lambda t: pa.table({
+            "source": t.column("source"),
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(t.column("n_tokens"), pa.int64()),
+            "cum_tokens": t.column("cum"),
+        }), batch_format="pyarrow")
+
+
+def mixture_token_budget_sql(budgets: dict | None = None) -> str:
+    if budgets is None:
+        budgets = {"src1": 20_000, "src2": 10_000, "src3": 5_000,
+                   "src4": 2_000}
+    cases = " ".join(f"WHEN '{s}' THEN {b}" for s, b in budgets.items())
+    srcs = ", ".join(f"'{s}'" for s in budgets)
+    return rf"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE source IN ({srcs})
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= (CASE source {cases} END)"""
