@@ -408,6 +408,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mixture_token_budget(docs3(sf_dir))
 
+    def q_epoch_mixture(sf_dir):
+        # training-mix UPSAMPLING: per-source effective epochs (>1 legal)
+        from yj_schema_validator_ray.stages.sampling import epoch_mixture
+
+        return epoch_mixture(docs3(sf_dir), _EPOCH_RATES).map_batches(
+            lambda t: t.select(["doc_id", "source", "epoch"]),
+            batch_format="pyarrow")
+
     def q_events_value_quartiles(sf_dir):
         # NTILE-by-value quartile labels from exact per-group quantile
         # thresholds (broadcast domain-sized matrix, stateless scan)
@@ -743,7 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": q_scrub_pii,
         "fingerprint_md5": q_fingerprint_md5,
         "mixture_token_budget": q_mixture_token_budget,
-        "sample_mixture": q_sample_mixture,
+        "epoch_mixture": q_epoch_mixture,
         "vocab_top_terms": q_vocab_top_terms,
         "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
@@ -751,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
+        "sample_mixture": q_sample_mixture,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "curation_report": q_curation_report,
@@ -1289,6 +1298,16 @@ def _mixture_token_budget_sql() -> str:
     return mixture_token_budget_sql()
 
 
+# per-source effective-epoch upsampling rates (src2 repeats 2.5x, ...)
+_EPOCH_RATES = {"src1": 1.0, "src2": 2.5, "src3": 0.4, "src4": 3.0}
+
+
+def _epoch_mixture_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import epoch_mixture_sql
+
+    return epoch_mixture_sql(_EPOCH_RATES, columns="doc_id, source")
+
+
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
 
@@ -1314,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_rank": _docs_length_rank_sql(),
         "docs_token_budget": _docs_token_budget_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
+        "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),
         "media_features_wav": _media_features_wav_sql(),
         "training_table": _training_table_sql(),

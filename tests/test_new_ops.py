@@ -279,3 +279,48 @@ def test_mixed_mega_bucket_keeps_small_sha_groups_pair_complete():
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 assert (ids[i], ids[j]) in got, (sha64, ids[i], ids[j])
+
+
+def test_epoch_mixture_upsampling_reference():
+    """epoch_mixture == the per-row reference: floor(rate) full epochs
+    plus one md5-gated fractional epoch keyed on (id, epoch); rate<1 is
+    pure sampling, unbudgeted sources drop, epochs are 0-based."""
+    import hashlib
+
+    import ray
+
+    from yj_schema_validator_ray.stages.sampling import (_hex_threshold,
+                                                         epoch_mixture)
+
+    n = 400
+    rng = np.random.RandomState(5)
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(rng.choice(["a", "b", "c"], n)),
+    })
+    rates = {"a": 2.5, "b": 0.3}  # c dropped
+    got = (epoch_mixture(ray.data.from_arrow(tbl).repartition(4),
+                         rates).to_pandas()
+           .sort_values(["doc_id", "epoch"]).reset_index(drop=True))
+    exp_rows = []
+    for d, s in zip(tbl.column("doc_id").to_pylist(),
+                    tbl.column("source").to_pylist()):
+        r = rates.get(s)
+        if r is None:
+            continue
+        for e in range(int(np.floor(r))):
+            exp_rows.append((d, s, e))
+        e = int(np.floor(r))
+        if e < int(np.ceil(r)):
+            hx = hashlib.md5(f"{d}:{e}".encode()).hexdigest()[:8]
+            if hx < _hex_threshold(r - np.floor(r)):
+                exp_rows.append((d, s, e))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "source", "epoch"])
+    assert got[["doc_id", "source", "epoch"]].astype(
+        {"doc_id": "int64", "epoch": "int64"}).values.tolist() \
+        == exp.values.tolist()
+    # sanity: upsampled source really repeats, fractional epoch partial
+    a = got[got["source"] == "a"]
+    assert set(a["epoch"]) == {0, 1, 2}
+    n_a = (tbl.column("source").to_pylist().count("a"))
+    assert len(a) > 2 * n_a and len(a) < 3 * n_a

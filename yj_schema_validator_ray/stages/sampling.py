@@ -298,3 +298,71 @@ def sample_intersection_sql(rate: float = 0.3, n_per_group: int = 10,
             f"{hash_sample_sql(rate, table, id_col, id_col)}) "
             f"INTERSECT SELECT {id_col} FROM ("
             f"{stratified_sample_sql(n_per_group, table, group_col, id_col)})")
+
+
+def epoch_mixture(docs_ds, rates: dict[str, float],
+                  id_col: str = "doc_id", source_col: str = "source"):
+    """Training-mix UPSAMPLING: per-source effective-epoch rates that
+    may exceed 1 (the repeat-and-sample mix of modern LLM recipes —
+    e.g. rate 2.5 = two full copies of every doc plus a deterministic
+    half sample as the third epoch).  Emits one row per (doc, epoch)
+    with an ``epoch`` column (0-based); sources absent from ``rates``
+    are dropped.
+
+    Decision stays a pure per-row function: epoch ``e < floor(rate)``
+    always survives; the single fractional epoch ``e = floor(rate)``
+    keeps the doc iff ``md5(doc_id || ':' || e)[:8] < frac`` — keyed on
+    (id, epoch) so the fractional epoch's subset is INDEPENDENT of the
+    rate-1 sample and stable under rerun/resume/repartition.  Mirrored
+    digit-for-digit by the SQL oracle.
+    """
+    ceil_r = {s: int(np.ceil(r)) for s, r in rates.items()}
+    floor_r = {s: int(np.floor(r)) for s, r in rates.items()}
+    frac_thr = {s: _hex_threshold(r - np.floor(r)) for s, r in rates.items()}
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        idx_out: list[int] = []
+        epochs: list[int] = []
+        for i, (d, s) in enumerate(zip(ids, srcs)):
+            n_full = floor_r.get(s)
+            if n_full is None:
+                continue
+            for e in range(n_full):
+                idx_out.append(i)
+                epochs.append(e)
+            if ceil_r[s] > n_full:
+                e = n_full
+                hx = hashlib.md5(f"{d}:{e}".encode()).hexdigest()[:8]
+                if hx < frac_thr[s]:
+                    idx_out.append(i)
+                    epochs.append(e)
+        out = batch.take(pa.array(idx_out, pa.int64()))
+        return out.append_column("epoch", pa.array(epochs, pa.int64()))
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def epoch_mixture_sql(rates: dict[str, float], table: str = "documents",
+                      id_col: str = "doc_id", source_col: str = "source",
+                      columns: str = "doc_id, source") -> str:
+    """One row per (doc, epoch): full epochs unconditionally, the
+    fractional epoch through the same md5((id, epoch)) gate."""
+    max_ceil = max(int(np.ceil(r)) for r in rates.values()) if rates else 0
+    srcs = ", ".join(f"'{s}'" for s in rates)
+    floor_case = " ".join(
+        f"WHEN '{s}' THEN {int(np.floor(r))}" for s, r in rates.items())
+    thr_case = " ".join(
+        f"WHEN '{s}' THEN '{_hex_threshold(r - np.floor(r))}'"
+        for s, r in rates.items())
+    return f"""
+SELECT {columns}, CAST(e.epoch AS BIGINT) AS epoch
+FROM {table}
+CROSS JOIN (SELECT unnest(range({max_ceil})) AS epoch) e
+WHERE {source_col} IN ({srcs})
+  AND (e.epoch < (CASE {source_col} {floor_case} END)
+       OR (e.epoch = (CASE {source_col} {floor_case} END)
+           AND substr(md5(CAST({id_col} AS VARCHAR) || ':' ||
+                          CAST(e.epoch AS VARCHAR)), 1, 8)
+               < (CASE {source_col} {thr_case} END)))"""
