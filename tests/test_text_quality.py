@@ -102,3 +102,26 @@ def test_bpe_roundtrip_and_modes_agree(ray_session):
     pd.testing.assert_frame_equal(a, b)
     # training is deterministic across runs
     assert train_bpe_merges(ds, num_merges=64) == merges
+
+
+def test_bpe_roundtrip_property_random_unicode():
+    """Property: decode(encode(x)) == utf-8 bytes of x for ARBITRARY
+    text under an arbitrary trained merge table (byte-level BPE is
+    lossless by construction; any miss is a table/merge-loop bug)."""
+    from hypothesis import given, settings, strategies as st
+
+    from yj_schema_validator_ray.stages.bpe import BPEEncoder
+
+    # adversarial merge table: overlapping merges incl. multi-byte runs
+    merges = [(b"a", b"a"), (b"aa", b"a"), (b" ", b"t"), (b" t", b"h"),
+              (b"e", b" "), (b"\xc3", b"\xa9"), (b"1", b"2")]
+    enc = BPEEncoder(merges)
+
+    @settings(max_examples=200, deadline=None)
+    @given(text=st.text(max_size=200))
+    def check(text):
+        ids = enc.encode(text)
+        assert enc.decode(ids) == text.encode("utf-8")
+        assert len(ids) <= len(text.encode("utf-8"))
+
+    check()
