@@ -701,11 +701,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # r4 SNAPSHOT WINDOW (positions 1-50) — ordering ledger:
         # (a) 1-16  never driver-checked oracled entries (r01-r03);
-        # (b) 17-18 new this round (tokenize_bpe, validate_resume);
-        # (c) 19-26 queries whose code changed this round;
-        # (d) 27-50 stalest driver rows (last checked in r02).
+        # (b) new this round (tokenize_bpe, validate_resume,
+        #     docs_token_budget, mixture_token_budget, epoch_mixture);
+        # (c) queries whose code changed this round (top_customers,
+        #     customer_order_totals, accuracy_simhash, accuracy_ann_ivf,
+        #     docs_length_rank, q3/q5/q14);
+        # (d) stalest driver rows (last checked in r02) fill the rest.
         # With r01-r03 this makes the driver-row union cover every
-        # oracled entry.  ADD NEW QUERIES BELOW `curation_report`.
+        # oracled entry (audited: zero uncovered).  ADD NEW QUERIES
+        # BELOW the window (after `docs_token_budget`); the r02-green
+        # entries just below the line are the r5 rotation pool.
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "accuracy_fingerprints": q_accuracy_fingerprints,
