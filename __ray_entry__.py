@@ -416,6 +416,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.select(["doc_id", "source", "epoch"]),
             batch_format="pyarrow")
 
+    def q_events_sessions_streaming(sf_dir):
+        # stateful session actors with watermark-driven incremental
+        # emission; shares the batch sessionize SQL (no late events on
+        # a sorted feed)
+        from yj_schema_validator_ray.stages.streaming import (
+            streaming_sessionize)
+
+        return streaming_sessionize(sf_dir)
+
     def q_events_value_quartiles(sf_dir):
         # NTILE-by-value quartile labels from exact per-group quantile
         # thresholds (broadcast domain-sized matrix, stateless scan)
@@ -753,7 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": q_quality_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
-        "scrub_pii": q_scrub_pii,
+        "events_sessions_streaming": q_events_sessions_streaming,
         "fingerprint_md5": q_fingerprint_md5,
         "mixture_token_budget": q_mixture_token_budget,
         "epoch_mixture": q_epoch_mixture,
@@ -765,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
         "sample_mixture": q_sample_mixture,
+        "scrub_pii": q_scrub_pii,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "curation_report": q_curation_report,
@@ -1359,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dau": _events_dau_sql(),
         "events_props_stats": _events_props_stats_sql(),
         "events_window_streaming": R.events_tumbling_window_sql(),
+        "events_sessions_streaming": R.events_sessionize_sql(),
         "docs_union_evolved": _docs_union_evolved_sql(),
         "docs_jsonl_roundtrip": _docs_jsonl_roundtrip_sql(),
         "accuracy_fingerprints": _accuracy_fingerprints_sql(),

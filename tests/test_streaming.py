@@ -294,3 +294,43 @@ def test_grouped_quantiles_auto_route_high_cardinality(ray_session):
         for q in qs:
             r = max(1, int(np.ceil(q * len(s))))
             assert got[(int(grp), q)] == s[r - 1], (grp, q)
+
+
+def test_session_actor_watermark_semantics(ray_session):
+    """SessionBucketActor: gap splits sessions, the watermark finalizes
+    sessions incrementally (user can reopen later), and events older
+    than watermark - lateness are dropped and counted."""
+    import ray
+
+    from yj_schema_validator_ray.stages.streaming import SessionBucketActor
+
+    a = SessionBucketActor.remote(gap_us=100, lateness_us=10)
+    # user 1: two events 50 apart (one session), then a 200 gap (new one)
+    assert ray.get(a.ingest.remote([1, 1], [1000, 1050])) == 0
+    assert ray.get(a.poll_finalized.remote()) == []  # nothing closable yet
+    assert ray.get(a.ingest.remote([1], [1300])) == 0  # gap 250 > 100
+    # watermark 1300: session (1000,1050) closed at the gap; 1050+100 <
+    # 1290 so it is emittable NOW while the stream still flows
+    out = ray.get(a.poll_finalized.remote())
+    assert out == [(1, 1000, 1050, 2)]
+    # late event: watermark 1300, lateness 10 -> anything < 1290 drops
+    assert ray.get(a.ingest.remote([2], [1100])) == 1
+    rows, late = ray.get(a.flush.remote())
+    assert rows == [(1, 1300, 1300, 1)] and late == 1
+    ray.kill(a)
+
+
+def test_streaming_sessionize_matches_batch(ray_session):
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_sessionize)
+    from yj_schema_validator_ray.stages.streaming import (
+        streaming_sessionize)
+
+    sf = "/root/testdata/sf0.001"
+    got = (streaming_sessionize(sf).sort_values("user_id")
+           .reset_index(drop=True))
+    exp = (events_sessionize(sf).to_pandas().sort_values("user_id")
+           .reset_index(drop=True).astype({"user_id": "int64",
+                                           "n_sessions": "int64",
+                                           "n_events": "int64"}))
+    pd.testing.assert_frame_equal(got, exp)

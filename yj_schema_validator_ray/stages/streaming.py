@@ -134,3 +134,120 @@ def streaming_tumbling_window(sf_dir: str, window_s: int = 3600,
                            "sum_value_cents": "int64"})
             [["event_type", "window_start", "sum_value_cents", "n_events"]]
             .sort_values(["event_type", "window_start"]).reset_index(drop=True))
+
+
+@ray.remote
+class SessionBucketActor:
+    """Incremental per-user SESSION state for one user-hash bucket.
+
+    A session extends while consecutive events arrive within ``gap_s``;
+    it becomes emittable once the bucket watermark (max ts seen minus
+    ``lateness_s``) passes ``last_ts + gap_s`` — no event can extend it
+    any more, though the same user may open NEW sessions later (session
+    windows finalize individually; per-user totals only at flush)."""
+
+    def __init__(self, gap_us: int, lateness_us: int):
+        # MICROSECOND domain end-to-end: the parquet timestamps carry
+        # sub-second parts, and the SQL gap compare (epoch() doubles)
+        # is exact at us precision — flooring to seconds would diverge
+        self.gap = gap_us
+        self.lateness = lateness_us
+        # user -> [session_start, last_ts, n_events]
+        self.open: dict[int, list] = {}
+        self.watermark = -np.inf
+        self.emitted: list[tuple] = []
+        self.late_events = 0
+
+    def ingest(self, users: list, epochs: list) -> int:
+        late = 0
+        for u, e in zip(users, epochs):
+            if e < self.watermark - self.lateness:
+                late += 1
+                continue
+            s = self.open.get(u)
+            if s is None:
+                self.open[u] = [e, e, 1]
+            elif e - s[1] > self.gap:
+                self.emitted.append((u, s[0], s[1], s[2]))  # close
+                self.open[u] = [e, e, 1]
+            else:
+                s[1] = max(s[1], e)
+                s[2] += 1
+        if epochs:
+            self.watermark = max(self.watermark, max(epochs))
+        self.late_events += late
+        return late
+
+    def poll_finalized(self) -> list[tuple]:
+        """Sessions no on-time event can extend: emit and drop."""
+        cutoff = self.watermark - self.lateness
+        out = list(self.emitted)
+        self.emitted.clear()
+        done = [u for u, s in self.open.items()
+                if s[1] + self.gap < cutoff]
+        for u in done:
+            s = self.open.pop(u)
+            out.append((u, s[0], s[1], s[2]))
+        return out
+
+    def flush(self) -> tuple[list[tuple], int]:
+        out = list(self.emitted)
+        self.emitted.clear()
+        out.extend((u, s[0], s[1], s[2]) for u, s in self.open.items())
+        self.open.clear()
+        return out, self.late_events
+
+
+def streaming_sessionize(sf_dir: str, gap_s: int = 1800,
+                         lateness_s: int = 600, n_buckets: int = 4):
+    """Per-user sessionization via stateful bucket actors fed a
+    ts-ordered stream, with watermark-driven INCREMENTAL session
+    emission (a closed session leaves actor memory while the stream is
+    still flowing — the property the batch shape can't offer).
+
+    Returns (user_id, n_sessions, n_events) aggregated from the emitted
+    session rows — equal to the batch window SQL
+    (:func:`..pipelines.relational.events_sessionize_sql`) when no
+    events are late (the driver feeds globally sorted batches, so none
+    are).  Partitioning: ``user_id % n_buckets`` — one user's events
+    always meet the same actor."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+    ds = ds.sort("ts")  # ordered log (range-partitioned by time)
+
+    actors = [SessionBucketActor.remote(gap_s * 1_000_000,
+                                        lateness_s * 1_000_000)
+              for _ in range(n_buckets)]
+    sessions: list[tuple] = []
+
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        epoch = pc.cast(batch.column("ts"), pa.int64()).to_numpy()  # us
+        users = pc.cast(batch.column("user_id"), pa.int64()).to_numpy()
+        buckets = users % n_buckets
+        pending = []
+        for b in range(n_buckets):
+            m = buckets == b
+            if not m.any():
+                continue
+            pending.append(actors[b].ingest.remote(users[m].tolist(),
+                                                   epoch[m].tolist()))
+        ray.get(pending)
+        for rows in ray.get([a.poll_finalized.remote() for a in actors]):
+            sessions.extend(rows)
+
+    for rows, _late in ray.get([a.flush.remote() for a in actors]):
+        sessions.extend(rows)
+    for a in actors:
+        ray.kill(a)
+
+    df = pd.DataFrame(sessions, columns=["user_id", "session_start",
+                                         "session_end", "n_events"])
+    out = (df.groupby("user_id", as_index=False)
+           .agg(n_sessions=("session_start", "size"),
+                n_events=("n_events", "sum")))
+    return out.astype({"user_id": "int64", "n_sessions": "int64",
+                       "n_events": "int64"})
