@@ -691,6 +691,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall guarantee through a distributed pair-membership join
         return ACC.simhash_accuracy(_augment(docs(sf_dir), "doc_id"))
 
+    def q_accuracy_cms(sf_dir):
+        # Count-Min frequency sketch: exact top-k term counts
+        # (hash-checked) + the never-underestimate / eps-bound
+        # certificates vs the merged (d x w) grid
+        return ACC.cms_accuracy(docs(sf_dir))
+
     def q_accuracy_hll_grouped(sf_dir):
         # exact per-group COUNT(DISTINCT) (hash-checked) + grouped HLL
         # sketch rel-error bound (the unbounded-domain path)
@@ -761,7 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
         "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
+        "accuracy_cms": q_accuracy_cms,
         "events_sessions_streaming": q_events_sessions_streaming,
         "fingerprint_md5": q_fingerprint_md5,
         "mixture_token_budget": q_mixture_token_budget,
@@ -775,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_uniform": q_sample_uniform,
         "sample_mixture": q_sample_mixture,
         "scrub_pii": q_scrub_pii,
+        "lang_id": q_lang_id,
         "sample_stratified": q_sample_stratified,
         "sample_weighted": q_sample_weighted,
         "curation_report": q_curation_report,
@@ -1323,6 +1330,12 @@ def _epoch_mixture_sql() -> str:
     return epoch_mixture_sql(_EPOCH_RATES, columns="doc_id, source")
 
 
+def _accuracy_cms_sql() -> str:
+    from yj_schema_validator_ray.pipelines.accuracy import cms_accuracy_sql
+
+    return cms_accuracy_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
 
@@ -1442,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
         "accuracy_bloom": _accuracy_bloom_sql(),
         "accuracy_simhash": _accuracy_simhash_sql(),
         "accuracy_hll_grouped": _accuracy_hll_grouped_sql(),
+        "accuracy_cms": _accuracy_cms_sql(),
         "media_features_png": _media_features_png_sql(),
         "media_features_jpeg": _media_features_jpeg_sql(),
         # intentionally no SQL oracle (approximate / non-SQL-expressible):

@@ -1116,3 +1116,34 @@ def test_attach_dim_adaptive_semijoin_and_int_payload(ray_session):
     b = run(["flag"], "left", broadcast_max_bytes=0)
     assert a == b == [(1, 10, 7), (2, 20, 8), (2, 50, 8), (3, 30, -1),
                       (99, 40, -1)]
+
+
+def test_count_min_sketch_properties(ray_session):
+    """CMS: never underestimates, eps-bound holds at the configured
+    width, merge(blob) == single-pass, estimates exact when w >> items."""
+    from yj_schema_validator_ray.stages.cms import (CountMinSketch,
+                                                    _term_hash)
+
+    rng = np.random.RandomState(21)
+    terms = np.array([f"w{i}" for i in range(500)], dtype=object)
+    counts = rng.zipf(1.5, 500).astype(np.int64)
+    h = _term_hash(terms)
+
+    one = CountMinSketch(w=4096, d=4)
+    one.add_hashed(h, counts)
+    est = one.estimate_hashed(h)
+    assert (est >= counts).all()
+    import math
+    assert (est <= counts + math.ceil(math.e / 4096 * counts.sum())).all()
+
+    # split-merge equals single-pass
+    a, b = CountMinSketch(w=4096, d=4), CountMinSketch(w=4096, d=4)
+    a.add_hashed(h[:250], counts[:250])
+    b.add_hashed(h[250:], counts[250:])
+    a.merge_blob(b.to_blob())
+    assert (a.table == one.table).all()
+
+    # tiny stream in a wide sketch: exact
+    small = CountMinSketch(w=1 << 16, d=4)
+    small.add_hashed(h[:20], counts[:20])
+    assert (small.estimate_hashed(h[:20]) == counts[:20]).all()

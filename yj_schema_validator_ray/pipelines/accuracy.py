@@ -629,3 +629,56 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
             'g')))) AS BIGINT) AS n_md5_groups,
        TRUE AS fnv_consistent
 FROM docs_aug"""
+
+
+def cms_accuracy(docs_ds, k: int = 20, w: int = 4096, d: int = 4):
+    """(term, tf, overestimate_ok, within_eps): the exact corpus term
+    frequencies for the global top-``k`` terms (hash-checked vs the SQL
+    vocabulary query) plus the two Count-Min guarantees checked against
+    the merged sketch:
+
+    - ``overestimate_ok``: est >= true for EVERY probed term — the
+      structural CM property (collisions only ever ADD); a False here
+      is a merge/indexing bug, not noise;
+    - ``within_eps``: est <= true + ceil((e/w) * N) with N = total
+      token count — the standard error bound, comfortably met at
+      d=4 x w=4096 on this corpus (deterministic hashes make the check
+      reproducible).
+
+    Distributed shape: exact counts through the same per-batch-partial
+    + coarse exchange as ``vocab_top_terms``; the sketch through
+    per-batch (d x w) grids summed driver-side (HLL blob pattern).
+    Both scans stream; driver state = one grid + k rows.
+    """
+    import math as _math
+
+    from ..stages.cms import CountMinSketch, _term_hash, term_cms_sketch
+    from ..stages.text import vocab_top_terms
+
+    top = vocab_top_terms(docs_ds, k=k).to_pandas()
+    top = top.sort_values(["tf", "term"],
+                          ascending=[False, True]).head(k)
+
+    sketch = term_cms_sketch(docs_ds, w=w, d=d)
+    est = sketch.estimate_hashed(_term_hash(top["term"]))
+    true = top["tf"].to_numpy(dtype=np.int64)
+    n_total = int(sketch.table[0].sum())  # row 0 sums the whole stream
+    bound = int(_math.ceil(_math.e / w * n_total))
+    return pd.DataFrame({
+        "term": top["term"].astype(object),
+        "tf": pd.Series(true, dtype="int64"),
+        "overestimate_ok": bool((est >= true).all()),
+        "within_eps": bool((est <= true + bound).all()),
+    })
+
+
+def cms_accuracy_sql(k: int = 20) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       TRUE AS overestimate_ok, TRUE AS within_eps
+FROM toks GROUP BY term
+ORDER BY tf DESC, term LIMIT {k}"""
