@@ -84,7 +84,17 @@ def term_cms_sketch(docs_ds, w: int = 4096, d: int = 4) -> CountMinSketch:
                           counts.to_numpy(dtype=np.int64))
         return pd.DataFrame({"grid": [sk.to_blob()]})
 
-    parts = docs_ds.map_batches(partial, batch_format="pandas")
+    def pre_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        # worker-side tree level: up to 64 per-batch grids -> 1, so the
+        # driver ingests blocks/64 blobs instead of one per input batch
+        sk = CountMinSketch(w, d)
+        for blob in batch["grid"]:
+            sk.merge_blob(blob)
+        return pd.DataFrame({"grid": [sk.to_blob()]})
+
+    parts = (docs_ds.map_batches(partial, batch_format="pandas")
+             .map_batches(pre_merge, batch_format="pandas",
+                          batch_size=64))
     merged = CountMinSketch(w, d)
     for b in parts.iter_batches(batch_format="pyarrow"):
         for blob in b.column("grid").to_pylist():
