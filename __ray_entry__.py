@@ -394,6 +394,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return resume_accounting(corpus_dataset(sf_dir), _config(),
                                  nparts=8)
 
+    def q_quality_classifier(sf_dir):
+        # linear bag-of-words model scoring (integer weights pinned in
+        # stages/classify.CLF_WEIGHTS; fp-free scores hash exactly)
+        from yj_schema_validator_ray.stages.classify import (
+            quality_classifier)
+
+        return quality_classifier(docs(sf_dir))
+
+    def q_term_postings(sf_dir):
+        # bounded inverted index: top-50 terms by df with the first 20
+        # doc ids each (capped mergeable posting lists)
+        from yj_schema_validator_ray.stages.classify import term_postings
+
+        return term_postings(docs(sf_dir))
+
+    def q_events_dau_ma7(sf_dir):
+        # trailing 7-row window SUM over the DAU day series
+        return R.events_dau_ma7(sf_dir)
+
     def q_docs_token_budget(sf_dir):
         # global ORDER BY + cumulative-window budget gate without a
         # total sort (two-phase key histogram, rank.budget_select)
@@ -776,6 +795,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
         "docs_token_budget": q_docs_token_budget,
+        "quality_classifier": q_quality_classifier,
+        "term_postings": q_term_postings,
+        "events_dau_ma7": q_events_dau_ma7,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1307,6 +1329,19 @@ def _validate_resume_sql() -> str:
     return oracles.resume_accounting_sql(nparts=8)
 
 
+def _quality_classifier_sql() -> str:
+    from yj_schema_validator_ray.stages.classify import (
+        quality_classifier_sql)
+
+    return quality_classifier_sql()
+
+
+def _term_postings_sql() -> str:
+    from yj_schema_validator_ray.stages.classify import term_postings_sql
+
+    return term_postings_sql()
+
+
 def _docs_token_budget_sql() -> str:
     from yj_schema_validator_ray.stages.rank import docs_token_budget_sql
 
@@ -1360,6 +1395,9 @@ def oracle_sql() -> dict[str, str]:
         "events_user_type_pivot": _events_user_type_pivot_sql(),
         "docs_length_rank": _docs_length_rank_sql(),
         "docs_token_budget": _docs_token_budget_sql(),
+        "quality_classifier": _quality_classifier_sql(),
+        "term_postings": _term_postings_sql(),
+        "events_dau_ma7": R.events_dau_ma7_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -274,6 +274,14 @@ def run_bench() -> dict:
         _bpe_tokens.append(int(out.sum("n_bpe_tokens")))
 
     best_of("tokenize_bpe", run_bpe)
+
+    # -- model-scoring scan: the linear classifier over every document
+    # (per-process model state, zero-shuffle) — the "score with a
+    # trained quality model" stage of a curation pipeline
+    from yj_schema_validator_ray.stages.classify import quality_classifier
+
+    best_of("quality_classifier",
+            lambda: quality_classifier(docs_ds()).count())
     best_of("media_features_wav",
             lambda: wav_dataset_from_documents(SF_DIR).map_batches(
                 wav_stats, batch_format="pyarrow",

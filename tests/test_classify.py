@@ -1,0 +1,82 @@
+"""Edge semantics for the classifier / inverted-index / DAU-window wave
+(sf0.001 oracle parity lives in test_correctness_oracle.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from yj_schema_validator_ray.stages.classify import (
+    CLF_BIAS, CLF_WEIGHTS, quality_classifier, term_postings)
+
+
+def _ds(tbl, parts=1):
+    import ray
+
+    ds = ray.data.from_arrow(tbl)
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def test_classifier_scores_and_zero_token_docs(ray_session):
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "fast fast slow",        # 3+3-3 = 3
+            "",                      # no tokens -> bias
+            "...!!!",                # punctuation only -> bias
+            "dup dup unknownword",   # -4-4+0 = -8
+        ]),
+    })
+    got = (quality_classifier(_ds(docs, 2)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["clf_score"].tolist() == [3, CLF_BIAS, CLF_BIAS, -8]
+    assert got["keep"].tolist() == [True, True, True, False]
+    # occurrence scoring, not distinct-token scoring
+    assert got.loc[0, "clf_score"] == 2 * CLF_WEIGHTS["fast"] + CLF_WEIGHTS["slow"]
+
+
+def test_term_postings_cap_exact_across_partitions(ray_session):
+    # 30 docs all contain 'common'; doc i also contains f'only{i}'.
+    # With cap=5 the postings for 'common' must be the 5 SMALLEST doc
+    # ids even when the docs are spread over many partitions (every
+    # global minimum survives its own partial's cap).
+    n = 30
+    docs = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array([f"common only{i}" for i in range(n)]),
+    })
+    for parts in (1, 8):
+        got = term_postings(_ds(docs, parts), k=3, cap=5).to_pandas()
+        got = got.sort_values(["df", "term"],
+                              ascending=[False, True]).reset_index(drop=True)
+        assert got.loc[0, "term"] == "common"
+        assert got.loc[0, "df"] == n
+        assert got.loc[0, "postings"] == "0,1,2,3,4"
+        # the df=1 tail picks lexicographically smallest terms
+        assert got["term"].tolist()[1:] == ["only0", "only1"]
+
+
+def test_events_dau_ma7_short_series(ray_session, tmp_path):
+    # 3 observed days (< window width): the trailing sum is the prefix
+    # sum; a gap day is simply absent (ROWS semantics, both sides).
+    from yj_schema_validator_ray.pipelines.relational import events_dau_ma7
+
+    ts = pd.to_datetime([
+        "2024-01-01 03:00", "2024-01-01 09:00",   # day 1: users 1, 2
+        "2024-01-02 10:00",                        # day 2: user 1
+        "2024-01-05 12:00", "2024-01-05 13:00",   # day 5: users 2, 3
+    ])
+    tbl = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 1, 2, 3], pa.int64()),
+        "event_type": pa.array(["a"] * 5),
+        "value": pa.array([0.0] * 5),
+        "props": pa.array(["{}"] * 5),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = events_dau_ma7(str(tmp_path)).to_pandas()
+    got = got.sort_values("day").reset_index(drop=True)
+    assert got["day"].tolist() == ["2024-01-01", "2024-01-02", "2024-01-05"]
+    assert got["n_users"].tolist() == [2, 1, 2]
+    assert got["dau_7d_sum"].tolist() == [2, 3, 5]

@@ -1804,6 +1804,46 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
 FROM events GROUP BY day"""
 
 
+def events_dau_ma7(sf_dir: str):
+    """Sliding-window aggregate over the DAU series: per day, the
+    trailing 7-row SUM of daily active users (the "7-day rolling
+    health metric" every dashboard draws).  Integer window SUM (not
+    AVG) keeps the value hash fp-free.
+
+    Shape: the distributed part is the DAU exchange itself
+    (:func:`events_dau` — the (day, user) pair-dedupe shuffle); the
+    windowed pass runs on the collected day series, which is
+    calendar-bounded (years of days) at ANY corpus scale — the
+    standard post-exchange domain-sized tail.  Window semantics are
+    ROWS over the observed-day series sorted by day (mirrored by the
+    oracle's ``ROWS BETWEEN 6 PRECEDING AND CURRENT ROW``), so missing
+    calendar days shorten the window identically on both sides.
+    """
+    from ..util import collect_small_arrow
+
+    d = (collect_small_arrow(events_dau(sf_dir)).to_pandas()
+         .sort_values("day").reset_index(drop=True))
+    c = d["n_users"].to_numpy(np.int64).cumsum()
+    lag = np.concatenate([np.zeros(min(7, len(c)), np.int64), c[:-7]]) \
+        if len(c) > 7 else np.zeros(len(c), np.int64)
+    d["dau_7d_sum"] = c - lag
+    return pa.Table.from_pandas(
+        d[["day", "n_users", "dau_7d_sum"]], preserve_index=False)
+
+
+def events_dau_ma7_sql() -> str:
+    return """
+WITH dau AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY day)
+SELECT day, n_users,
+       CAST(SUM(n_users) OVER (ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS dau_7d_sum
+FROM dau"""
+
+
 def events_props_stats(sf_dir: str):
     """Semi-structured extraction: parse the JSON ``props`` payload per
     event and aggregate the extracted measure per event type — the
