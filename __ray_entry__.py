@@ -413,6 +413,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trailing 7-row window SUM over the DAU day series
         return R.events_dau_ma7(sf_dir)
 
+    def q_cross_source_overlap(sf_dir):
+        # cross-source contamination matrix: distinct shared 5-grams
+        # per source pair; gram-keyed exchange, pair-domain reduce
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["source", "text"])
+        return T.cross_source_overlap(ds)
+
     def q_docs_token_budget(sf_dir):
         # global ORDER BY + cumulative-window budget gate without a
         # total sort (two-phase key histogram, rank.budget_select)
@@ -798,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "term_postings": q_term_postings,
         "events_dau_ma7": q_events_dau_ma7,
+        "cross_source_overlap": q_cross_source_overlap,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1342,6 +1350,12 @@ def _term_postings_sql() -> str:
     return term_postings_sql()
 
 
+def _cross_source_overlap_sql() -> str:
+    from yj_schema_validator_ray.stages.text import cross_source_overlap_sql
+
+    return cross_source_overlap_sql()
+
+
 def _docs_token_budget_sql() -> str:
     from yj_schema_validator_ray.stages.rank import docs_token_budget_sql
 
@@ -1398,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "term_postings": _term_postings_sql(),
         "events_dau_ma7": R.events_dau_ma7_sql(),
+        "cross_source_overlap": _cross_source_overlap_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

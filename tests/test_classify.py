@@ -56,6 +56,30 @@ def test_term_postings_cap_exact_across_partitions(ray_session):
         assert got["term"].tolist()[1:] == ["only0", "only1"]
 
 
+def test_cross_source_overlap_distinct_and_partition_invariant(ray_session):
+    # 'w0 w1 w2 w3 w4' appears in A twice and in B once -> counted ONCE
+    # (distinct grams); 'x0..x4' is A-only -> no pair row; C shares a
+    # different gram with B only.
+    from yj_schema_validator_ray.stages.text import cross_source_overlap
+
+    docs = pa.table({
+        "source": pa.array(["A", "A", "B", "B", "C"]),
+        "text": pa.array([
+            "w0 w1 w2 w3 w4",
+            "w0 w1 w2 w3 w4 tail",   # same gram again within A
+            "w0 w1 w2 w3 w4",
+            "y0 y1 y2 y3 y4",
+            "y0 y1 y2 y3 y4",
+        ]),
+    })
+    for parts in (1, 4):
+        got = (cross_source_overlap(_ds(docs, parts)).to_pandas()
+               .sort_values(["source_a", "source_b"])
+               .reset_index(drop=True))
+        assert list(map(tuple, got.to_records(index=False))) == [
+            ("A", "B", 1), ("B", "C", 1)], parts
+
+
 def test_events_dau_ma7_short_series(ray_session, tmp_path):
     # 3 observed days (< window width): the trailing sum is the prefix
     # sum; a gap day is simply absent (ROWS semantics, both sides).

@@ -901,6 +901,80 @@ FROM gd JOIN nd USING (g)
 GROUP BY gd.doc_id"""
 
 
+def cross_source_overlap(docs_ds, n: int = 5):
+    """Cross-source contamination matrix: for every source pair
+    (a < b), the number of DISTINCT word-``n``-grams that appear in
+    both sources — the corpus-level companion to
+    :func:`dup_ngram_fraction` (that one marks documents; this one
+    tells you WHICH feeds overlap, the first question when a held-out
+    source turns out to be contaminated).
+
+    Fully distributed like ``dup_ngram_fraction``: per-batch distinct
+    (gram, source) pre-aggregation -> one gram-keyed coarse exchange ->
+    per-gram pair emission (sources per gram are bounded by the source
+    domain, so the per-gram self-join is tiny) -> one source-pair-domain
+    aggregate.  Nothing gram-shaped ever lands on the driver.
+    """
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate, hash_columns
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        srcs = batch["source"].to_numpy()
+        g_src, g_str = [], []
+        for src, ts in zip(srcs, toks):
+            if len(ts) < n:
+                continue
+            g_src.extend([src] * (len(ts) - n + 1))
+            g_str.extend(" ".join(ts[i:i + n])
+                         for i in range(len(ts) - n + 1))
+        if not g_str:
+            return pd.DataFrame({"g": pd.Series(dtype="object"),
+                                 "source": pd.Series(dtype="object"),
+                                 "__coarse": pd.Series(dtype="int64")})
+        df = (pd.DataFrame({"g": g_str, "source": g_src})
+              .drop_duplicates(ignore_index=True))
+        kh = hash_columns(pa.table({"g": pa.array(df["g"], pa.string())}))
+        df["__coarse"] = (kh & np.uint64(1023)).astype("int64")
+        return df
+
+    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
+        # partials from different batches may repeat a (gram, source)
+        d = g[["g", "source"]].drop_duplicates(ignore_index=True)
+        m = d.merge(d, on="g")
+        m = m[m["source_x"] < m["source_y"]]
+        out = (m.groupby(["source_x", "source_y"], sort=False)
+               .size().rename("n_shared_grams").reset_index())
+        out.columns = ["source_a", "source_b", "n_shared_grams"]
+        out["n_shared_grams"] = out["n_shared_grams"].astype("int64")
+        return out
+
+    pairs = (docs_ds.map_batches(gram_rows, batch_format="pandas")
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(pair_rows, batch_format="pandas"))
+    return grouped_aggregate(
+        pairs, ["source_a", "source_b"],
+        [("n_shared_grams", "sum", "n_shared_grams")])
+
+
+def cross_source_overlap_sql(n: int = 5) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '\w+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         list_aggregate(list_slice(ws, i, i + {n - 1}), 'string_agg', ' ')
+           AS g
+  FROM toks, unnest(range(1, len(ws) - {n - 2})) AS t(i)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+GROUP BY source_a, source_b"""
+
+
 def tfidf_top_terms_distributed(docs_ds, k: int = 3):
     """:func:`tfidf_top_terms` without the vocabulary-sized broadcast —
     the path to take past its ``max_vocab`` bound.  Same output, same
