@@ -413,6 +413,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trailing 7-row window SUM over the DAU day series
         return R.events_dau_ma7(sf_dir)
 
+    def q_events_asof_join_forward(sf_dir):
+        # earliest right event at-or-after (next-touchpoint attribution)
+        return R.events_asof_join(sf_dir, direction="forward")
+
+    def q_docs_csv_roundtrip(sf_dir):
+        # CSV sink -> source -> per-lang accounting certificate
+        from yj_schema_validator_ray.pipelines.curation import (
+            docs_csv_roundtrip)
+
+        return docs_csv_roundtrip(sf_dir)
+
     def q_cross_source_overlap(sf_dir):
         # cross-source contamination matrix: distinct shared 5-grams
         # per source pair; gram-keyed exchange, pair-domain reduce
@@ -806,6 +817,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings": q_term_postings,
         "events_dau_ma7": q_events_dau_ma7,
         "cross_source_overlap": q_cross_source_overlap,
+        "events_asof_join_forward": q_events_asof_join_forward,
+        "docs_csv_roundtrip": q_docs_csv_roundtrip,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1350,6 +1363,13 @@ def _term_postings_sql() -> str:
     return term_postings_sql()
 
 
+def _docs_csv_roundtrip_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        docs_csv_roundtrip_sql)
+
+    return docs_csv_roundtrip_sql()
+
+
 def _cross_source_overlap_sql() -> str:
     from yj_schema_validator_ray.stages.text import cross_source_overlap_sql
 
@@ -1413,6 +1433,8 @@ def oracle_sql() -> dict[str, str]:
         "term_postings": _term_postings_sql(),
         "events_dau_ma7": R.events_dau_ma7_sql(),
         "cross_source_overlap": _cross_source_overlap_sql(),
+        "events_asof_join_forward": R.events_asof_join_forward_sql(),
+        "docs_csv_roundtrip": _docs_csv_roundtrip_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -80,6 +80,43 @@ def test_cross_source_overlap_distinct_and_partition_invariant(ray_session):
             ("A", "B", 1), ("B", "C", 1)], parts
 
 
+def test_csv_roundtrip_checksum_matches_parquet_source(ray_session):
+    # engine-vs-engine: the per-lang XOR content checksum after the CSV
+    # write->read cycle must equal the same checksum over the parquet
+    # source (catches corruptions that cancel in the char sums); texts
+    # include embedded delimiters/quotes/newlines to exercise escaping
+    import numpy as np
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from yj_schema_validator_ray.pipelines.curation import docs_csv_roundtrip
+    from yj_schema_validator_ray.stages.text import _fnv1a_rolling
+
+    texts = ['plain words', 'has,comma', 'has "quotes" inside',
+             'line\nbreak', 'trailing space ', 'ünïcode ok']
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "lang": pa.array(["en", "en", "de", "de", "en", "de"]),
+        "text": pa.array(texts),
+    })
+    with tempfile.TemporaryDirectory() as sf:
+        pq.write_table(tbl, os.path.join(sf, "documents.parquet"))
+        got = (docs_csv_roundtrip(sf, checksum=True)
+               .sort_values("lang").reset_index(drop=True))
+        src = pd.DataFrame({
+            "lang": tbl.column("lang").to_pandas(),
+            "x": _fnv1a_rolling(tbl.column("text").combine_chunks()),
+            "n": [len(t) for t in texts]})
+        want = (src.groupby("lang")
+                .agg(n_docs=("n", "size"), total_chars=("n", "sum"),
+                     text_xor=("x", lambda v: int(np.bitwise_xor.reduce(
+                         v.to_numpy(np.int64)))))
+                .reset_index().sort_values("lang").reset_index(drop=True))
+        for c in ("n_docs", "total_chars", "text_xor"):
+            assert got[c].astype("int64").tolist() == \
+                want[c].astype("int64").tolist(), c
+
+
 def test_events_dau_ma7_short_series(ray_session, tmp_path):
     # 3 observed days (< window width): the trailing sum is the prefix
     # sum; a gap day is simply absent (ROWS semantics, both sides).

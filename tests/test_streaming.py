@@ -71,6 +71,38 @@ def test_events_asof_join_semantics(ray_session, tmp_path):
     assert got == {(1, 0), (3, 2), (6, 5)}
 
 
+def test_events_asof_join_forward_semantics(ray_session, tmp_path):
+    """Forward as-of: each click matches the EARLIEST view of the same
+    user at-or-after its ts; ties on ts resolve to min view id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.pipelines.relational import events_asof_join
+
+    ts = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)
+    rows = [
+        # user 1: click@5 -> next view is @10 (not the earlier @0)
+        (0, ts(0), 1, "view"), (1, ts(5), 1, "click"), (2, ts(10), 1, "view"),
+        # user 2: click@10 with TWO views at ts=10 -> min view id (4)
+        (3, ts(10), 2, "click"), (4, ts(10), 2, "view"), (5, ts(10), 2, "view"),
+        # user 3: click after the last view -> dropped
+        (6, ts(9), 3, "view"), (7, ts(20), 3, "click"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    out = events_asof_join(str(d), direction="forward").to_pandas()
+    got = {(int(r.event_id), int(r.view_event_id)) for r in out.itertuples()}
+    assert got == {(1, 2), (3, 4)}
+
+
 def test_events_range_join_semantics(ray_session, tmp_path):
     """Range join: each click matches EVERY purchase window
     [ts, ts+3600s) of the same user containing it (many-to-many)."""

@@ -668,6 +668,95 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY lang"""
 
 
+def docs_csv_roundtrip(sf_dir: str, out_dir: str | None = None,
+                       checksum: bool = False):
+    """CSV sink/source coverage (the same write -> read-back -> account
+    certificate as :func:`docs_jsonl_roundtrip`, over the other
+    interchange format bulk exports arrive in).  Arrow's CSV writer
+    quotes embedded delimiters/newlines, so the hash match certifies
+    the quote/escape cycle too.  With ``checksum=True`` the result
+    keeps a per-lang XOR of FNV-1a content hashes — no SQL twin, but
+    the pytest compares it engine-vs-engine against the parquet source,
+    so a corruption that cancels out in the char sums still trips."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.text import _fnv1a_rolling
+
+    cleanup = out_dir is None
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="yjsv_csv_")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+    try:
+        docs.write_csv(out_dir)
+        back = ray.data.read_csv(out_dir)
+
+        def partial(t: pa.Table) -> pa.Table:
+            # CSV cannot distinguish an unquoted empty field from NULL;
+            # normalize read-back nulls to "" (source texts are non-null)
+            text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
+            import numpy as np
+            sha = _fnv1a_rolling(text).astype(np.int64)
+            return pa.table({
+                "lang": pc.cast(t.column("lang"), pa.string()),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "text_xor": pa.array(sha),
+            })
+
+        def xor_merge(g):
+            import numpy as np
+            import pandas as pd
+
+            out = (g.groupby("lang", sort=False)
+                   .agg(n_docs=("n_chars", "size"),
+                        total_chars=("n_chars", "sum"),
+                        text_xor=("text_xor",
+                                  lambda v: np.bitwise_xor.reduce(
+                                      v.to_numpy(np.int64))))
+                   .reset_index())
+            out["n_docs"] = out["n_docs"].astype("int64")
+            out["total_chars"] = out["total_chars"].astype("int64")
+            out["text_xor"] = out["text_xor"].astype("int64")
+            return out
+
+        from ..util import shuffle_partitions
+        from ..stages.exact_agg import hash_columns
+
+        def add_coarse(t: pa.Table) -> pa.Table:
+            import numpy as np
+            kh = hash_columns(t.select(["lang"]))
+            return t.append_column(
+                "__coarse",
+                pa.array((kh & np.uint64(255)).astype(np.int64)))
+
+        out = (back.map_batches(partial, batch_format="pyarrow")
+               .map_batches(add_coarse, batch_format="pyarrow")
+               .groupby("__coarse", num_partitions=min(8, shuffle_partitions()))
+               .map_groups(xor_merge, batch_format="pandas")).to_pandas()
+        if not checksum:
+            out = out.drop(columns=["text_xor"])
+    finally:
+        if cleanup:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+def docs_csv_roundtrip_sql() -> str:
+    # the engine-side FNV-1a (text._fnv1a_rolling) has no SQL twin, so
+    # the XOR checksum compares engine-vs-engine (parquet source vs CSV
+    # round trip) inside the pytest (checksum=True); the ORACLE checks
+    # the per-lang counts/char sums like the JSONL round trip.
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang"""
+
+
 def corpus_diff(sf_dir: str):
     """SNAPSHOT DIFF between two corpus versions: per-document
     added / removed / changed / unchanged accounting — the ingest-time

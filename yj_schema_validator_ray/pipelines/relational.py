@@ -561,10 +561,16 @@ GROUP BY o.o_orderpriority"""
 
 
 def events_asof_join(sf_dir: str, left_type: str = "click",
-                     right_type: str = "view"):
+                     right_type: str = "view",
+                     direction: str = "backward"):
     """Per-user AS-OF join: each `left_type` event joined to the most
     recent `right_type` event of the SAME user at or before its
-    timestamp (inner — unmatched lefts drop).
+    timestamp (inner — unmatched lefts drop).  ``direction="forward"``
+    flips the semantics to the EARLIEST right event at or after the
+    left timestamp (the "next touchpoint" attribution shape); ties on
+    (user, ts) resolve to max event_id backward / min event_id forward
+    — merge_asof's last/first-row rule under the deterministic
+    secondary sort, pinned identically in the SQL oracle.
 
     Ray Data has no as-of join; the distributed shape is the standard
     co-partition-then-merge plan: both sides tagged in ONE pruned read,
@@ -602,6 +608,9 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
         # secondary sort on event_id: merge_asof takes the LAST tied right
         # row, so equal-(user, ts) views resolve to the max event_id
         # deterministically regardless of shuffle/block order
+        # secondary-sort order makes the tie pick deterministic:
+        # backward takes the LAST tied row (max id), forward the FIRST
+        # (min id) — ascending (ts, id) serves both
         right = (g[~g["is_left"]]
                  .rename(columns={"event_id": "view_event_id", "ts": "view_ts"})
                  .sort_values(["view_ts", "view_event_id"], kind="stable")
@@ -611,7 +620,7 @@ def events_asof_join(sf_dir: str, left_type: str = "click",
                                  "user_id": pd.Series(dtype="int64"),
                                  "view_event_id": pd.Series(dtype="int64")})
         m = pd.merge_asof(left, right, left_on="ts", right_on="view_ts",
-                          by="user_id", direction="backward",
+                          by="user_id", direction=direction,
                           allow_exact_matches=True)
         m = m.dropna(subset=["view_event_id"])
         return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
@@ -995,6 +1004,29 @@ matched AS (
            ORDER BY r.view_ts DESC, r.view_event_id DESC) AS rn
   FROM lefts l JOIN rights r
     ON l.user_id = r.user_id AND r.view_ts <= l.ts
+)
+SELECT event_id, user_id, view_event_id FROM matched WHERE rn = 1"""
+
+
+def events_asof_join_forward_sql(left_type: str = "click",
+                                 right_type: str = "view") -> str:
+    # forward variant: earliest right at-or-after; ties -> MIN
+    # view_event_id (merge_asof first-row rule under ascending sort)
+    return f"""
+WITH lefts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = '{left_type}'
+),
+rights AS (
+  SELECT event_id AS view_event_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = '{right_type}'
+),
+matched AS (
+  SELECT l.event_id, l.user_id, r.view_event_id,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY r.view_ts ASC, r.view_event_id ASC) AS rn
+  FROM lefts l JOIN rights r
+    ON l.user_id = r.user_id AND r.view_ts >= l.ts
 )
 SELECT event_id, user_id, view_event_id FROM matched WHERE rn = 1"""
 
