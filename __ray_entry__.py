@@ -424,6 +424,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs_csv_roundtrip(sf_dir)
 
+    def q_embedding_quantize(sf_dir):
+        # int8 absmax quantization audit: exact integer certificates
+        # (scale, code sums, 1e-9-quantized reconstruction error)
+        return A.embedding_quantize(emb(sf_dir))
+
+    def q_corpus_merge(sf_dir):
+        # snapshot upsert+tombstone apply with a bit_xor membership
+        # certificate; id-keyed exchange of scalar rows, text at rest
+        from yj_schema_validator_ray.pipelines.curation import corpus_merge
+
+        return corpus_merge(sf_dir)
+
     def q_cross_source_overlap(sf_dir):
         # cross-source contamination matrix: distinct shared 5-grams
         # per source pair; gram-keyed exchange, pair-domain reduce
@@ -819,6 +831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_overlap": q_cross_source_overlap,
         "events_asof_join_forward": q_events_asof_join_forward,
         "docs_csv_roundtrip": q_docs_csv_roundtrip,
+        "corpus_merge": q_corpus_merge,
+        "embedding_quantize": q_embedding_quantize,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1363,6 +1377,18 @@ def _term_postings_sql() -> str:
     return term_postings_sql()
 
 
+def _embedding_quantize_sql() -> str:
+    from yj_schema_validator_ray.stages.ann import embedding_quantize_sql
+
+    return embedding_quantize_sql()
+
+
+def _corpus_merge_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import corpus_merge_sql
+
+    return corpus_merge_sql()
+
+
 def _docs_csv_roundtrip_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import (
         docs_csv_roundtrip_sql)
@@ -1435,6 +1461,8 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_overlap": _cross_source_overlap_sql(),
         "events_asof_join_forward": R.events_asof_join_forward_sql(),
         "docs_csv_roundtrip": _docs_csv_roundtrip_sql(),
+        "corpus_merge": _corpus_merge_sql(),
+        "embedding_quantize": _embedding_quantize_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

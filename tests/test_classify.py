@@ -117,6 +117,59 @@ def test_csv_roundtrip_checksum_matches_parquet_source(ray_session):
                 want[c].astype("int64").tolist(), c
 
 
+def test_corpus_merge_upsert_tombstone_semantics(ray_session, tmp_path):
+    # ids 0-4: %100<5 -> tombstoned AND re-arrive at id+1e6;
+    # ids 95-99: %100>=95 -> revised in place (' [rev2]' appended);
+    # id 50: carried unchanged.
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.pipelines.curation import corpus_merge
+
+    ids = [0, 50, 95]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["aaa", "bbbb", "ccccc"]),
+        "lang": pa.array(["en", "en", "de"]),
+        "source": pa.array(["s", "s", "s"]),
+        "n_chars": pa.array([3, 4, 5], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = (corpus_merge(str(tmp_path)).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    # merged: de -> {95 revised: 'ccccc [rev2]' (12 chars)};
+    #         en -> {1000000 arrival 'aaa' (3), 50 unchanged 'bbbb' (4)}
+    assert got["lang"].tolist() == ["de", "en"]
+    assert got["n_docs"].tolist() == [1, 2]
+    assert got["total_chars"].tolist() == [12, 7]
+    assert got["id_xor"].tolist() == [95, 1_000_000 ^ 50]
+
+
+def test_embedding_quantize_edges(ray_session):
+    # zero vector -> scale 0, all codes 0; max element maps to +/-127;
+    # reconstruction of the max element is exact (err term 0)
+    import ray
+
+    from yj_schema_validator_ray.stages.ann import embedding_quantize
+
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(
+            [[0.0, 0.0], [1.0, -0.5], []],
+            pa.list_(pa.float32())),
+    })
+    got = (embedding_quantize(ray.data.from_arrow(tbl)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert got["dim"].tolist() == [2, 2, 0]
+    assert got["scale_q6"].tolist() == [0, 1_000_000, 0]
+    # vec 1: q = [127, floor(-63.5 + 0.5) = -63] -> sum 64, abs 190
+    assert got["q_sum"].tolist() == [0, 64, 0]
+    assert got["q_abs_sum"].tolist() == [0, 190, 0]
+    # err: elem0 exact (127*1/127 = 1.0); elem1 |-0.5 + 63/127| > 0
+    assert got.loc[0, "err_q9_sum"] == 0
+    assert got.loc[1, "err_q9_sum"] > 0
+    assert got.loc[2, "err_q9_sum"] == 0
+
+
 def test_events_dau_ma7_short_series(ray_session, tmp_path):
     # 3 observed days (< window width): the trailing sum is the prefix
     # sum; a gap day is simply absent (ROWS semantics, both sides).

@@ -757,6 +757,126 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY lang"""
 
 
+def corpus_merge(sf_dir: str):
+    """SNAPSHOT MERGE (upsert + tombstone apply): the maintenance step
+    that follows :func:`corpus_diff`'s report — base corpus + a delta
+    of upserts (5% revised ' [rev2]' docs, 5% new arrivals at shifted
+    ids) and tombstones (the 5% deleted ids), producing the next
+    snapshot's per-lang accounting plus a ``bit_xor(doc_id)`` MEMBERSHIP
+    certificate (counts alone can't tell "replaced the right row" from
+    "replaced the wrong one").
+
+    Shape: both sides reduce to (doc_id, lang, n_chars, version, tomb)
+    scalar rows per batch — text never shuffles — and co-locate through
+    ONE id-keyed coarse exchange; per-id resolution (tombstone wins,
+    else highest version) is vectorized masking inside each group; the
+    survivors aggregate to the lang domain in the same pass.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..util import shuffle_partitions
+
+    coarse = 1024
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return _merge_rows(t.column("doc_id"), t.column("lang"),
+                           t.column("text"), version=0, tomb=False)
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        # revised docs (upsert, same id)
+        rev = t.filter(pa.array((ids % 100) >= 95))
+        rev_text = pc.binary_join_element_wise(
+            pc.cast(rev.column("text"), pa.string()), " [rev2]", "")
+        # new arrivals (upsert, shifted id, lang carried)
+        arr = t.filter(pa.array((ids % 100) < 5))
+        arr_ids = pc.add(pc.cast(arr.column("doc_id"), pa.int64()),
+                         pa.scalar(1_000_000, pa.int64()))
+        # tombstones for the deleted ids (payload irrelevant)
+        tomb = t.filter(pa.array((ids % 100) < 5))
+        return pa.concat_tables([
+            _merge_rows(rev.column("doc_id"), rev.column("lang"),
+                        rev_text, version=1, tomb=False),
+            _merge_rows(arr_ids, arr.column("lang"),
+                        arr.column("text"), version=1, tomb=False),
+            _merge_rows(tomb.column("doc_id"), tomb.column("lang"),
+                        tomb.column("text"), version=1, tomb=True),
+        ])
+
+    def _merge_rows(ids, langs, texts, version: int, tomb: bool) -> pa.Table:
+        ids = pc.cast(ids, pa.int64())
+        n = len(ids)
+        return pa.table({
+            "doc_id": ids,
+            "lang": pc.cast(langs, pa.string()),
+            "n_chars": pc.cast(pc.utf8_length(texts), pa.int64()),
+            "version": pa.array(np.full(n, version, np.int64)),
+            "tomb": pa.array(np.full(n, tomb)),
+            "__coarse": pa.array(coarse_mix(ids.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        tomb_ids = set(g.loc[g["tomb"], "doc_id"])
+        live = g[~g["tomb"] & ~g["doc_id"].isin(tomb_ids)]
+        # highest version per id wins (stable sort: base first)
+        live = (live.sort_values(["doc_id", "version"], kind="stable")
+                .groupby("doc_id", sort=False).tail(1))
+        out = (live.groupby("lang", sort=False)
+               .agg(n_docs=("doc_id", "size"),
+                    total_chars=("n_chars", "sum"),
+                    id_xor=("doc_id", lambda v: int(np.bitwise_xor.reduce(
+                        v.to_numpy(np.int64)))))
+               .reset_index())
+        for c in ("n_docs", "total_chars", "id_xor"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def lang_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("lang", sort=False)
+               .agg(n_docs=("n_docs", "sum"),
+                    total_chars=("total_chars", "sum"),
+                    id_xor=("id_xor", lambda v: int(np.bitwise_xor.reduce(
+                        v.to_numpy(np.int64)))))
+               .reset_index())
+        for c in ("n_docs", "total_chars", "id_xor"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+    u = (docs.map_batches(base_rows, batch_format="pyarrow")
+         .union(docs.map_batches(delta_rows, batch_format="pyarrow")))
+    parts = (u.groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(resolve, batch_format="pandas"))
+    # lang domain is tiny: one small exchange finishes the certificate
+    return (parts.groupby("lang", num_partitions=4)
+            .map_groups(lang_merge, batch_format="pandas"))
+
+
+def corpus_merge_sql() -> str:
+    return """
+WITH delta_up AS (
+  SELECT doc_id, lang, text || ' [rev2]' AS text
+  FROM documents WHERE doc_id % 100 >= 95
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, text
+  FROM documents WHERE doc_id % 100 < 5
+),
+merged AS (
+  SELECT * FROM delta_up
+  UNION ALL
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id % 100 >= 5
+    AND doc_id NOT IN (SELECT doc_id FROM delta_up)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+FROM merged GROUP BY lang"""
+
+
 def corpus_diff(sf_dir: str):
     """SNAPSHOT DIFF between two corpus versions: per-document
     added / removed / changed / unchanged accounting — the ingest-time

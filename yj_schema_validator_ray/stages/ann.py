@@ -489,6 +489,92 @@ def embedding_norm_stats(emb_ds):
     return emb_ds.map_batches(f, batch_format="pyarrow")
 
 
+def embedding_quantize(emb_ds):
+    """Per-vector INT8 quantization audit — the compression step a
+    100 TB embedding store runs before serving (absmax scaling, the
+    llama.cpp/ FAISS SQ8 scheme): scale = max|x|, q_j = floor(x/scale*127
+    + 0.5).  Outputs are EXACT integers (the same quantized-checksum
+    trick as :func:`embedding_norm_stats`): the quantized scale, the
+    signed and absolute quant-code sums, and a 1e-9-quantized total
+    reconstruction error — every term a fixed tree of IEEE ops mirrored
+    operand-for-operand in the SQL oracle, so the driver hash is exact.
+    Zero-shuffle scan; element nulls contribute 0 on both sides.
+    """
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat_arr = col.flatten()
+        if flat_arr.null_count:
+            flat_arr = flat_arr.fill_null(0.0)
+        flat = flat_arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = pc.list_value_length(col).fill_null(0).to_numpy()
+        offs = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+        starts = offs[:-1]
+        nz = lens > 0
+        scale = np.zeros(len(lens), np.float64)
+        if flat.size and nz.any():
+            # reduceat over non-empty starts only: consecutive non-empty
+            # segments are contiguous in flat, so each reduction spans
+            # exactly one vector's elements
+            scale[nz] = np.maximum.reduceat(np.abs(flat), starts[nz])
+        scale_rep = np.repeat(scale, lens)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = np.floor(flat / scale_rep * 127 + 0.5)
+        q = np.where(scale_rep == 0, 0.0, q)
+        err = np.abs(flat - q * scale_rep / 127.0)
+        err_q = np.floor(err * 1e9).astype(np.int64)
+        qi = q.astype(np.int64)
+
+        def seg_sum(x):
+            cs = np.concatenate(([0], np.cumsum(x, dtype=np.int64)))
+            return cs[offs[1:]] - cs[offs[:-1]]
+
+        return pa.table({
+            "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+            "dim": pa.array(lens.astype(np.int64)),
+            "scale_q6": pa.array(
+                np.floor(scale * 1e6 + 0.5).astype(np.int64)),
+            "q_sum": pa.array(seg_sum(qi), pa.int64()),
+            "q_abs_sum": pa.array(seg_sum(np.abs(qi)), pa.int64()),
+            "err_q9_sum": pa.array(seg_sum(err_q), pa.int64()),
+        })
+
+    return emb_ds.map_batches(f, batch_format="pyarrow")
+
+
+def embedding_quantize_sql() -> str:
+    return """
+WITH sc AS (
+  SELECT vec_id, coalesce(max(abs(CAST(u.x AS DOUBLE))), 0) AS scale,
+         CAST(len(embedding) AS BIGINT) AS dim
+  FROM embeddings LEFT JOIN unnest(embedding) AS u(x) ON TRUE
+  GROUP BY vec_id, len(embedding)
+),
+el AS (
+  SELECT e.vec_id, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings e LEFT JOIN unnest(e.embedding) AS u(x) ON TRUE
+),
+q AS (
+  SELECT el.vec_id, el.x,
+         CASE WHEN sc.scale = 0 THEN 0.0
+              ELSE floor(el.x / sc.scale * 127 + 0.5) END AS qj
+  FROM el JOIN sc USING (vec_id)
+)
+SELECT q.vec_id, sc.dim,
+       CAST(floor(sc.scale * 1000000 + 0.5) AS BIGINT) AS scale_q6,
+       CAST(coalesce(sum(CAST(q.qj AS BIGINT)), 0) AS BIGINT) AS q_sum,
+       CAST(coalesce(sum(CAST(abs(q.qj) AS BIGINT)), 0) AS BIGINT)
+         AS q_abs_sum,
+       CAST(coalesce(sum(CAST(floor(abs(q.x - q.qj * sc.scale / 127)
+                                    * 1000000000) AS BIGINT)), 0) AS BIGINT)
+         AS err_q9_sum
+FROM q JOIN sc USING (vec_id)
+GROUP BY q.vec_id, sc.dim, sc.scale"""
+
+
 def embedding_norm_stats_sql() -> str:
     return """
 SELECT vec_id,
