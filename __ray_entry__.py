@@ -429,6 +429,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (scale, code sums, 1e-9-quantized reconstruction error)
         return A.embedding_quantize(emb(sf_dir))
 
+    def q_dup_substring_coverage(sf_dir):
+        # ExactSubstr accounting (Lee et al.): per doc, dup length-20
+        # substring starts + the chars their interval union covers
+        return T.dup_substring_coverage(docs(sf_dir))
+
     def q_corpus_merge(sf_dir):
         # snapshot upsert+tombstone apply with a bit_xor membership
         # certificate; id-keyed exchange of scalar rows, text at rest
@@ -775,6 +780,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled entry (audited: zero uncovered).  ADD NEW QUERIES
         # BELOW the window (after `docs_token_budget`); the r02-green
         # entries just below the line are the r5 rotation pool.
+        # r5 WINDOW PRIORITY: the post-rotation additions have no
+        # driver row yet — quality_classifier, term_postings,
+        # events_dau_ma7, cross_source_overlap, events_asof_join_forward,
+        # docs_csv_roundtrip, corpus_merge, embedding_quantize,
+        # dup_substring_coverage (all local-harness + sf0.01
+        # driver-mimic green) — rotate these into positions 1-9 next
+        # round, then the stalest r02 pool.
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "accuracy_fingerprints": q_accuracy_fingerprints,
@@ -833,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_csv_roundtrip": q_docs_csv_roundtrip,
         "corpus_merge": q_corpus_merge,
         "embedding_quantize": q_embedding_quantize,
+        "dup_substring_coverage": q_dup_substring_coverage,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1377,6 +1390,12 @@ def _term_postings_sql() -> str:
     return term_postings_sql()
 
 
+def _dup_substring_coverage_sql() -> str:
+    from yj_schema_validator_ray.stages.text import dup_substring_coverage_sql
+
+    return dup_substring_coverage_sql()
+
+
 def _embedding_quantize_sql() -> str:
     from yj_schema_validator_ray.stages.ann import embedding_quantize_sql
 
@@ -1463,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_csv_roundtrip": _docs_csv_roundtrip_sql(),
         "corpus_merge": _corpus_merge_sql(),
         "embedding_quantize": _embedding_quantize_sql(),
+        "dup_substring_coverage": _dup_substring_coverage_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

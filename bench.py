@@ -317,6 +317,8 @@ def run_bench() -> dict:
             lambda: R.events_value_histogram(SF_DIR).count())
     best_of("dup_ngram_fraction",
             lambda: T.dup_ngram_fraction(docs_ds()).count())
+    best_of("dup_substring_coverage",
+            lambda: T.dup_substring_coverage(docs_ds()).count())
     best_of("events_props_stats",
             lambda: R.events_props_stats(SF_DIR).count())
     best_of("q10_returned_items",

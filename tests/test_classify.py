@@ -170,6 +170,25 @@ def test_embedding_quantize_edges(ray_session):
     assert got.loc[2, "err_q9_sum"] == 0
 
 
+def test_dup_substring_coverage_interval_union(ray_session):
+    # L=5.  'abcde' occurs in docs 0 and 1 -> both get 1 dup start,
+    # 5 covered chars.  doc 2 repeats 'qqqqq' at starts 0,1,2 (within-
+    # doc duplication counts too) -> union [0,7) = 7 chars.  doc 3 is
+    # shorter than L -> absent.  Partition-invariant.
+    from yj_schema_validator_ray.stages.text import dup_substring_coverage
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["abcdefgh", "abcdeZZZ", "qqqqqqq", "abc"]),
+    })
+    for parts in (1, 4):
+        got = (dup_substring_coverage(_ds(docs, parts), L=5).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got["doc_id"].tolist() == [0, 1, 2], parts
+        assert got["n_dup_starts"].tolist() == [1, 1, 3], parts
+        assert got["n_covered_chars"].tolist() == [5, 5, 7], parts
+
+
 def test_events_dau_ma7_short_series(ray_session, tmp_path):
     # 3 observed days (< window width): the trailing sum is the prefix
     # sum; a gap day is simply absent (ROWS semantics, both sides).

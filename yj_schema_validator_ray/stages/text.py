@@ -975,6 +975,114 @@ FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
 GROUP BY source_a, source_b"""
 
 
+def dup_substring_coverage(docs_ds, L: int = 20):
+    """ExactSubstr-style duplicated-substring accounting (the
+    character-level companion to :func:`dup_ngram_fraction`, after
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): per document, how many length-``L`` substring START
+    positions carry a substring that occurs >= 2 times corpus-wide
+    (any doc, any position), and how many CHARACTERS are covered by
+    the union of those [start, start+L) intervals — the quantity the
+    ExactSubstr cut step removes.  Docs with no duplicated substring
+    are absent, exactly like the SQL.
+
+    Shape: per-batch (gram, doc) pre-aggregation with packed start
+    lists -> one gram-keyed coarse exchange (global occurrence count
+    decides duplication; survivors re-key by doc) -> one doc-keyed
+    exchange doing the vectorized interval-union.  The exchange ships
+    gram STRINGS for oracle-exactness; a production run at 100 TB ships
+    a 128-bit fingerprint instead (collision bound 2^-64) — same plan,
+    L× less wire.
+    """
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate, hash_columns
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        g_doc, g_str, g_start = [], [], []
+        for did, tx in zip(ids, batch["text"]):
+            m = len(tx) - L + 1
+            if m <= 0:
+                continue
+            g_doc.extend([did] * m)
+            g_start.extend(range(m))
+            g_str.extend(tx[i:i + L] for i in range(m))
+        if not g_str:
+            return pd.DataFrame({"g": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "starts": pd.Series(dtype="object"),
+                                 "__coarse": pd.Series(dtype="int64")})
+        df = pd.DataFrame({"g": g_str, "doc_id": g_doc, "start": g_start})
+        gb = df.groupby(["g", "doc_id"], sort=False)
+        out = gb.agg(n=("start", "size")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["starts"] = gb["start"].agg(
+            lambda v: ",".join(map(str, v))).to_numpy()
+        kh = hash_columns(pa.table({"g": pa.array(out["g"], pa.string())}))
+        out["__coarse"] = (kh & np.uint64(1023)).astype("int64")
+        return out
+
+    def mark_dup(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("g", sort=False)["n"].transform("sum")
+        d = g[tot >= 2]
+        return pd.DataFrame({"doc_id": d["doc_id"],
+                             "n": d["n"],
+                             "starts": d["starts"]})
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        ids, n_starts, n_cov = [], [], []
+        for did, grp in g.groupby("doc_id", sort=False):
+            starts = np.sort(np.fromiter(
+                (int(x) for s in grp["starts"] for x in s.split(",")),
+                dtype=np.int64))
+            gaps = np.diff(starts)
+            covered = int(np.minimum(gaps, L).sum()) + L
+            ids.append(did)
+            n_starts.append(len(starts))
+            n_cov.append(covered)
+        return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                             "n_dup_starts": pd.array(n_starts, "int64"),
+                             "n_covered_chars": pd.array(n_cov, "int64")})
+
+    dup = (docs_ds.map_batches(gram_rows, batch_format="pandas")
+           .groupby("__coarse", num_partitions=shuffle_partitions())
+           .map_groups(mark_dup, batch_format="pandas"))
+
+    def add_doc_coarse(t: pa.Table) -> pa.Table:
+        from .dedup import coarse_mix
+
+        ids = t.column("doc_id").to_numpy()
+        return t.append_column(
+            "__c2", pa.array(coarse_mix(ids, 1023), pa.int64()))
+
+    return (dup.map_batches(add_doc_coarse, batch_format="pyarrow")
+            .groupby("__c2", num_partitions=shuffle_partitions())
+            .map_groups(lambda g: cover(g.drop(columns="__c2")),
+                        batch_format="pandas"))
+
+
+def dup_substring_coverage_sql(L: int = 20) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, i AS start, substr(text, i, {L}) AS gram
+  FROM documents, unnest(range(1, length(text) - {L} + 2)) AS t(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT g.doc_id, g.start FROM g JOIN dup USING (gram)),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM d, unnest(range(start, start + {L})) AS u(p)
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_starts,
+       CAST(any_value(c.n_cov) AS BIGINT) AS n_covered_chars
+FROM d JOIN (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id) c
+  USING (doc_id)
+GROUP BY d.doc_id"""
+
+
 def tfidf_top_terms_distributed(docs_ds, k: int = 3):
     """:func:`tfidf_top_terms` without the vocabulary-sized broadcast —
     the path to take past its ``max_vocab`` bound.  Same output, same
