@@ -434,6 +434,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # substring starts + the chars their interval union covers
         return T.dup_substring_coverage(docs(sf_dir))
 
+    def q_quality_rank_fusion(sf_dir):
+        # sum-of-ranks fusion of classifier score + length (top-100)
+        from yj_schema_validator_ray.stages.rank import quality_rank_fusion
+
+        return quality_rank_fusion(docs(sf_dir))
+
     def q_corpus_merge(sf_dir):
         # snapshot upsert+tombstone apply with a bit_xor membership
         # certificate; id-keyed exchange of scalar rows, text at rest
@@ -846,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_merge": q_corpus_merge,
         "embedding_quantize": q_embedding_quantize,
         "dup_substring_coverage": q_dup_substring_coverage,
+        "quality_rank_fusion": q_quality_rank_fusion,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1390,6 +1397,12 @@ def _term_postings_sql() -> str:
     return term_postings_sql()
 
 
+def _quality_rank_fusion_sql() -> str:
+    from yj_schema_validator_ray.stages.rank import quality_rank_fusion_sql
+
+    return quality_rank_fusion_sql()
+
+
 def _dup_substring_coverage_sql() -> str:
     from yj_schema_validator_ray.stages.text import dup_substring_coverage_sql
 
@@ -1483,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_merge": _corpus_merge_sql(),
         "embedding_quantize": _embedding_quantize_sql(),
         "dup_substring_coverage": _dup_substring_coverage_sql(),
+        "quality_rank_fusion": _quality_rank_fusion_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -121,6 +121,99 @@ SELECT doc_id,
 FROM documents"""
 
 
+def quality_rank_fusion(docs_ds, k: int = 100):
+    """RANK FUSION selection: combine two incomparable quality signals
+    — the linear classifier score (model) and document length (proxy) —
+    by summing each document's global rank under both orderings and
+    keeping the ``k`` best fused ranks (the Cormack et al. reciprocal-
+    rank-fusion family, in its integer sum-of-ranks form so the driver
+    hash is exact).  Rank fusion is how curation pipelines blend
+    signals whose scales don't compare (a logit vs a char count).
+
+    Shape: two :func:`global_rank` passes (each a histogram exchange,
+    no total sort), ONE doc-keyed coarse exchange co-locating each
+    doc's two rank rows, per-group vectorized pivot to
+    (rank_clf, rank_len, fused), per-block top-k pruning, and a tiny
+    global sort over <= partitions*k rows.
+    """
+    import pandas as pd
+    import ray.data  # noqa: F401
+
+    from ..stages.classify import quality_classifier
+    from ..stages.dedup import coarse_mix
+    from ..util import shuffle_partitions
+
+    scored = quality_classifier(docs_ds).map_batches(
+        lambda t: t.select(["doc_id", "clf_score"]),
+        batch_format="pyarrow")
+    lens = docs_ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "text_len": pc.cast(pc.utf8_length(t.column("text")),
+                                pa.int64())}),
+        batch_format="pyarrow")
+    r1 = global_rank(scored, "clf_score", "doc_id", rank_col="rnk")
+    r2 = global_rank(lens, "text_len", "doc_id", rank_col="rnk")
+
+    def tag(which: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("doc_id"), pa.int64())
+            return pa.table({
+                "doc_id": ids,
+                "rnk": pc.cast(t.column("rnk"), pa.int64()),
+                "side": pa.array(np.full(t.num_rows, which, np.int64)),
+                "__coarse": pa.array(coarse_mix(ids.to_numpy(), 1023),
+                                     pa.int64()),
+            })
+        return f
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "rank_clf": pd.Series(dtype="int64"),
+                                 "rank_len": pd.Series(dtype="int64"),
+                                 "fused": pd.Series(dtype="int64")})
+        p = g.pivot_table(index="doc_id", columns="side", values="rnk",
+                          aggfunc="first")
+        p = p.dropna()  # every doc has both rows; belt-and-braces
+        out = pd.DataFrame({
+            "doc_id": p.index.to_numpy().astype("int64"),
+            "rank_clf": p[0].to_numpy().astype("int64"),
+            "rank_len": p[1].to_numpy().astype("int64"),
+        })
+        out["fused"] = out["rank_clf"] + out["rank_len"]
+        return out.sort_values(["fused", "doc_id"]).head(k)
+
+    u = (r1.map_batches(tag(0), batch_format="pyarrow")
+         .union(r2.map_batches(tag(1), batch_format="pyarrow")))
+    fused = (u.groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(fuse, batch_format="pandas"))
+    return fused.sort(["fused", "doc_id"]).limit(k)
+
+
+def quality_rank_fusion_sql(k: int = 100) -> str:
+    from .classify import quality_classifier_sql
+
+    return f"""
+WITH clf AS ({quality_classifier_sql()}),
+r1 AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY clf_score DESC, doc_id)
+              AS BIGINT) AS rank_clf
+  FROM clf
+),
+r2 AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id)
+              AS BIGINT) AS rank_len
+  FROM documents
+)
+SELECT doc_id, rank_clf, rank_len,
+       rank_clf + rank_len AS fused
+FROM r1 JOIN r2 USING (doc_id)
+ORDER BY fused, doc_id LIMIT {k}"""
+
+
 def budget_select(ds, key_col: str, id_col: str, weight_col: str,
                   budget: int, descending: bool = True,
                   max_distinct: int = 2_000_000):
