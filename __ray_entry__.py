@@ -440,6 +440,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return quality_rank_fusion(docs(sf_dir))
 
+    def q_events_winsorized_stats(sf_dir):
+        # clamp to exact [q1,q3], 1e-6-quantized clamped sums
+        return R.events_winsorized_stats(sf_dir)
+
+    def q_events_weekday_profile(sf_dir):
+        # (type, day-of-week) seasonality with exact distinct users
+        return R.events_weekday_profile(sf_dir)
+
     def q_corpus_merge(sf_dir):
         # snapshot upsert+tombstone apply with a bit_xor membership
         # certificate; id-keyed exchange of scalar rows, text at rest
@@ -853,6 +861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": q_embedding_quantize,
         "dup_substring_coverage": q_dup_substring_coverage,
         "quality_rank_fusion": q_quality_rank_fusion,
+        "events_winsorized_stats": q_events_winsorized_stats,
+        "events_weekday_profile": q_events_weekday_profile,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1497,6 +1507,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _embedding_quantize_sql(),
         "dup_substring_coverage": _dup_substring_coverage_sql(),
         "quality_rank_fusion": _quality_rank_fusion_sql(),
+        "events_winsorized_stats": R.events_winsorized_stats_sql(),
+        "events_weekday_profile": R.events_weekday_profile_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

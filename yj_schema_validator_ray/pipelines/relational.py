@@ -1788,6 +1788,144 @@ SELECT e.event_id, e.event_type,
 FROM events e JOIN p ON p.event_type = e.event_type"""
 
 
+def events_winsorized_stats(sf_dir: str):
+    """Winsorized robust aggregation: per event type, clamp every value
+    to the exact within-type [q1, q3] thresholds and report the clamped
+    sum (1e-6-quantized integer) plus how many rows were clamped at
+    each side — the outlier-robust mean prep that follows
+    :func:`events_value_quartiles`'s binning.  Clamping substitutes one
+    of two doubles both engines read from the same parquet (no new
+    arithmetic), and the only float op is the quantized floor(x*1e6),
+    so the hash is exact.
+
+    One quantile pass (group-domain thresholds, broadcast) + one
+    stateless scan with per-batch partials -> a type-domain reduce.
+    """
+    import ray
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.quantiles import grouped_exact_quantiles
+    from ..util import process_cached, ref_key
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    thr = grouped_exact_quantiles(ev, "event_type", "value",
+                                  qs=(0.25, 0.75)).to_pandas()
+    piv = thr.pivot_table(index="event_type", columns="quantile",
+                          values="value", aggfunc="max")
+    types = list(piv.index)
+    mat = piv[[0.25, 0.75]].to_numpy(dtype=np.float64)
+    ref = ray.put((types, mat))
+
+    class Winsorize:
+        def __init__(self, r):
+            ts, m = ray.get(r)
+            self.value_set = pa.array(ts, pa.string())
+            self.mat = m
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t.column("event_type"),
+                              value_set=self.value_set)
+            ix = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t.column("value").to_numpy().astype(np.float64)
+            lo, hi = self.mat[ix, 0], self.mat[ix, 1]
+            low = v < lo
+            high = v > hi
+            w = np.where(low, lo, np.where(high, hi, v))
+            part = pa.table({
+                "event_type": t.column("event_type"),
+                "n_events": pa.array(np.ones(len(v), np.int64)),
+                "n_low": pa.array(low.astype(np.int64)),
+                "n_high": pa.array(high.astype(np.int64)),
+                "wsum_q6": pa.array(np.floor(w * 1e6).astype(np.int64)),
+            })
+            return part
+
+    parts = ev.map_batches(process_cached(Winsorize, ref_key(ref), ref),
+                           batch_format="pyarrow")
+    return grouped_aggregate(
+        parts, ["event_type"],
+        [("n_events", "sum", "n_events"), ("n_low", "sum", "n_low"),
+         ("n_high", "sum", "n_high"), ("wsum_q6", "sum", "wsum_q6")])
+
+
+def events_winsorized_stats_sql() -> str:
+    from ..stages.quantiles import grouped_exact_quantiles_sql
+
+    inner = grouped_exact_quantiles_sql("events", "event_type", "value",
+                                        qs=(0.25, 0.75))
+    return f"""
+WITH p AS (
+  SELECT event_type,
+         max(CASE WHEN quantile = 0.25 THEN value END) AS lo,
+         max(CASE WHEN quantile = 0.75 THEN value END) AS hi
+  FROM ({inner}) x GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN e.value < p.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(sum(CASE WHEN e.value > p.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       CAST(sum(CAST(floor(
+           (CASE WHEN e.value < p.lo THEN p.lo
+                 WHEN e.value > p.hi THEN p.hi
+                 ELSE e.value END) * 1000000) AS BIGINT)) AS BIGINT)
+         AS wsum_q6
+FROM events e JOIN p ON p.event_type = e.event_type
+GROUP BY e.event_type"""
+
+
+def events_weekday_profile(sf_dir: str):
+    """Weekly seasonality profile: per (event type, day-of-week),
+    event count and EXACT distinct users — the calendar heat-map every
+    operations dashboard draws.  Day-of-week comes from ``strftime
+    '%w'`` (Sunday = '0') on BOTH engines, so the group keys match
+    byte-for-byte.  Same two-phase COUNT(DISTINCT) shape as
+    :func:`events_dau`: a (type, dow, user) pair-dedupe exchange whose
+    rows are bounded by types x 7 x users, then a tiny profile reduce.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "user_id"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        dow = pc.strftime(t.column("ts"), format="%w")
+        return pa.table({"event_type": t.column("event_type"),
+                         "dow": dow,
+                         "user_id": t.column("user_id")})
+
+    pairs = grouped_aggregate(
+        ds.map_batches(rows, batch_format="pyarrow"),
+        ["event_type", "dow", "user_id"], [("", "count", "n_events")])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "dow": t.column("dow"),
+            "n_users": pa.array(np.ones(n, np.int64)),
+            "n_events": pc.cast(t.column("n_events"), pa.int64()),
+        })
+
+    return grouped_aggregate(
+        pairs.map_batches(pair_partial, batch_format="pyarrow"),
+        ["event_type", "dow"],
+        [("n_users", "sum", "n_users"), ("n_events", "sum", "n_events")])
+
+
+def events_weekday_profile_sql() -> str:
+    return """
+SELECT event_type, strftime(ts, '%w') AS dow,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type, dow"""
+
+
 def events_dau(sf_dir: str):
     """Daily active users: per calendar day, distinct users + event
     count — the canonical time-series health metric, and the calendar
