@@ -448,6 +448,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (type, day-of-week) seasonality with exact distinct users
         return R.events_weekday_profile(sf_dir)
 
+    from yj_schema_validator_ray.pipelines import tpch_ext as TX
+
+    def q_q7_volume_shipping(sf_dir):
+        # two-sided nation-gate join; order-key colocate_join of
+        # order-grain partials (no broadcast of either fact side)
+        return TX.q7_volume_shipping(sf_dir)
+
+    def q_q8_market_share(sf_dir):
+        # market share as exact integer numerator/denominator
+        return TX.q8_market_share(sf_dir)
+
+    def q_q15_top_supplier(sf_dir):
+        # max-scalar-subquery: Dataset.max -> stateless argmax filter
+        return TX.q15_top_supplier(sf_dir)
+
+    def q_q17_small_quantity(sf_dir):
+        # correlated-average filter, integer cross-multiply compare
+        return TX.q17_small_quantity_revenue(sf_dir)
+
+    def q_q19_discounted_revenue(sf_dir):
+        # OR-of-three-predicate-branches over the li x part attach
+        return TX.q19_discounted_revenue(sf_dir)
+
+    def q_q21_waiting_suppliers(sf_dir):
+        # EXISTS/NOT-EXISTS double-correlation per order group
+        return TX.q21_waiting_suppliers(sf_dir)
+
+    def q_q22_sales_opportunity(sf_dir):
+        # scalar-subquery balance gate + recent-orders anti-join
+        return TX.q22_global_sales_opportunity(sf_dir)
+
     def q_corpus_merge(sf_dir):
         # snapshot upsert+tombstone apply with a bit_xor membership
         # certificate; id-keyed exchange of scalar rows, text at rest
@@ -863,6 +894,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_rank_fusion": q_quality_rank_fusion,
         "events_winsorized_stats": q_events_winsorized_stats,
         "events_weekday_profile": q_events_weekday_profile,
+        # TPC-H canon extension (late r4; r5 window priority with the
+        # other post-rotation additions)
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q19_discounted_revenue": q_q19_discounted_revenue,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "q22_sales_opportunity": q_q22_sales_opportunity,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1475,6 +1515,7 @@ def _accuracy_cms_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
+    from yj_schema_validator_ray.pipelines import tpch_ext as _TX
 
     return {
         "verdicts": oracles.verdicts_sql(),
@@ -1509,6 +1550,13 @@ def oracle_sql() -> dict[str, str]:
         "quality_rank_fusion": _quality_rank_fusion_sql(),
         "events_winsorized_stats": R.events_winsorized_stats_sql(),
         "events_weekday_profile": R.events_weekday_profile_sql(),
+        "q7_volume_shipping": _TX.q7_sql(),
+        "q8_market_share": _TX.q8_sql(),
+        "q15_top_supplier": _TX.q15_sql(),
+        "q17_small_quantity": _TX.q17_sql(),
+        "q19_discounted_revenue": _TX.q19_sql(),
+        "q21_waiting_suppliers": _TX.q21_sql(),
+        "q22_sales_opportunity": _TX.q22_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -360,6 +360,15 @@ def run_bench() -> dict:
     best_of("events_window",
             lambda: R.events_tumbling_window(SF_DIR).count())
 
+    # TPC-H extension: the two join-heaviest shapes — Q7 rides the
+    # generic colocate_join (two gated attaches + one order-key
+    # co-location), Q21 the per-order correlated-set exchange
+    from yj_schema_validator_ray.pipelines import tpch_ext as TX
+
+    best_of("q7_volume", lambda: TX.q7_volume_shipping(SF_DIR))
+    best_of("q21_waiting",
+            lambda: TX.q21_waiting_suppliers(SF_DIR).count())
+
     headline = timings["validate"]
     result = {
         "metric": ("validated files/sec end-to-end (rows validated + "

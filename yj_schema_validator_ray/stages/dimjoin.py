@@ -164,3 +164,95 @@ def _attach_shuffle(fact_ds, fact_key, dim_mat, dim_key, dim_cols,
          .union(dim_mat.map_batches(dim_side, batch_format="pyarrow")))
     return (u.groupby("__coarse", num_partitions=shuffle_partitions())
             .map_groups(join_group, batch_format="pandas"))
+
+
+def colocate_join(left_ds, right_ds, left_key: str, right_key: str, *,
+                  how: str = "inner", coarse: int = 1024,
+                  schemas: tuple[pa.Schema, pa.Schema] | None = None):
+    """Large-large equi-join by coarse-hash co-location: when BOTH sides
+    scale with the corpus (e.g. order-grain partials x order-grain
+    partials), neither may broadcast — both exchange ONCE on
+    ``coarse_mix(key)`` and a vectorized pandas merge runs per coarse
+    bucket.  No driver state, no per-join aggregator actors (Ray's
+    ``Dataset.join`` spins hash-shuffle actors costing seconds per join
+    and rejects the schema-less empty blocks earlier exchanges emit).
+
+    Unlike :func:`attach_dim_adaptive` there is no uniqueness contract
+    on either side (general m:n).  Keys are integer-valued (cast to
+    int64).  Output columns: left columns, then right columns minus
+    ``right_key`` (the key survives under the LEFT name); the two
+    sides' non-key column names must be disjoint.  Row order is
+    unspecified — compose with a downstream sort/aggregate.
+
+    Pass ``schemas=(left, right)`` when a side may be EMPTY with no
+    inferable schema (an upstream inner gate can kill every row on a
+    small corpus): ``Dataset.schema()`` returns None there, and the
+    pipeline must still present typed output.
+    """
+    if how != "inner":
+        raise ValueError(f"colocate_join: how={how!r} (inner only)")
+
+    from ..util import shuffle_partitions
+    from .dedup import coarse_mix
+
+    lsch, rsch = schemas if schemas is not None else (
+        left_ds.schema(), right_ds.schema())
+    left_names = list(lsch.names)
+    right_out = [n for n in rsch.names if n != right_key]
+    clash = set(left_names) & set(right_out)
+    if clash:
+        raise ValueError(f"colocate_join: column clash {sorted(clash)}")
+
+    def _pa_type(t):
+        # Dataset.schema() over pandas blocks reports numpy dtypes
+        if isinstance(t, pa.DataType):
+            return t
+        if t == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
+    types = {n: _pa_type(t) for n, t in zip(lsch.names, lsch.types)}
+    types.update({n: _pa_type(t) for n, t in zip(rsch.names, rsch.types)})
+    out_names = left_names + right_out
+    out_pd = {n: _NULLABLE.get(str(types[n])) for n in out_names}
+
+    def left_side(t: pa.Table) -> pa.Table:
+        lk = pc.cast(t.column(left_key), pa.int64())
+        arrays = {n: (lk if n == left_key else t.column(n))
+                  for n in left_names}
+        for c in right_out:
+            arrays[c] = pa.nulls(t.num_rows, types[c])
+        arrays["__side"] = pa.array(np.ones(t.num_rows, np.int64))
+        arrays["__coarse"] = pa.array(coarse_mix(lk.to_numpy(), coarse - 1),
+                                      pa.int64())
+        return pa.table(arrays)
+
+    def right_side(t: pa.Table) -> pa.Table:
+        rk = pc.cast(t.column(right_key), pa.int64())
+        arrays = {}
+        for n in left_names:
+            arrays[n] = (rk if n == left_key
+                         else pa.nulls(t.num_rows, types[n]))
+        for c in right_out:
+            arrays[c] = t.column(c)
+        arrays["__side"] = pa.array(np.zeros(t.num_rows, np.int64))
+        arrays["__coarse"] = pa.array(coarse_mix(rk.to_numpy(), coarse - 1),
+                                      pa.int64())
+        return pa.table(arrays)
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g.loc[g["__side"] == 1, left_names]
+        rt = g.loc[g["__side"] == 0, [left_key, *right_out]]
+        out = lt.merge(rt, on=left_key, how="inner")[out_names]
+        # the union pads each side with typed nulls, which pandas blocks
+        # upcast to float64/object; restore nullable dtypes (inner join
+        # => no join-induced nulls, per-row values exact under 2^53)
+        for c, pd_dtype in out_pd.items():
+            if pd_dtype is not None:
+                out[c] = out[c].astype(pd_dtype)
+        return out
+
+    u = (left_ds.map_batches(left_side, batch_format="pyarrow")
+         .union(right_ds.map_batches(right_side, batch_format="pyarrow")))
+    return (u.groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(join_group, batch_format="pandas"))

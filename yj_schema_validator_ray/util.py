@@ -26,7 +26,15 @@ def collect_small_arrow(ds):
     import pyarrow as pa
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    # empty blocks from unoccupied exchange partitions come through
+    # schema-less, and (Ray 2.49) an empty PANDAS block is returned
+    # unconverted by to_arrow_refs — normalize + drop both forms
+    tables = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_columns:
+            tables.append(t)
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables)
