@@ -40,23 +40,24 @@ def _rev_e4(t: pa.Table) -> pa.Array:
 
 
 def _nation_names(sf_dir: str) -> dict[int, str]:
-    import ray
-    import ray.data
+    # nation/region are genuinely dimension-scale (25/5 rows at ANY
+    # corpus size): a direct parquet read is milliseconds, where a
+    # driver-side Ray Dataset execution costs ~1 s of fixed overhead
+    import pyarrow.parquet as pq
 
-    t = pa.concat_tables(ray.get(
-        ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_arrow_refs()))
+    t = pq.read_table(f"{sf_dir}/nation.parquet",
+                      columns=["n_nationkey", "n_name"])
     return dict(zip(t.column("n_nationkey").to_pylist(),
                     t.column("n_name").to_pylist()))
 
 
 def _nations_of_region(sf_dir: str, region: str) -> list[int]:
-    import ray
-    import ray.data
+    import pyarrow.parquet as pq
 
-    nation = pa.concat_tables(ray.get(
-        ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_arrow_refs()))
-    region_t = pa.concat_tables(ray.get(
-        ray.data.read_parquet(f"{sf_dir}/region.parquet").to_arrow_refs()))
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region_t = pq.read_table(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
     rkeys = {k for k, nm in zip(region_t.column("r_regionkey").to_pylist(),
                                 region_t.column("r_name").to_pylist())
              if nm == region}
@@ -82,7 +83,6 @@ def q7_volume_shipping(sf_dir: str, nation_a: int = 1, nation_b: int = 2,
     import ray.data
 
     from ..stages.dimjoin import attach_dim_adaptive, colocate_join
-    from ..stages.exact_agg import grouped_aggregate
     from ..util import collect_small_arrow
 
     lo, hi = pd.Timestamp(start), pd.Timestamp(end)
@@ -161,38 +161,38 @@ def q7_volume_shipping(sf_dir: str, nation_a: int = 1, nation_b: int = 2,
                  pa.schema([("o_orderkey", pa.int64()),
                             ("c_nationkey", pa.int64())])))
 
-    def cross_pair(t: pa.Table) -> pa.Table:
+    def cross_pair_partial(t: pa.Table) -> pa.Table:
+        # filter to CROSSING pairs + local pair-domain pre-aggregate:
+        # each block emits <= |pairs| x |years| rows, so the reduce
+        # needs no exchange at all — partials collect driver-side
         t = t.filter(pc.not_equal(t.column("s_nationkey"),
                                   t.column("c_nationkey")))
-        return pa.table({"s_nationkey": t.column("s_nationkey"),
-                         "c_nationkey": t.column("c_nationkey"),
-                         "l_year": t.column("l_year"),
-                         "revenue_e4": t.column("revenue_e4")})
-
-    per_pair = grouped_aggregate(
-        joined.map_batches(cross_pair, batch_format="pyarrow"),
-        ["s_nationkey", "c_nationkey", "l_year"],
-        [("revenue_e4", "sum", "revenue_e4")])
-
-    def attach_names(t: pa.Table) -> pa.Table:
-        supp = [names[k] for k in t.column("s_nationkey").to_pylist()]
-        cust = [names[k] for k in t.column("c_nationkey").to_pylist()]
-        return pa.table({"supp_nation": pa.array(supp, pa.string()),
-                         "cust_nation": pa.array(cust, pa.string()),
-                         "l_year": t.column("l_year"),
-                         "revenue_e4": t.column("revenue_e4")})
+        tt = pa.table({"s_nationkey": t.column("s_nationkey"),
+                       "c_nationkey": t.column("c_nationkey"),
+                       "l_year": t.column("l_year"),
+                       "revenue_e4": t.column("revenue_e4")})
+        return (tt.group_by(["s_nationkey", "c_nationkey", "l_year"])
+                .aggregate([("revenue_e4", "sum")])
+                .rename_columns(["s_nationkey", "c_nationkey", "l_year",
+                                 "revenue_e4"]))
 
     # nation-pair x year domain (<= 25 x 25 x years rows at ANY corpus
-    # scale) — collect driver-side so the zero-match case (a nation
-    # pair that never traded) still presents the typed 4-column schema
-    out = collect_small_arrow(
-        per_pair.map_batches(attach_names,
-                             batch_format="pyarrow")).to_pandas()
-    if out.empty:
-        out = pd.DataFrame({"supp_nation": pd.Series(dtype="string"),
-                            "cust_nation": pd.Series(dtype="string"),
-                            "l_year": pd.Series(dtype="string"),
-                            "revenue_e4": pd.Series(dtype="int64")})
+    # scale): merge the per-block partials driver-side — the standard
+    # post-scan domain-sized tail (the zero-match case must still
+    # present the typed 4-column schema)
+    partials = collect_small_arrow(
+        joined.map_batches(cross_pair_partial,
+                           batch_format="pyarrow")).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"supp_nation": pd.Series(dtype="string"),
+                             "cust_nation": pd.Series(dtype="string"),
+                             "l_year": pd.Series(dtype="string"),
+                             "revenue_e4": pd.Series(dtype="int64")})
+    out = (partials.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                            as_index=False)["revenue_e4"].sum())
+    out["supp_nation"] = out["s_nationkey"].map(names).astype("string")
+    out["cust_nation"] = out["c_nationkey"].map(names).astype("string")
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
     return (out[["supp_nation", "cust_nation", "l_year", "revenue_e4"]]
             .sort_values(["supp_nation", "cust_nation", "l_year"])
             .reset_index(drop=True))
@@ -238,7 +238,7 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
     import ray.data
 
     from ..stages.dimjoin import attach_dim_adaptive, colocate_join
-    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
 
     lo, hi = pd.Timestamp(start), pd.Timestamp(end)
     in_region = pa.array(_nations_of_region(sf_dir, region), pa.int64())
@@ -334,10 +334,28 @@ def q8_market_share(sf_dir: str, region: str = "ASIA",
                  pa.schema([("o_orderkey", pa.int64()),
                             ("o_year", pa.string())])))
 
-    return grouped_aggregate(
-        joined, ["o_year"],
-        [("nation_rev_e4", "sum", "nation_rev_e4"),
-         ("total_rev_e4", "sum", "total_rev_e4")]).sort("o_year")
+    def year_partial(t: pa.Table) -> pa.Table:
+        # local year-domain pre-aggregate per block: the final reduce
+        # merges <= |years| rows per block driver-side (no exchange)
+        return (t.select(["o_year", "nation_rev_e4", "total_rev_e4"])
+                .group_by(["o_year"])
+                .aggregate([("nation_rev_e4", "sum"),
+                            ("total_rev_e4", "sum")])
+                .rename_columns(["o_year", "nation_rev_e4",
+                                 "total_rev_e4"]))
+
+    partials = collect_small_arrow(
+        joined.map_batches(year_partial,
+                           batch_format="pyarrow")).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"o_year": pd.Series(dtype="string"),
+                             "nation_rev_e4": pd.Series(dtype="int64"),
+                             "total_rev_e4": pd.Series(dtype="int64")})
+    out = (partials.groupby("o_year", as_index=False)
+           [["nation_rev_e4", "total_rev_e4"]].sum())
+    out["nation_rev_e4"] = out["nation_rev_e4"].astype("int64")
+    out["total_rev_e4"] = out["total_rev_e4"].astype("int64")
+    return out.sort_values("o_year").reset_index(drop=True)
 
 
 def q8_sql(region: str = "ASIA", share_nation: int = 2,
