@@ -479,6 +479,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scalar-subquery balance gate + recent-orders anti-join
         return TX.q22_global_sales_opportunity(sf_dir)
 
+    from yj_schema_validator_ray.pipelines import olap as OL
+
+    def q_events_first_last(sf_dir):
+        # per-user first/last attribution: argmin/argmax batch partials
+        # (2 candidate rows + a count per user per batch), one user-keyed
+        # coarse exchange — the event stream never reaches the shuffle
+        return OL.events_first_last(sf_dir)
+
+    def q_docs_dense_topk(sf_dir):
+        # dense_rank()<=k WITH ties per source; batch-local k-th-distinct
+        # prune is a sound superset of the global tiers
+        return OL.docs_dense_topk(sf_dir)
+
+    def q_embedding_centroids(sf_dir):
+        # exact per-(label,dim) centroid sums in fixed point — the
+        # mergeable k-means/prototype building block; vectors never move
+        return OL.embedding_centroids(ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]))
+
     def q_corpus_merge(sf_dir):
         # snapshot upsert+tombstone apply with a bit_xor membership
         # certificate; id-keyed exchange of scalar rows, text at rest
@@ -903,6 +922,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_discounted_revenue": q_q19_discounted_revenue,
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "q22_sales_opportunity": q_q22_sales_opportunity,
+        "events_first_last": q_events_first_last,
+        "docs_dense_topk": q_docs_dense_topk,
+        "embedding_centroids": q_embedding_centroids,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1515,6 +1537,7 @@ def _accuracy_cms_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
+    from yj_schema_validator_ray.pipelines import olap as _OL
     from yj_schema_validator_ray.pipelines import tpch_ext as _TX
 
     return {
@@ -1557,6 +1580,9 @@ def oracle_sql() -> dict[str, str]:
         "q19_discounted_revenue": _TX.q19_sql(),
         "q21_waiting_suppliers": _TX.q21_sql(),
         "q22_sales_opportunity": _TX.q22_sql(),
+        "events_first_last": _OL.events_first_last_sql(),
+        "docs_dense_topk": _OL.docs_dense_topk_sql(),
+        "embedding_centroids": _OL.embedding_centroids_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

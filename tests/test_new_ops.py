@@ -324,3 +324,84 @@ def test_epoch_mixture_upsampling_reference():
     assert set(a["epoch"]) == {0, 1, 2}
     n_a = (tbl.column("source").to_pylist().count("a"))
     assert len(a) > 2 * n_a and len(a) < 3 * n_a
+
+
+def test_dense_topk_ties_and_sparse_groups_cross_block(ray_session):
+    """Ties on the kept tiers straddle blocks; one group has fewer than
+    k distinct values (all its rows keep); dense rank counts DISTINCT
+    values, not rows.  Result must be partition-invariant."""
+    from yj_schema_validator_ray.pipelines.olap import dense_topk
+
+    tbl = pa.table({
+        "g": pa.array(["a"] * 6 + ["b"] * 3, pa.string()),
+        "v": pa.array([9, 9, 7, 7, 7, 1, 5, 5, 5], pa.int64()),
+        "i": pa.array(range(9), pa.int64()),
+    })
+
+    def run(parts):
+        return (dense_topk(_ds(tbl, parts), "g", "v", "i", k=2)
+                .to_pandas().sort_values(["g", "v", "i"],
+                                         ascending=[True, False, True])
+                .reset_index(drop=True))
+
+    got = run(5)
+    # a: tiers 9 (rank 1, 2 rows) + 7 (rank 2, 3 rows); value 1 drops.
+    # b: single tier 5 -> rank 1, all 3 rows keep.
+    assert got[got["g"] == "a"]["v"].tolist() == [9, 9, 7, 7, 7]
+    assert got[got["g"] == "a"]["dr"].tolist() == [1, 1, 2, 2, 2]
+    assert got[got["g"] == "b"]["dr"].tolist() == [1, 1, 1]
+    assert got.equals(run(1))
+
+
+def test_first_last_cross_block_and_ts_ties(ray_session):
+    """First and last rows of a user live in different blocks, and a
+    duplicated min/max timestamp is tie-broken by event_id BOTH ways —
+    the merge must pick min (ts, id) for first and max (ts, id) for
+    last, not first/last per column independently."""
+    from yj_schema_validator_ray.pipelines.olap import first_last_by_user
+
+    # user 7: min ts=10 appears twice (ids 5 and 3 -> first id must be
+    # 3); max ts=90 twice (ids 1 and 8 -> last id must be 8).
+    tbl = pa.table({
+        "user_id": pa.array([7, 7, 7, 7, 7, 2], pa.int64()),
+        "ts_us": pa.array([10, 10, 50, 90, 90, 4], pa.int64()),
+        "event_id": pa.array([5, 3, 9, 1, 8, 0], pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "d", "e", "z"]),
+    })
+    got = (first_last_by_user(_ds(tbl, 6)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    u7 = got[got["user_id"] == 7].iloc[0]
+    assert (u7["n_events"], u7["first_event_id"], u7["first_type"],
+            u7["last_event_id"], u7["last_type"]) == (5, 3, "b", 8, "e")
+    u2 = got[got["user_id"] == 2].iloc[0]
+    assert (u2["n_events"], u2["first_event_id"], u2["last_event_id"]) \
+        == (1, 0, 0)
+
+
+def test_embedding_centroids_partition_invariant(ray_session):
+    """Integer fixed-point sums make the merge order-free: 1-block and
+    8-block runs must be bit-identical, and sums must equal the direct
+    numpy reference."""
+    from yj_schema_validator_ray.pipelines.olap import embedding_centroids
+
+    rng = np.random.RandomState(11)
+    n, d = 64, 5
+    mat = rng.randn(n, d).astype(np.float32)
+    labels = rng.randint(0, 3, n)
+    tbl = pa.table({
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+
+    def run(parts):
+        return (embedding_centroids(_ds(tbl, parts)).to_pandas()
+                .sort_values(["label", "dim"]).reset_index(drop=True))
+
+    a, b = run(1), run(8)
+    assert a.equals(b)
+    q = np.floor(mat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    for lab in range(3):
+        ref = q[labels == lab].sum(axis=0)
+        sub = a[a["label"] == lab]
+        assert sub["sum_q"].to_numpy().tolist() == ref.tolist()
+        assert (sub["n_vecs"] == (labels == lab).sum()).all()

@@ -1,0 +1,258 @@
+"""OLAP accessory wave: argmin/argmax grouped selection, dense-rank
+top-k with ties, and exact per-label embedding centroids.
+
+These are the remaining classic warehouse shapes the relational family
+did not yet cover (reference scope: the engine-side analytics surface;
+no single reference file — these extend SURVEY.md §2's constraint/
+aggregate rows):
+
+* ``events_first_last`` — per-entity FIRST/LAST attribution (the
+  "first touch / last touch" marketing shape): a per-batch argmin /
+  argmax partial means only two candidate rows per (user, batch) ever
+  reach the exchange, never the event stream itself.
+* ``docs_dense_topk`` — grouped top-k by DENSE RANK including ALL
+  ties (unlike ``docs_top_per_group``'s row_number cut): a candidate
+  row can only be in the global top-k distinct values of its group if
+  it is in its batch's top-k distinct values, so the local prune is a
+  sound superset.
+* ``embedding_centroids`` — exact per-label centroid accounting in
+  fixed point: per-batch (label x dim) int64 partial sums (the same
+  floor(x*1e6 + 0.5) convention as ``ann.embedding_quantize``), one
+  label/dim-domain-sized exchange, no float summation anywhere, so
+  the result hash-matches SQL bit-for-bit regardless of summation
+  order.  This is the building block of k-means / prototype-based
+  curation at corpus scale: vectors never move, only (labels x dims)
+  partial rows.
+
+All three follow the CLAUDE.md exchange discipline: partials through
+``exact_agg.hash_columns``-keyed coarse groupbys, merges vectorized
+per partition, integer outputs everywhere hashes must match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# first / last event per user (argmin / argmax combiner)
+# ---------------------------------------------------------------------------
+
+def events_first_last(sf_dir: str, coarse: int = 1024):
+    """Per-user first/last event attribution: (first ts+id+type,
+    last ts+id+type, total events), ties broken by event_id — the
+    distributive argmin/argmax pair, so a per-batch partial (2 candidate
+    rows + one count per user per batch) is exact.
+
+    Timestamps travel and return as epoch MICROSECOND int64 (the
+    ``window_start`` convention of the events family) so the value hash
+    is unit-exact against ``epoch_us(ts)``.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+        })
+
+    return first_last_by_user(ds.map_batches(prep, batch_format="pyarrow"),
+                              coarse=coarse)
+
+
+def first_last_by_user(ds, coarse: int = 1024):
+    """Core combiner over a prepared (user_id, ts_us, event_id,
+    event_type) int64/int64/int64/string Dataset — split out so tests
+    can drive it with multi-block synthetic tables."""
+    from ..stages.exact_agg import hash_columns
+    from ..util import shuffle_partitions
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        out = g.agg(
+            n_events=("event_id", "size"),
+            first_ts_us=("ts_us", "first"),
+            first_event_id=("event_id", "first"),
+            first_type=("event_type", "first"),
+            last_ts_us=("ts_us", "last"),
+            last_event_id=("event_id", "last"),
+            last_type=("event_type", "last"),
+        ).reset_index()
+        kh = hash_columns(pa.table({"user_id": pa.array(
+            out["user_id"].to_numpy(np.int64))}))
+        out["__coarse"] = (kh & np.uint64(coarse - 1)).astype(np.int64)
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__coarse")
+        n = df.groupby("user_id", sort=False)["n_events"].sum()
+        f = (df.sort_values(["user_id", "first_ts_us", "first_event_id"],
+                            kind="mergesort")
+             .groupby("user_id", sort=False)
+             [["first_ts_us", "first_event_id", "first_type"]].first())
+        l = (df.sort_values(["user_id", "last_ts_us", "last_event_id"],
+                            kind="mergesort")
+             .groupby("user_id", sort=False)
+             [["last_ts_us", "last_event_id", "last_type"]].last())
+        out = pd.concat([n, f, l], axis=1).reset_index()
+        for c in ("user_id", "n_events", "first_ts_us", "first_event_id",
+                  "last_ts_us", "last_event_id"):
+            out[c] = out[c].astype("int64")
+        return out[["user_id", "n_events",
+                    "first_ts_us", "first_event_id", "first_type",
+                    "last_ts_us", "last_event_id", "last_type"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(merge, batch_format="pandas"))
+
+
+def events_first_last_sql() -> str:
+    return """
+WITH rk AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rd,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(max(CASE WHEN ra=1 THEN epoch_us(ts) END) AS BIGINT)
+         AS first_ts_us,
+       CAST(max(CASE WHEN ra=1 THEN event_id END) AS BIGINT)
+         AS first_event_id,
+       max(CASE WHEN ra=1 THEN event_type END) AS first_type,
+       CAST(max(CASE WHEN rd=1 THEN epoch_us(ts) END) AS BIGINT)
+         AS last_ts_us,
+       CAST(max(CASE WHEN rd=1 THEN event_id END) AS BIGINT)
+         AS last_event_id,
+       max(CASE WHEN rd=1 THEN event_type END) AS last_type
+FROM rk GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# dense-rank top-k per group WITH ties
+# ---------------------------------------------------------------------------
+
+def docs_dense_topk(sf_dir: str, k: int = 2):
+    """The ``k`` highest DISTINCT n_chars tiers per source, keeping
+    every document on a kept tier (dense_rank() <= k semantics — the
+    tie-inclusive variant of ``docs_top_per_group``).
+
+    Local prune: a row can only sit on a global top-k distinct tier of
+    its source if its value is >= the batch's k-th distinct value for
+    that source, so each batch forwards only candidate rows (bounded by
+    sources x k tiers x tier membership); the final per-source merge
+    re-derives the distinct tiers from candidates only.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    return dense_topk(ds, group_col="source", value_col="n_chars",
+                      id_col="doc_id", k=k)
+
+
+def dense_topk(ds, group_col: str, value_col: str, id_col: str,
+               k: int = 2, rank_col: str = "dr"):
+    """Core dense-rank top-k with ties — see ``docs_dense_topk``."""
+    from ..util import shuffle_partitions
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df[[group_col, value_col]].drop_duplicates()
+             .sort_values([group_col, value_col], ascending=[True, False],
+                          kind="mergesort"))
+        d["__r"] = d.groupby(group_col, sort=False).cumcount()
+        thr = d[d["__r"] == k - 1].set_index(group_col)[value_col]
+        cut = df[group_col].map(thr)
+        out = df[cut.isna() | (df[value_col] >= cut)].copy()
+        out[id_col] = out[id_col].astype("int64")
+        out[value_col] = out[value_col].astype("int64")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        tiers = np.sort(df[value_col].unique())[::-1][:k]
+        rank = {int(v): i + 1 for i, v in enumerate(tiers)}
+        out = df[df[value_col].isin(tiers)].copy()
+        out[rank_col] = out[value_col].map(rank).astype("int64")
+        return out[[group_col, id_col, value_col, rank_col]]
+
+    return (ds.map_batches(local_prune, batch_format="pandas")
+            .groupby(group_col, num_partitions=min(8, shuffle_partitions()))
+            .map_groups(final, batch_format="pandas"))
+
+
+def docs_dense_topk_sql(k: int = 2) -> str:
+    return f"""
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(dense_rank() OVER (PARTITION BY source
+            ORDER BY n_chars DESC) AS BIGINT) AS dr
+FROM documents QUALIFY dr <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# exact per-label embedding centroids (fixed-point)
+# ---------------------------------------------------------------------------
+
+def embedding_centroids(emb_ds):
+    """Exact per-(label, dim) centroid accounting: vector count and the
+    fixed-point component sum (floor(x*1e6 + 0.5), the
+    ``embedding_quantize`` convention).  Per batch the (n, d) float
+    matrix collapses to a (labels x d) int64 partial — vectors never
+    reach the exchange — and integer sums make the merge order-free.
+    The caller derives means as sum_q / n_vecs; keeping the exact
+    integer pair is what makes the result mergeable across epochs.
+    """
+    from ..stages.ann import _list_f64_matrix
+    from ..stages.exact_agg import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _list_f64_matrix(t.column("embedding"))
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        labels = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq))),
+            "n_vecs": pa.array(np.repeat(counts, d)),
+            "sum_q": pa.array(sums.reshape(-1)),
+        })
+
+    return grouped_aggregate(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("n_vecs", "sum", "n_vecs"), ("sum_q", "sum", "sum_q")])
+
+
+def embedding_centroids_sql() -> str:
+    return """
+WITH el AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_q
+FROM el GROUP BY label, dim"""
