@@ -498,6 +498,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return OL.embedding_centroids(ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]))
 
+    def q_events_ols_stats(sf_dir):
+        # grouped OLS sufficient statistics: int64 sums only (mergeable
+        # by addition); slope/intercept are driver math over 5 numbers
+        return OL.events_ols_stats(sf_dir)
+
+    def q_events_mad_outliers(sf_dir):
+        # Hampel/MAD robust anomaly gate: two exact radix-rank median
+        # passes + a counting scan; med/MAD are corpus elements
+        return OL.events_mad_outliers(sf_dir)
+
+    def q_term_cooccurrence(sf_dir):
+        # PMI numerator table over the distributed top-v vocab; pair
+        # domain <= v(v-1)/2 crosses the exchange, never the corpus
+        from yj_schema_validator_ray.stages.text import term_cooccurrence
+
+        return term_cooccurrence(docs(sf_dir), v=50)
+
     def q_corpus_merge(sf_dir):
         # snapshot upsert+tombstone apply with a bit_xor membership
         # certificate; id-keyed exchange of scalar rows, text at rest
@@ -925,6 +942,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_last": q_events_first_last,
         "docs_dense_topk": q_docs_dense_topk,
         "embedding_centroids": q_embedding_centroids,
+        "events_ols_stats": q_events_ols_stats,
+        "events_mad_outliers": q_events_mad_outliers,
+        "term_cooccurrence": q_term_cooccurrence,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1135,6 +1155,12 @@ def _repetition_stats_sql() -> str:
     from yj_schema_validator_ray.stages.text import repetition_stats_sql
 
     return repetition_stats_sql()
+
+
+def _term_cooccurrence_sql() -> str:
+    from yj_schema_validator_ray.stages.text import term_cooccurrence_sql
+
+    return term_cooccurrence_sql(v=50)
 
 
 def _tfidf_top_terms_sql() -> str:
@@ -1583,6 +1609,9 @@ def oracle_sql() -> dict[str, str]:
         "events_first_last": _OL.events_first_last_sql(),
         "docs_dense_topk": _OL.docs_dense_topk_sql(),
         "embedding_centroids": _OL.embedding_centroids_sql(),
+        "events_ols_stats": _OL.events_ols_stats_sql(),
+        "events_mad_outliers": _OL.events_mad_outliers_sql(),
+        "term_cooccurrence": _term_cooccurrence_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

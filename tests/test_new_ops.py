@@ -405,3 +405,90 @@ def test_embedding_centroids_partition_invariant(ray_session):
         sub = a[a["label"] == lab]
         assert sub["sum_q"].to_numpy().tolist() == ref.tolist()
         assert (sub["n_vecs"] == (labels == lab).sum()).all()
+
+
+def test_ols_stats_slope_recovers_trend(ray_session):
+    """The five integer sums recover the OLS slope: synthesize events
+    with a known value = a + b*t trend per type and check the derived
+    slope (exact integer math on Python ints, no overflow) is close."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.pipelines.olap import events_ols_stats
+
+    n = 2000
+    rng = np.random.RandomState(3)
+    t0 = np.int64(1_700_000_000_000_000)
+    secs = np.sort(rng.randint(0, 86_400, n)).astype(np.int64)
+    typ = np.where(np.arange(n) % 2 == 0, "up", "down")
+    slope = np.where(typ == "up", 0.02, -0.01)  # dollars per second
+    val = 100.0 + slope * secs + rng.randn(n) * 0.5
+    tbl = pa.table({
+        "event_type": pa.array(typ),
+        "ts": pa.array((t0 + secs * 1_000_000), pa.timestamp("us")),
+        "value": pa.array(val, pa.float64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        got = events_ols_stats(d).to_pandas().set_index("event_type")
+    for t, want in [("up", 0.02), ("down", -0.01)]:
+        r = got.loc[t]
+        n_, sx, sy, sxx, sxy = (int(r["n_events"]), int(r["sum_x"]),
+                                int(r["sum_y_cents"]), int(r["sum_xx"]),
+                                int(r["sum_xy"]))
+        b_cents = (n_ * sxy - sx * sy) / (n_ * sxx - sx * sx)
+        assert abs(b_cents / 100.0 - want) < 2e-4, (t, b_cents / 100.0)
+
+
+def test_term_cooccurrence_partition_invariant_and_exact(ray_session):
+    """Pair counts straddling blocks merge exactly, df attaches match
+    the vocab, and a term outside the top-v vocab never pairs."""
+    import ray
+
+    from yj_schema_validator_ray.stages.text import term_cooccurrence
+
+    texts = ["alpha beta", "alpha beta gamma", "beta gamma",
+             "alpha zzrare", "gamma alpha beta", "beta beta alpha"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        return (term_cooccurrence(ds, v=3).to_pandas()
+                .sort_values(["term_a", "term_b"]).reset_index(drop=True))
+
+    got = run(4)
+    assert got.equals(run(1))
+    # top-3 vocab by tf: beta(6), alpha(5), gamma(3); zzrare excluded
+    pairs = {(a, b): n for a, b, n in
+             zip(got["term_a"], got["term_b"], got["n_docs"])}
+    assert pairs == {("alpha", "beta"): 4, ("alpha", "gamma"): 2,
+                     ("beta", "gamma"): 3}
+    dfa = dict(zip(got["term_a"], got["df_a"]))
+    dfb = dict(zip(got["term_b"], got["df_b"]))
+    assert dfa["alpha"] == 5 and dfb["beta"] == 5 and dfb["gamma"] == 3
+
+
+def test_mad_outliers_flags_known_anomalies(ray_session):
+    """A tight cluster plus two far points: MAD gate flags exactly the
+    far points; med/mad are actual corpus elements."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.pipelines.olap import events_mad_outliers
+
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 500.0, -500.0]
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * len(vals)),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(len(vals))],
+                       pa.timestamp("us")),
+        "value": pa.array(vals, pa.float64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        got = events_mad_outliers(d).to_pandas()
+    r = got.iloc[0]
+    assert r["n_events"] == len(vals)
+    assert r["med"] in vals and r["n_outliers"] == 2

@@ -244,6 +244,174 @@ def embedding_centroids(emb_ds):
         [("n_vecs", "sum", "n_vecs"), ("sum_q", "sum", "sum_q")])
 
 
+# ---------------------------------------------------------------------------
+# grouped OLS sufficient statistics (value-vs-time trend per event type)
+# ---------------------------------------------------------------------------
+
+def events_ols_stats(sf_dir: str):
+    """Per-event-type OLS sufficient statistics for the value-vs-time
+    trend: (n, sum_x, sum_y_cents, sum_xx, sum_xy) with x = whole
+    seconds since the global min timestamp and y = integer cents — the
+    classic mergeable-statistics shape (slope/intercept/R^2 are
+    domain-sized driver math over the five sums, and partials from any
+    partitioning merge by addition).
+
+    Everything that crosses the exchange is int64: no float summation,
+    so the hash matches SQL regardless of order.  Magnitude note for
+    100 TB: sum_xy grows as rows x time-span x |y|; a production run
+    re-zeroes x per day/shard (the statistics re-merge exactly after
+    shifting, x' = x - c changes sums by closed-form int terms).
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    t0 = (ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+          .map_batches(lambda t: pa.table(
+              {"ts_us": pc.cast(t.column("ts"), pa.int64())}),
+              batch_format="pyarrow")
+          .aggregate(Min("ts_us")))["min(ts_us)"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        x = (ts_us - t0) // 1_000_000
+        y = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                         pa.scalar(100.0))),
+                    pa.int64()).to_numpy()
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "xy": pa.array(x * y),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        [("", "count", "n_events"), ("x", "sum", "sum_x"),
+         ("y", "sum", "sum_y_cents"), ("xx", "sum", "sum_xx"),
+         ("xy", "sum", "sum_xy")])
+
+
+def events_ols_stats_sql() -> str:
+    return """
+WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+b AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) - t0.t0) // 1000000 AS BIGINT) AS x,
+         CAST(round(value * 100.0) AS BIGINT) AS y
+  FROM events, t0)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y_cents,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM b GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier report (robust anomaly gate)
+# ---------------------------------------------------------------------------
+
+def events_mad_outliers(sf_dir: str, k_sigma: float = 3.0):
+    """Robust per-group anomaly accounting: median, median absolute
+    deviation and the count of |value - med| > k * MAD rows per event
+    type (the Hampel/MAD gate data-quality layers run before training).
+
+    Three streaming passes, each exchanging only domain-sized partials:
+    (1) exact per-group median via the radix-rank plan
+    (:func:`~..stages.quantiles.grouped_exact_quantiles` — disc
+    semantics, an actual element, so it is bit-identical to SQL);
+    (2) the same plan over |value - med| for the MAD; (3) a counting
+    scan.  med/MAD are corpus ELEMENTS and the gate arithmetic is one
+    IEEE subtract/abs/multiply/compare tree mirrored in the oracle —
+    no float accumulates anywhere.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.quantiles import grouped_exact_quantiles
+    from ..util import collect_small_arrow
+
+    def ev(cols):
+        return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                     columns=cols)
+
+    med_t = collect_small_arrow(grouped_exact_quantiles(
+        ev(["event_type", "value"]), "event_type", "value", qs=(0.5,)))
+    med = dict(zip(med_t.column("event_type").to_pylist(),
+                   med_t.column("value").to_pylist()))
+
+    def dev(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        m = pd.Series(et.to_pandas()).map(med).to_numpy(np.float64)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": et, "dev": np.abs(v - m)})
+
+    mad_t = collect_small_arrow(grouped_exact_quantiles(
+        ev(["event_type", "value"]).map_batches(dev, batch_format="pyarrow"),
+        "event_type", "dev", qs=(0.5,)))
+    mad = dict(zip(mad_t.column("event_type").to_pylist(),
+                   mad_t.column("value").to_pylist()))
+
+    def flag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        ets = pd.Series(et.to_pandas())
+        m = ets.map(med).to_numpy(np.float64)
+        a = ets.map(mad).to_numpy(np.float64)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        out = (np.abs(v - m) > k_sigma * a).astype(np.int64)
+        return pa.table({"event_type": et, "is_out": pa.array(out)})
+
+    counts = grouped_aggregate(
+        ev(["event_type", "value"]).map_batches(flag, batch_format="pyarrow"),
+        ["event_type"],
+        [("", "count", "n_events"), ("is_out", "sum", "n_outliers")])
+
+    def attach(t: pa.Table) -> pa.Table:
+        ets = pd.Series(t.column("event_type").to_pandas())
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n_events": t.column("n_events"),
+            "med": pa.array(ets.map(med).to_numpy(np.float64)),
+            "mad": pa.array(ets.map(mad).to_numpy(np.float64)),
+            "n_outliers": pc.cast(t.column("n_outliers"), pa.int64()),
+        })
+
+    return counts.map_batches(attach, batch_format="pyarrow")
+
+
+def events_mad_outliers_sql(k_sigma: float = 3.0) -> str:
+    return f"""
+WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+med AS (
+  SELECT event_type, value AS med FROM s
+  WHERE r = CAST(ceil(0.5 * n) AS BIGINT)),
+d AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)),
+s2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d),
+mad AS (
+  SELECT event_type, dev AS mad FROM s2
+  WHERE r = CAST(ceil(0.5 * n) AS BIGINT))
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events, m.med, a.mad,
+       CAST(coalesce(sum(CASE WHEN abs(e.value - m.med) > {k_sigma} * a.mad
+                               THEN 1 END), 0) AS BIGINT) AS n_outliers
+FROM events e JOIN med m USING (event_type) JOIN mad a USING (event_type)
+GROUP BY e.event_type, m.med, a.mad"""
+
+
 def embedding_centroids_sql() -> str:
     return """
 WITH el AS (

@@ -494,6 +494,92 @@ FROM toks GROUP BY term
 ORDER BY tf DESC, term LIMIT {k}"""
 
 
+def term_cooccurrence(docs_ds, v: int = 50):
+    """Document-level co-occurrence counts over the top-``v`` vocabulary
+    (the PMI numerator table: collocation mining, topic seeding, word-
+    association features).
+
+    Plan: vocabulary = :func:`vocab_top_terms` (distributed top-v, the
+    full vocab never collects anywhere) -> the v terms land in each
+    task's closure (strings, KBs) -> per batch a vectorized
+    (doc, term)-distinct self-merge on doc_id emits ordered pairs
+    (term_a < term_b) with LOCAL counts -> one pair-keyed coarse
+    exchange (pair domain <= v*(v-1)/2 regardless of corpus size) ->
+    df columns for both terms attach from the same v-row vocab at the
+    end, making each row PMI-ready (log(n_docs*N/(df_a*df_b)) is
+    driver math).  Per-doc pair fan-out is bounded by the vocab hit
+    count, not document length.
+    """
+    from ..util import collect_small_arrow
+    from .exact_agg import grouped_aggregate
+
+    voc_t = collect_small_arrow(vocab_top_terms(docs_ds, k=v))
+    vocab = voc_t.column("term").to_pylist()
+    dfs = dict(zip(vocab, voc_t.column("df").to_pylist()))
+    vocab_set = set(vocab)
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"term_a": pd.Series(dtype="object"),
+                              "term_b": pd.Series(dtype="object"),
+                              "n_docs": pd.Series(dtype="int64")})
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_rep = np.repeat(batch["doc_id"].to_numpy(), lens)
+        ft = pd.DataFrame({"doc_id": doc_rep, "term": flat})
+        ft = ft[ft["term"].isin(vocab_set)].drop_duplicates()
+        if ft.empty:
+            return empty
+        m = ft.merge(ft, on="doc_id")
+        m = m[m["term_x"] < m["term_y"]]
+        if m.empty:
+            return empty
+        g = (m.groupby(["term_x", "term_y"], sort=False).size()
+             .reset_index(name="n_docs"))
+        g.columns = ["term_a", "term_b", "n_docs"]
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    pairs = grouped_aggregate(
+        docs_ds.map_batches(pair_partial, batch_format="pandas"),
+        ["term_a", "term_b"], [("n_docs", "sum", "n_docs")])
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        a = pd.Series(t.column("term_a").to_pandas())
+        b = pd.Series(t.column("term_b").to_pandas())
+        return pa.table({
+            "term_a": t.column("term_a"), "term_b": t.column("term_b"),
+            "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            "df_a": pa.array(a.map(dfs).to_numpy(np.int64)),
+            "df_b": pa.array(b.map(dfs).to_numpy(np.int64)),
+        })
+
+    return pairs.map_batches(attach_df, batch_format="pyarrow")
+
+
+def term_cooccurrence_sql(v: int = 50) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents),
+v AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term ORDER BY tf DESC, term LIMIT {v}),
+ft AS (
+  SELECT DISTINCT t.doc_id, t.term FROM toks t
+  WHERE t.term IN (SELECT term FROM v)),
+p AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term)
+SELECT p.term_a, p.term_b, p.n_docs, va.df AS df_a, vb.df AS df_b
+FROM p JOIN v va ON va.term = p.term_a JOIN v vb ON vb.term = p.term_b"""
+
+
 def lang_id_sql() -> str:
     """DuckDB oracle for :func:`lang_id`: same stopword tables, same
     first-200-token window, same first-max-wins tie-break (languages
