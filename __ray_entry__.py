@@ -515,6 +515,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return term_cooccurrence(docs(sf_dir), v=50)
 
+    def q_trade_pagerank(sf_dir):
+        # exact integer power iteration over the symmetrized trade
+        # graph: adjacency materialized once, one colocate join + one
+        # dst-keyed int64 exchange per round; order-free floor math
+        # hash-matches the unrolled-CTE oracle bit-for-bit
+        from yj_schema_validator_ray.stages.pagerank import trade_pagerank
+
+        return trade_pagerank(sf_dir)
+
     def q_corpus_merge(sf_dir):
         # snapshot upsert+tombstone apply with a bit_xor membership
         # certificate; id-keyed exchange of scalar rows, text at rest
@@ -945,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ols_stats": q_events_ols_stats,
         "events_mad_outliers": q_events_mad_outliers,
         "term_cooccurrence": q_term_cooccurrence,
+        "trade_pagerank": q_trade_pagerank,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1155,6 +1165,12 @@ def _repetition_stats_sql() -> str:
     from yj_schema_validator_ray.stages.text import repetition_stats_sql
 
     return repetition_stats_sql()
+
+
+def _trade_pagerank_sql() -> str:
+    from yj_schema_validator_ray.stages.pagerank import trade_pagerank_sql
+
+    return trade_pagerank_sql()
 
 
 def _term_cooccurrence_sql() -> str:
@@ -1612,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ols_stats": _OL.events_ols_stats_sql(),
         "events_mad_outliers": _OL.events_mad_outliers_sql(),
         "term_cooccurrence": _term_cooccurrence_sql(),
+        "trade_pagerank": _trade_pagerank_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -492,3 +492,55 @@ def test_mad_outliers_flags_known_anomalies(ray_session):
     r = got.iloc[0]
     assert r["n_events"] == len(vals)
     assert r["med"] in vals and r["n_outliers"] == 2
+
+
+def test_trade_pagerank_mass_and_structure(ray_session):
+    """Integer PageRank on a hand-built star graph: mass conservation
+    modulo floor losses, hub outranks leaves, and the exact recurrence
+    matches a driver-side Python reference."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.stages.pagerank import (SCALE,
+                                                         trade_pagerank)
+
+    # orders/lineitem forming a star: customers 1..6 all buy from
+    # supplier 1; customer 1 also buys from suppliers 2 and 3.
+    custs = [1, 2, 3, 4, 5, 6, 1, 1]
+    supps = [1, 1, 1, 1, 1, 1, 2, 3]
+    orders = pa.table({
+        "o_orderkey": pa.array(range(len(custs)), pa.int64()),
+        "o_custkey": pa.array(custs, pa.int64()),
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array(range(len(supps)), pa.int64()),
+        "l_suppkey": pa.array(supps, pa.int64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(orders, os.path.join(d, "orders.parquet"))
+        pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"))
+        got = trade_pagerank(d, iters=3).to_pandas()
+
+    # python reference of the same integer recurrence
+    pairs = sorted(set(zip(custs, supps)))
+    edges = [(c * 2, s * 2 + 1) for c, s in pairs] + \
+            [(s * 2 + 1, c * 2) for c, s in pairs]
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(deg)
+    r = {v: SCALE // n for v in deg}
+    for _ in range(3):
+        nxt = {v: (15 * SCALE) // (100 * n) for v in deg}
+        for a, b in edges:
+            nxt[b] += (85 * r[a]) // (100 * deg[a])
+        r = nxt
+    want = {("customer" if v % 2 == 0 else "supplier", v // 2): rv
+            for v, rv in r.items()}
+    assert len(got) == n
+    for _, row in got.iterrows():
+        assert want[(row["kind"], row["node_key"])] == row["rank_q"]
+    g = got.set_index(["kind", "node_key"])["rank_q"]
+    # hub supplier 1 dominates everything; mass conserved mod floors
+    assert g[("supplier", 1)] == g.max()
+    assert 0 <= SCALE - int(got["rank_q"].sum()) < 4 * n * len(edges)
