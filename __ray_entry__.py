@@ -524,6 +524,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return trade_pagerank(sf_dir)
 
+    def q_events_path_trigrams(sf_dir):
+        # sequence mining: per-user ordered path 3-grams; one user-keyed
+        # co-location, trigram-domain partials out
+        return OL.events_path_trigrams(sf_dir)
+
+    def q_orders_open_per_day(sf_dir):
+        # interval-overlap sweep as +-1 boundary events; day-domain
+        # histogram exchange, running sum is driver math
+        return OL.orders_open_per_day(sf_dir)
+
     def q_corpus_merge(sf_dir):
         # snapshot upsert+tombstone apply with a bit_xor membership
         # certificate; id-keyed exchange of scalar rows, text at rest
@@ -955,6 +965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": q_events_mad_outliers,
         "term_cooccurrence": q_term_cooccurrence,
         "trade_pagerank": q_trade_pagerank,
+        "events_path_trigrams": q_events_path_trigrams,
+        "orders_open_per_day": q_orders_open_per_day,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1629,6 +1641,8 @@ def oracle_sql() -> dict[str, str]:
         "events_mad_outliers": _OL.events_mad_outliers_sql(),
         "term_cooccurrence": _term_cooccurrence_sql(),
         "trade_pagerank": _trade_pagerank_sql(),
+        "events_path_trigrams": _OL.events_path_trigrams_sql(),
+        "orders_open_per_day": _OL.orders_open_per_day_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -369,6 +369,19 @@ def run_bench() -> dict:
     best_of("q21_waiting",
             lambda: TX.q21_waiting_suppliers(SF_DIR).count())
 
+    # iterative family: 3 integer power-iteration rounds (adjacency
+    # build + 3 x (colocate join + dst exchange)) — the heaviest
+    # multi-round lineage in the repo
+    from yj_schema_validator_ray.stages.pagerank import trade_pagerank
+
+    best_of("trade_pagerank", lambda: trade_pagerank(SF_DIR).count())
+
+    # vocab self-join: distributed top-v vocab + doc-level pair counts
+    from yj_schema_validator_ray.stages.text import term_cooccurrence
+
+    best_of("term_cooccurrence",
+            lambda: term_cooccurrence(docs_ds(), v=50).count())
+
     headline = timings["validate"]
     result = {
         "metric": ("validated files/sec end-to-end (rows validated + "

@@ -544,3 +544,59 @@ def test_trade_pagerank_mass_and_structure(ray_session):
     # hub supplier 1 dominates everything; mass conserved mod floors
     assert g[("supplier", 1)] == g.max()
     assert 0 <= SCALE - int(got["rank_q"].sum()) < 4 * n * len(edges)
+
+
+def test_path_trigrams_cross_block_user(ray_session):
+    """A user's ordered stream split across blocks still yields the
+    full trigram set (co-location repairs the split); users with < 3
+    events contribute nothing."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.pipelines.olap import events_path_trigrams
+
+    # user 1: a b a b -> trigrams (a,b,a), (b,a,b); user 2: a b (none)
+    tbl = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i * 1_000_000
+                        for i in range(6)], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b", "a", "b"]),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"),
+                       row_group_size=2)
+        got = events_path_trigrams(d).to_pandas()
+    tri = {(r.e1, r.e2, r.e3): r.n for r in got.itertuples()}
+    assert tri == {("a", "b", "a"): 1, ("b", "a", "b"): 1}
+
+
+def test_orders_open_per_day_sweep(ray_session):
+    """Hand-built spans: overlap counting matches the closed form and
+    orders without lineitems drop (inner semantics)."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.pipelines.olap import orders_open_per_day
+
+    US = 86_400_000_000
+    # order 0: open day 10, last ship day 12  -> open 10,11,12
+    # order 1: open day 11, last ship day 11  -> open 11
+    # order 2: open day 14, last ship day 15  -> open 14,15
+    # order 3: no lineitems -> dropped
+    orders = pa.table({
+        "o_orderkey": pa.array([0, 1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([10 * US, 11 * US, 14 * US, 9 * US],
+                                pa.timestamp("us")),
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array([0, 0, 1, 2, 2], pa.int64()),
+        "l_shipdate": pa.array([11 * US, 12 * US, 11 * US, 15 * US,
+                                14 * US], pa.timestamp("us")),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(orders, os.path.join(d, "orders.parquet"))
+        pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"))
+        got = orders_open_per_day(d)
+    want = {10: 1, 11: 2, 12: 1, 13: 0, 14: 1, 15: 1}
+    assert dict(zip(got["day"], got["n_open"])) == want

@@ -412,6 +412,181 @@ FROM events e JOIN med m USING (event_type) JOIN mad a USING (event_type)
 GROUP BY e.event_type, m.med, a.mad"""
 
 
+# ---------------------------------------------------------------------------
+# sequence mining: event-type path trigrams
+# ---------------------------------------------------------------------------
+
+def events_path_trigrams(sf_dir: str):
+    """Per-user event-type path 3-grams (the funnel-discovery /
+    next-action-model feature table): count every consecutive
+    (e1 -> e2 -> e3) triple along each user's (ts, event_id)-ordered
+    stream.
+
+    ONE user-keyed coarse exchange co-locates each user's events
+    (sequence mining is inherently per-entity — this is the minimal
+    movement); inside each partition the trigram emit is a vectorized
+    grouped double-shift, and what leaves is (trigram -> count)
+    partials bounded by the event-type-domain cubed, not by rows.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate, hash_columns
+    from ..util import shuffle_partitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        kh = hash_columns(pa.table(
+            {"user_id": pc.cast(t.column("user_id"), pa.int64())}))
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "__coarse": pa.array((kh & np.uint64(1023)).astype(np.int64)),
+        })
+
+    def trigrams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        g = df.groupby("user_id", sort=False)["event_type"]
+        out = pd.DataFrame({"e1": df["event_type"],
+                            "e2": g.shift(-1), "e3": g.shift(-2)})
+        out = out[out["e2"].notna() & out["e3"].notna()]
+        if out.empty:
+            return pd.DataFrame({"e1": pd.Series(dtype="object"),
+                                 "e2": pd.Series(dtype="object"),
+                                 "e3": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        out = (out.groupby(["e1", "e2", "e3"], sort=False).size()
+               .reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    co = (ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__coarse", num_partitions=shuffle_partitions())
+          .map_groups(trigrams, batch_format="pandas"))
+    return grouped_aggregate(co, ["e1", "e2", "e3"],
+                             [("n", "sum", "n")])
+
+
+def events_path_trigrams_sql() -> str:
+    return """
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3"""
+
+
+# ---------------------------------------------------------------------------
+# interval sweep: concurrently-open orders per day
+# ---------------------------------------------------------------------------
+
+def orders_open_per_day(sf_dir: str):
+    """Daily concurrently-open-order count (the backlog / WIP series):
+    an order is open from its order date through its LAST ship date —
+    the classic interval-overlap sweep, distributed as boundary events.
+
+    Order spans come from an order-grain max-shipdate partial
+    co-located with orders (no broadcast; both sides scale); each
+    order then emits exactly two int64 boundary rows (+1 open day,
+    -1 close day + 1) whose day-domain histogram is one exchange; the
+    running sum over the day DOMAIN (thousands of rows regardless of
+    corpus size) is driver math, like every post-exchange reduce in
+    this repo.  Orders with no lineitems have no ship date and drop
+    (inner semantics, mirrored in the oracle).  Returns one row per
+    calendar day from the first open to the last close.
+    """
+    import ray.data
+
+    from ..stages.dimjoin import colocate_join
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    US_PER_DAY = 86_400_000_000
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    def li_max(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "ship_us": pc.cast(t.column("l_shipdate"), pa.int64()),
+        })
+        return (tt.group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+                .rename_columns(["l_orderkey", "ship_us"]))
+
+    ship = grouped_aggregate(
+        li.map_batches(li_max, batch_format="pyarrow"),
+        ["l_orderkey"], [("ship_us", "max", "ship_us")])
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "open_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+        })
+
+    span = colocate_join(orders.map_batches(o_prep, batch_format="pyarrow"),
+                         ship, "o_orderkey", "l_orderkey")
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        open_day = (t.column("open_us").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)) // US_PER_DAY
+        close_day = (t.column("ship_us").to_numpy(zero_copy_only=False)
+                     .astype(np.int64)) // US_PER_DAY
+        return pa.table({
+            "day": pa.array(np.concatenate([open_day, close_day + 1])),
+            "d": pa.array(np.concatenate([
+                np.ones(len(open_day), np.int64),
+                np.full(len(close_day), -1, np.int64)])),
+        })
+
+    hist = collect_small_arrow(grouped_aggregate(
+        span.map_batches(boundaries, batch_format="pyarrow"),
+        ["day"], [("d", "sum", "delta")])).to_pandas()
+
+    hist = hist.sort_values("day").reset_index(drop=True)
+    lo, hi = int(hist["day"].iloc[0]), int(hist["day"].iloc[-1]) - 1
+    full = pd.DataFrame({"day": np.arange(lo, hi + 1, dtype=np.int64)})
+    full = full.merge(hist, on="day", how="left")
+    full["n_open"] = (full["delta"].fillna(0).astype("int64")
+                      .cumsum().astype("int64"))
+    return full[["day", "n_open"]]
+
+
+def orders_open_per_day_sql() -> str:
+    return """
+WITH span AS (
+  SELECT o.o_orderkey,
+         CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS open_day,
+         CAST(max(epoch_us(l.l_shipdate)) // 86400000000 AS BIGINT)
+           AS close_day
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate),
+b AS (
+  SELECT open_day AS day, 1 AS d FROM span
+  UNION ALL
+  SELECT close_day + 1 AS day, -1 AS d FROM span),
+h AS (SELECT day, sum(d) AS delta FROM b GROUP BY day),
+days AS (
+  SELECT unnest(range((SELECT min(open_day) FROM span),
+                      (SELECT max(close_day) + 1 FROM span))) AS day)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(sum(coalesce(h.delta, 0)) OVER (ORDER BY d.day) AS BIGINT)
+         AS n_open
+FROM days d LEFT JOIN h ON h.day = d.day"""
+
+
 def embedding_centroids_sql() -> str:
     return """
 WITH el AS (

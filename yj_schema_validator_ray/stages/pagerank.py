@@ -32,6 +32,7 @@ driver scalars are N and the two closed-form constants.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -85,57 +86,123 @@ def trade_pagerank(sf_dir: str, iters: int = 3, scale: int = SCALE):
             "dst": pa.array(np.concatenate([sn, cn])),
         })
 
+    from ..util import shuffle_partitions
+
+    nparts = shuffle_partitions()
+
+    def bounded(ds):
+        """Materialize with a bounded block count: Ray's sort-shuffle
+        map_groups emits as many blocks as it READS, so without this
+        the rank table gains +|ewd blocks| blocks per round and the
+        per-round exchange cost grows quadratically (measured 20 ->
+        46 -> 91 s/round at sf0.1; bounded it is flat).  Same guard as
+        :func:`.graph.connected_components`."""
+        m = ds.materialize()
+        if m.num_blocks() > 2 * nparts:
+            m = m.repartition(nparts).materialize()
+        return m
+
+    from .dedup import coarse_mix
+
+    COARSE = 1024
+
+    # ONE src-keyed exchange builds the static adjacency: out-degree is
+    # computed in place per co-located group and one SEED row per node
+    # (dst = -1 sentinel) rides along, so neither a degree join nor a
+    # separate node-list pass exists.  Adjacency blocks carry their
+    # precomputed __coarse and are materialized once — every round
+    # reuses them as-is (the .graph adjacency discipline); the union
+    # schema is pure int64 (sentinels, not nulls), so rounds never pay
+    # pandas nullable-dtype restores.
+    def key_edges(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        return t.append_column("__coarse", pa.array(
+            coarse_mix(src, COARSE - 1), pa.int64()))
+
+    def build_adj(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("src", sort=False)["dst"].transform("size")
+        seeds = g.drop_duplicates("src")
+        return pd.DataFrame({
+            "src": np.concatenate([g["src"].to_numpy(),
+                                   seeds["src"].to_numpy()]),
+            "dst": np.concatenate([
+                g["dst"].to_numpy(),
+                np.full(len(seeds), -1, np.int64)]),
+            "deg": np.concatenate([
+                deg.to_numpy(np.int64),
+                np.zeros(len(seeds), np.int64)]),
+            "r": np.full(len(g) + len(seeds), -1, np.int64),
+            "__coarse": np.concatenate([g["__coarse"].to_numpy(),
+                                        seeds["__coarse"].to_numpy()]),
+        })
+
     edges = pairs.map_batches(symmetrize, batch_format="pyarrow")
-    deg = grouped_aggregate(edges, ["src"],
-                            [("", "count", "deg")]).materialize()
-    n_nodes = deg.count()
-    # adjacency with out-degree attached: built once, read every round
-    ewd = colocate_join(edges, deg, "src", "src").materialize()
+    adj_full = bounded(
+        edges.map_batches(key_edges, batch_format="pyarrow")
+        .groupby("__coarse", num_partitions=nparts)
+        .map_groups(build_adj, batch_format="pandas"))
+    adj = bounded(adj_full.filter(expr="dst >= 0"))
+    seeds = bounded(adj_full.filter(expr="dst < 0"))
+    n_nodes = seeds.count()
 
     r0 = scale // n_nodes
     base = (15 * scale) // (100 * n_nodes)
 
     def init_rank(t: pa.Table) -> pa.Table:
-        src = t.column("src")
+        n = t.num_rows
         return pa.table({
-            "node": pc.cast(src, pa.int64()),
-            "r": pa.array(np.full(t.num_rows, r0, np.int64)),
+            "src": t.column("src"),
+            "dst": pa.array(np.full(n, -1, np.int64)),
+            "deg": pa.array(np.zeros(n, np.int64)),
+            "r": pa.array(np.full(n, r0, np.int64)),
+            "__coarse": t.column("__coarse"),
         })
 
-    rank = deg.map_batches(init_rank, batch_format="pyarrow")
+    rank = seeds.map_batches(init_rank, batch_format="pyarrow")
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        """One co-located group: route each node's quantum along its
+        out-edges and pre-aggregate by destination before the dst
+        exchange."""
+        is_rank = g["dst"] < 0
+        rk = g.loc[is_rank, ["src", "r"]]
+        ed = g.loc[~is_rank, ["src", "dst", "deg"]].merge(
+            rk, on="src", how="inner")
+        x = (85 * ed["r"].to_numpy(np.int64)) \
+            // (100 * ed["deg"].to_numpy(np.int64))
+        out = (pd.DataFrame({"dst": ed["dst"].to_numpy(np.int64), "x": x})
+               .groupby("dst", sort=False, as_index=False)["x"].sum())
+        out["x"] = out["x"].astype("int64")
+        return out
 
     for _ in range(iters):
-        j = colocate_join(ewd, rank, "src", "node")
-
-        def contrib(t: pa.Table) -> pa.Table:
-            r = t.column("r").to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            d = t.column("deg").to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            return pa.table({
-                "dst": pc.cast(t.column("dst"), pa.int64()),
-                "x": pa.array((85 * r) // (100 * d)),
-            })
-
-        agg = grouped_aggregate(
-            j.map_batches(contrib, batch_format="pyarrow"),
-            ["dst"], [("x", "sum", "sx")])
+        contrib = (adj.union(rank)
+                   .groupby("__coarse", num_partitions=nparts)
+                   .map_groups(step, batch_format="pandas"))
+        agg = grouped_aggregate(contrib, ["dst"], [("x", "sum", "sx")])
 
         def next_rank(t: pa.Table) -> pa.Table:
+            node = t.column("dst").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
             sx = t.column("sx").to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
+            n = len(node)
             return pa.table({
-                "node": pc.cast(t.column("dst"), pa.int64()),
+                "src": pa.array(node),
+                "dst": pa.array(np.full(n, -1, np.int64)),
+                "deg": pa.array(np.zeros(n, np.int64)),
                 "r": pa.array(base + sx),
+                "__coarse": pa.array(coarse_mix(node, COARSE - 1),
+                                     pa.int64()),
             })
 
-        # re-materialize per round: truncates the iterative lineage the
-        # way .graph does for CC labels (16 bytes/node)
-        rank = agg.map_batches(next_rank,
-                               batch_format="pyarrow").materialize()
+        # re-materialize per round with a bounded block count (see
+        # ``bounded``): truncates the iterative lineage the way .graph
+        # does for CC labels
+        rank = bounded(agg.map_batches(next_rank, batch_format="pyarrow"))
 
     def present(t: pa.Table) -> pa.Table:
-        node = t.column("node").to_numpy(zero_copy_only=False) \
+        node = t.column("src").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         kind = np.where(node % 2 == 0, "customer", "supplier")
         return pa.table({
