@@ -534,6 +534,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram exchange, running sum is driver math
         return OL.orders_open_per_day(sf_dir)
 
+    def q_docs_pareto_frontier(sf_dir):
+        # 2-D skyline: global frontier ⊆ every batch's local frontier,
+        # so only candidate frontiers move; final pass is candidate-sized
+        return OL.docs_pareto_frontier(sf_dir)
+
     def q_corpus_merge(sf_dir):
         # snapshot upsert+tombstone apply with a bit_xor membership
         # certificate; id-keyed exchange of scalar rows, text at rest
@@ -967,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_pagerank": q_trade_pagerank,
         "events_path_trigrams": q_events_path_trigrams,
         "orders_open_per_day": q_orders_open_per_day,
+        "docs_pareto_frontier": q_docs_pareto_frontier,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1643,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         "trade_pagerank": _trade_pagerank_sql(),
         "events_path_trigrams": _OL.events_path_trigrams_sql(),
         "orders_open_per_day": _OL.orders_open_per_day_sql(),
+        "docs_pareto_frontier": _OL.docs_pareto_frontier_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -600,3 +600,31 @@ def test_orders_open_per_day_sweep(ray_session):
         got = orders_open_per_day(d)
     want = {10: 1, 11: 2, 12: 1, 13: 0, 14: 1, 15: 1}
     assert dict(zip(got["day"], got["n_open"])) == want
+
+
+def test_skyline_ties_duplicates_and_brute_force():
+    """_skyline_2d vs the O(n^2) dominance definition on adversarial
+    data: duplicated frontier points all survive, equal-y-greater-x
+    dominates, diagonal (all-frontier) survives whole."""
+    from yj_schema_validator_ray.pipelines.olap import _skyline_2d
+
+    rng = np.random.RandomState(7)
+    for trial in range(30):
+        n = rng.randint(1, 40)
+        x = rng.randint(0, 6, n).astype(np.int64)
+        y = rng.randint(0, 6, n).astype(np.int64)
+        df = pd.DataFrame({"i": np.arange(n, dtype=np.int64),
+                           "x": x, "y": y})
+        got = set(_skyline_2d(df, "x", "y")["i"])
+        want = set()
+        for a in range(n):
+            dominated = any(
+                x[b] >= x[a] and y[b] >= y[a]
+                and (x[b] > x[a] or y[b] > y[a]) for b in range(n))
+            if not dominated:
+                want.add(a)
+        assert got == want, (trial, df, got, want)
+    # explicit diagonal: everything survives
+    d = pd.DataFrame({"i": [0, 1, 2], "x": [1, 2, 3],
+                      "y": [3, 2, 1]}).astype(np.int64)
+    assert set(_skyline_2d(d, "x", "y")["i"]) == {0, 1, 2}

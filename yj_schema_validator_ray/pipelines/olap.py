@@ -587,6 +587,83 @@ SELECT CAST(d.day AS BIGINT) AS day,
 FROM days d LEFT JOIN h ON h.day = d.day"""
 
 
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline)
+# ---------------------------------------------------------------------------
+
+def _skyline_2d(df: pd.DataFrame, x: str, y: str) -> pd.DataFrame:
+    """Strict-dominance 2-D skyline, vectorized: a point survives iff
+    its y exceeds every y at strictly larger x AND it holds its own
+    x-column's max y (duplicates of a frontier point all survive —
+    equal points do not dominate each other)."""
+    if df.empty:
+        return df
+    per_x = (df.groupby(x, sort=True)[y].max()
+             .sort_index(ascending=False))
+    runbest = per_x.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    kept_x = per_x[per_x > runbest]
+    ymax = df[x].map(per_x)
+    return df[df[x].isin(kept_x.index) & (df[y] == ymax)]
+
+
+def docs_pareto_frontier(sf_dir: str):
+    """The documents on the (length, alphabetic-purity) Pareto frontier
+    — "no other document is both longer AND cleaner" (the dominance /
+    skyline query; curation uses it to pick per-tradeoff exemplars).
+    Purity is integer fixed-point: alpha_q6 = (1e6 * [A-Za-z] count)
+    // n_chars, so both axes hash-exactly.
+
+    Distribution: the global skyline is a subset of every batch's local
+    skyline (a surviving point has no dominator anywhere, hence none in
+    its own batch), so each batch forwards only its local frontier and
+    one final single-partition pass reduces the candidate union with
+    the same vectorized sweep.  Candidate volume is the sum of batch
+    frontier sizes — tiny on real distributions (frontiers grow
+    ~O(log n)); an adversarial all-diagonal corpus degrades to the
+    batch size, which the final pass still bounds to candidates, not
+    the corpus.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "n_chars"])
+
+    def features(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_chars"), pa.int64()).to_numpy()
+        alpha = pc.cast(pc.count_substring_regex(
+            t.column("text"), "[A-Za-z]"), pa.int64()).to_numpy()
+        keep = n > 0
+        return pa.table({
+            "doc_id": pa.array(pc.cast(t.column("doc_id"), pa.int64())
+                               .to_numpy()[keep]),
+            "n_chars": pa.array(n[keep]),
+            "alpha_q6": pa.array((1_000_000 * alpha[keep]) // n[keep]),
+        })
+
+    def local_front(df: pd.DataFrame) -> pd.DataFrame:
+        return _skyline_2d(df, "n_chars", "alpha_q6")
+
+    return (ds.map_batches(features, batch_format="pyarrow")
+            .map_batches(local_front, batch_format="pandas")
+            .repartition(1)
+            .map_batches(local_front, batch_format="pandas"))
+
+
+def docs_pareto_frontier_sql() -> str:
+    return """
+WITH f AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(1000000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              // n_chars AS BIGINT) AS alpha_q6
+  FROM documents WHERE n_chars > 0)
+SELECT d.doc_id, d.n_chars, d.alpha_q6
+FROM f d
+WHERE NOT EXISTS (
+  SELECT 1 FROM f e
+  WHERE e.n_chars >= d.n_chars AND e.alpha_q6 >= d.alpha_q6
+    AND (e.n_chars > d.n_chars OR e.alpha_q6 > d.alpha_q6))"""
+
+
 def embedding_centroids_sql() -> str:
     return """
 WITH el AS (
