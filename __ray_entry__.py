@@ -889,8 +889,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver row yet — quality_classifier, term_postings,
         # events_dau_ma7, cross_source_overlap, events_asof_join_forward,
         # docs_csv_roundtrip, corpus_merge, embedding_quantize,
-        # dup_substring_coverage (all local-harness + sf0.01
-        # driver-mimic green) — rotate these into positions 1-9 next
+        # dup_substring_coverage, quality_rank_fusion,
+        # events_winsorized_stats, events_weekday_profile, the TPC-H
+        # extension (q7/q8/q15/q17/q19/q21/q22) and the late-r4 OLAP
+        # wave (events_first_last, docs_dense_topk, embedding_centroids,
+        # events_ols_stats, events_mad_outliers, term_cooccurrence,
+        # trade_pagerank, events_path_trigrams, orders_open_per_day,
+        # docs_pareto_frontier) — all local-harness + sf0.01
+        # driver-mimic green; rotate these into positions 1-29 next
         # round, then the stalest r02 pool.
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
