@@ -534,6 +534,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram exchange, running sum is driver math
         return OL.orders_open_per_day(sf_dir)
 
+    def q_events_user_mode(sf_dir):
+        # grouped MODE via distributive (user, type) counts + a second
+        # domain-sized user-keyed exchange for the argmax
+        return OL.events_user_mode(sf_dir)
+
     def q_docs_pareto_frontier(sf_dir):
         # 2-D skyline: global frontier ⊆ every batch's local frontier,
         # so only candidate frontiers move; final pass is candidate-sized
@@ -979,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_path_trigrams": q_events_path_trigrams,
         "orders_open_per_day": q_orders_open_per_day,
         "docs_pareto_frontier": q_docs_pareto_frontier,
+        "events_user_mode": q_events_user_mode,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1656,6 +1662,7 @@ def oracle_sql() -> dict[str, str]:
         "events_path_trigrams": _OL.events_path_trigrams_sql(),
         "orders_open_per_day": _OL.orders_open_per_day_sql(),
         "docs_pareto_frontier": _OL.docs_pareto_frontier_sql(),
+        "events_user_mode": _OL.events_user_mode_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

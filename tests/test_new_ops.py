@@ -628,3 +628,24 @@ def test_skyline_ties_duplicates_and_brute_force():
     d = pd.DataFrame({"i": [0, 1, 2], "x": [1, 2, 3],
                       "y": [3, 2, 1]}).astype(np.int64)
     assert set(_skyline_2d(d, "x", "y")["i"]) == {0, 1, 2}
+
+
+def test_user_mode_tie_break_cross_block(ray_session):
+    """Tie on count resolves lexicographically; counts straddling
+    blocks merge before the argmax."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.pipelines.olap import events_user_mode
+
+    # user 1: b,b,a,a -> tie (2,2) -> 'a'; user 2: c,c,a -> 'c'
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(["b", "b", "a", "a", "c", "c", "a"]),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"),
+                       row_group_size=2)
+        got = (events_user_mode(d).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+    assert got.values.tolist() == [[1, "a", 2], [2, "c", 2]]

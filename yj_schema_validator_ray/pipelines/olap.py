@@ -588,6 +588,75 @@ FROM days d LEFT JOIN h ON h.day = d.day"""
 
 
 # ---------------------------------------------------------------------------
+# grouped MODE (most frequent value, deterministic ties)
+# ---------------------------------------------------------------------------
+
+def events_user_mode(sf_dir: str):
+    """Per-user MODE of event_type — "each user's dominant action" —
+    with the deterministic tie rule (highest count, then lexicographic
+    smallest type).  Mode is not distributive, but (user, type) COUNTS
+    are: one count exchange on the (user, type) domain, then a
+    vectorized per-partition argmax; event rows never move.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+        })
+
+    counts = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("", "count", "n")])
+
+    # grouped_aggregate keyed on (user, type), so one user's types may
+    # land in different coarse groups — a second tiny exchange keyed on
+    # user alone co-locates them (the counts table is
+    # (user x type)-DOMAIN-sized, not event-sized)
+    from ..stages.exact_agg import hash_columns
+    from ..util import shuffle_partitions
+
+    def key_user(t: pa.Table) -> pa.Table:
+        kh = hash_columns(t.select(["user_id"]))
+        return t.append_column("__u", pa.array(
+            (kh & np.uint64(1023)).astype(np.int64)))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "n", "event_type"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        out = df.groupby("user_id", sort=False).head(1).copy()
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "event_type", "n"]]
+
+    return (counts.map_batches(key_user, batch_format="pyarrow")
+            .groupby("__u", num_partitions=shuffle_partitions())
+            .map_groups(pick, batch_format="pandas"))
+
+
+def events_user_mode_sql() -> str:
+    return """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events
+  GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rk
+  FROM c)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1"""
+
+
+# ---------------------------------------------------------------------------
 # Pareto frontier (2-D skyline)
 # ---------------------------------------------------------------------------
 
