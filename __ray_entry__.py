@@ -534,6 +534,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram exchange, running sum is driver math
         return OL.orders_open_per_day(sf_dir)
 
+    def q_docs_cube(sf_dir):
+        # all four grouping sets of (source, lang) from ONE corpus pass
+        from yj_schema_validator_ray.pipelines.curation import docs_cube
+
+        return docs_cube(ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["source", "lang", "text"]))
+
     def q_events_user_mode(sf_dir):
         # grouped MODE via distributive (user, type) counts + a second
         # domain-sized user-keyed exchange for the argmax
@@ -985,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_open_per_day": q_orders_open_per_day,
         "docs_pareto_frontier": q_docs_pareto_frontier,
         "events_user_mode": q_events_user_mode,
+        "docs_cube": q_docs_cube,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1455,6 +1464,12 @@ def _training_prep_sql() -> str:
     return training_prep_sql(_DOCS_AUG3)
 
 
+def _docs_cube_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import docs_cube_sql
+
+    return docs_cube_sql()
+
+
 def _docs_rollup_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import docs_rollup_sql
 
@@ -1663,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_open_per_day": _OL.orders_open_per_day_sql(),
         "docs_pareto_frontier": _OL.docs_pareto_frontier_sql(),
         "events_user_mode": _OL.events_user_mode_sql(),
+        "docs_cube": _docs_cube_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -207,6 +207,61 @@ SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY ROLLUP (source, lang)"""
 
 
+def docs_cube(docs_ds):
+    """CUBE accounting — :func:`docs_rollup` plus the (lang)-only tier,
+    i.e. ALL four grouping sets of (source, lang), still in ONE data
+    pass: the finest grain is the only one that touches the corpus and
+    every coarser tier re-aggregates from the domain-sized base."""
+    import pandas as pd
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.text import WORD_RE
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"),
+            "lang": t.column("lang"),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t.column("text"), WORD_RE),
+                pa.int64()),
+        })
+
+    base = grouped_aggregate(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        [("", "count", "n_docs"), ("n_tokens", "sum", "total_tokens")])
+
+    def tiers(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [df]
+        for keys in (["source"], ["lang"], []):
+            dropped = [c for c in ("source", "lang") if c not in keys]
+            if keys:
+                t = (df.groupby(keys, as_index=False)
+                     .agg(n_docs=("n_docs", "sum"),
+                          total_tokens=("total_tokens", "sum")))
+            else:
+                t = pd.DataFrame({"n_docs": [df["n_docs"].sum()],
+                                  "total_tokens": [df["total_tokens"].sum()]})
+            for c in dropped:
+                t[c] = None
+            outs.append(t)
+        out = pd.concat(outs, ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_tokens"] = out["total_tokens"].astype("int64")
+        return out[["source", "lang", "n_docs", "total_tokens"]]
+
+    return (base.repartition(1)
+            .map_batches(tiers, batch_format="pandas"))
+
+
+def docs_cube_sql() -> str:
+    return r"""
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT)
+         AS total_tokens
+FROM documents GROUP BY CUBE (source, lang)"""
+
+
 def curation_report_sql(docs_cte: str) -> str:
     """Oracle: same dedup + gate + accounting in SQL over ``docs_aug``."""
     return f"""WITH {docs_cte},
