@@ -534,6 +534,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram exchange, running sum is driver math
         return OL.orders_open_per_day(sf_dir)
 
+    def q_events_conversion_window(sf_dir):
+        # windowed funnel step: first-view anchor + click within W; one
+        # user-keyed exchange of pruned int64 pairs, window-domain out
+        return OL.events_conversion_window(sf_dir)
+
     def q_docs_cube(sf_dir):
         # all four grouping sets of (source, lang) from ONE corpus pass
         from yj_schema_validator_ray.pipelines.curation import docs_cube
@@ -994,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pareto_frontier": q_docs_pareto_frontier,
         "events_user_mode": q_events_user_mode,
         "docs_cube": q_docs_cube,
+        "events_conversion_window": q_events_conversion_window,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1679,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pareto_frontier": _OL.docs_pareto_frontier_sql(),
         "events_user_mode": _OL.events_user_mode_sql(),
         "docs_cube": _docs_cube_sql(),
+        "events_conversion_window": _OL.events_conversion_window_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

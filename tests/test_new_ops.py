@@ -649,3 +649,39 @@ def test_user_mode_tie_break_cross_block(ray_session):
         got = (events_user_mode(d).to_pandas()
                .sort_values("user_id").reset_index(drop=True))
     assert got.values.tolist() == [[1, "a", 2], [2, "c", 2]]
+
+
+def test_conversion_window_anchor_and_bounds(ray_session):
+    """Clicks BEFORE or AT the first view don't count; the window bound
+    is inclusive; users without views are excluded from the base."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.pipelines.olap import (
+        events_conversion_window)
+
+    US = 1_000_000
+    rows = [
+        # user 1: click before view (ignored), view @100s, click @100s
+        # (not strictly after), click exactly @100+3600s -> converts at
+        # the 3600 bound (inclusive)
+        (1, 50, "click"), (1, 100, "view"), (1, 100, "click"),
+        (1, 3700, "click"),
+        # user 2: view @0, click @80000s -> converts only at 86400
+        (2, 0, "view"), (2, 80_000, "click"),
+        # user 3: clicks only -> not in the base
+        (3, 10, "click"),
+        # user 4: view only -> in base, never converts
+        (4, 7, "view"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * US for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"),
+                       row_group_size=3)
+        got = (events_conversion_window(d).to_pandas()
+               .sort_values("window_s").reset_index(drop=True))
+    assert got.values.tolist() == [[3600, 3, 1], [86400, 3, 2]]

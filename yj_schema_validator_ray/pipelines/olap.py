@@ -588,6 +588,106 @@ FROM days d LEFT JOIN h ON h.day = d.day"""
 
 
 # ---------------------------------------------------------------------------
+# time-bounded conversion (windowed funnel step)
+# ---------------------------------------------------------------------------
+
+def events_conversion_window(sf_dir: str, windows=(3600, 86400)):
+    """Time-bounded conversion: of the users with a 'view', how many
+    clicked within W seconds AFTER their FIRST view — the windowed
+    funnel step :func:`~.relational.events_funnel`'s unbounded ordering
+    test cannot express.
+
+    The anchor (first view) is not known batch-locally, so click rows
+    co-locate with per-batch view-minima partials in ONE user-keyed
+    exchange (clicks are pruned to (user, ts) int64 pairs before
+    moving; view rows pre-reduce to one row per user per batch); each
+    partition computes tv = min(view), tc = min(click > tv) vectorized,
+    and only window-domain count partials leave.  Returns one row per
+    window: (window_s, n_first_view_users, n_converted).
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate, hash_columns
+    from ..util import shuffle_partitions
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        ts_us = pc.cast(t.column("ts"), pa.int64())
+        uid = pc.cast(t.column("user_id"), pa.int64())
+        views = pa.table({"user_id": uid, "ts_us": ts_us}).filter(
+            pc.equal(et, "view"))
+        # view side pre-reduces to one (user, min ts) row per batch
+        views = (views.group_by(["user_id"]).aggregate([("ts_us", "min")])
+                 .rename_columns(["user_id", "ts_us"]))
+        clicks = pa.table({"user_id": uid, "ts_us": ts_us}).filter(
+            pc.equal(et, "click"))
+        out = pa.table({
+            "user_id": pa.concat_arrays(
+                [views.column("user_id").combine_chunks(),
+                 clicks.column("user_id").combine_chunks()]),
+            "ts_us": pa.concat_arrays(
+                [views.column("ts_us").combine_chunks(),
+                 clicks.column("ts_us").combine_chunks()]),
+            "kind": pa.array(np.concatenate([
+                np.zeros(views.num_rows, np.int64),
+                np.ones(clicks.num_rows, np.int64)])),
+        })
+        kh = hash_columns(out.select(["user_id"]))
+        return out.append_column("__u", pa.array(
+            (kh & np.uint64(1023)).astype(np.int64)))
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["kind"] == 0]
+        tv = v.groupby("user_id", sort=False)["ts_us"].min()
+        c = df[df["kind"] == 1].copy()
+        c["tv"] = c["user_id"].map(tv)
+        c = c[c["tv"].notna() & (c["ts_us"] > c["tv"])]
+        tc = c.groupby("user_id", sort=False)["ts_us"].min()
+        base = pd.DataFrame({"tv": tv})
+        base["tc"] = tc  # NaN where never clicked after tv
+        rows = []
+        for w in windows:
+            conv = (base["tc"].notna()
+                    & (base["tc"] <= base["tv"] + w * 1_000_000)).sum()
+            rows.append((int(w), len(base), int(conv)))
+        return pd.DataFrame(rows, columns=["window_s",
+                                           "n_first_view_users",
+                                           "n_converted"]).astype("int64")
+
+    partials = (ds.map_batches(prep, batch_format="pyarrow")
+                .groupby("__u", num_partitions=shuffle_partitions())
+                .map_groups(per_user, batch_format="pandas"))
+    return grouped_aggregate(
+        partials, ["window_s"],
+        [("n_first_view_users", "sum", "n_first_view_users"),
+         ("n_converted", "sum", "n_converted")])
+
+
+def events_conversion_window_sql(windows=(3600, 86400)) -> str:
+    wlist = ", ".join(str(w) for w in windows)
+    return f"""
+WITH fv AS (
+  SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+tc AS (
+  SELECT f.user_id, f.tv, min(epoch_us(e.ts)) AS tc
+  FROM fv f LEFT JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'click'
+   AND epoch_us(e.ts) > f.tv
+  GROUP BY f.user_id, f.tv),
+w AS (SELECT CAST(unnest([{wlist}]) AS BIGINT) AS window_s)
+SELECT CAST(w.window_s AS BIGINT) AS window_s,
+       CAST(count(*) AS BIGINT) AS n_first_view_users,
+       CAST(coalesce(sum(CASE WHEN tc.tc IS NOT NULL
+                          AND tc.tc <= tc.tv + w.window_s * 1000000
+                          THEN 1 END), 0) AS BIGINT) AS n_converted
+FROM w, tc GROUP BY w.window_s"""
+
+
+# ---------------------------------------------------------------------------
 # grouped MODE (most frequent value, deterministic ties)
 # ---------------------------------------------------------------------------
 
