@@ -534,6 +534,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram exchange, running sum is driver math
         return OL.orders_open_per_day(sf_dir)
 
+    def q_docs_ids_concat(sf_dir):
+        # string_agg/array_agg: order-insensitive partial collects,
+        # final per-group sort owns the order
+        return OL.docs_ids_concat(sf_dir)
+
     def q_events_conversion_window(sf_dir):
         # windowed funnel step: first-view anchor + click within W; one
         # user-keyed exchange of pruned int64 pairs, window-domain out
@@ -1000,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": q_events_user_mode,
         "docs_cube": q_docs_cube,
         "events_conversion_window": q_events_conversion_window,
+        "docs_ids_concat": q_docs_ids_concat,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1686,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_mode": _OL.events_user_mode_sql(),
         "docs_cube": _docs_cube_sql(),
         "events_conversion_window": _OL.events_conversion_window_sql(),
+        "docs_ids_concat": _OL.docs_ids_concat_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -588,6 +588,63 @@ FROM days d LEFT JOIN h ON h.day = d.day"""
 
 
 # ---------------------------------------------------------------------------
+# ordered collect (string_agg / array_agg)
+# ---------------------------------------------------------------------------
+
+def docs_ids_concat(sf_dir: str):
+    """Ordered collect per group: the comma-joined sorted doc_id list
+    per (source, lang) — the ``string_agg(... ORDER BY ...)`` /
+    ``array_agg`` aggregate family member (manifest building, shard
+    membership lists).
+
+    Collect is holistic, but ORDER-INSENSITIVELY so: per-batch partials
+    collect each batch's sorted slice, the group exchange moves
+    (group, partial-list) rows (one per group per batch, id volume
+    unchanged but already compacted into list cells), and the
+    per-partition merge re-sorts the concatenation — associative
+    because the final sort owns the order.  Output also carries n_docs
+    as a cheap cross-check of list length.
+    """
+    import ray.data
+
+    from ..util import shuffle_partitions
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        g = (df.groupby(["source", "lang"], sort=False)["doc_id"]
+             .agg(list).reset_index(name="ids"))
+        g["n_docs"] = g["ids"].map(len).astype("int64")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["source", "lang"], sort=False)
+               .agg(ids=("ids", lambda s: sorted(
+                   int(x) for lst in s for x in lst)),
+                    n_docs=("n_docs", "sum"))
+               .reset_index())
+        out["doc_ids"] = out["ids"].map(
+            lambda lst: ",".join(str(x) for x in lst))
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[["source", "lang", "n_docs", "doc_ids"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["source", "lang"],
+                     num_partitions=min(8, shuffle_partitions()))
+            .map_groups(merge, batch_format="pandas"))
+
+
+def docs_ids_concat_sql() -> str:
+    return """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         AS doc_ids
+FROM documents GROUP BY source, lang"""
+
+
+# ---------------------------------------------------------------------------
 # time-bounded conversion (windowed funnel step)
 # ---------------------------------------------------------------------------
 
