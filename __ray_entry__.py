@@ -534,6 +534,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram exchange, running sum is driver math
         return OL.orders_open_per_day(sf_dir)
 
+    def q_media_phash_groups(sf_dir):
+        # perceptual-hash image dedup: byte-DIFFERENT same-pixel PNGs
+        # (filter type cycles mod 5, pattern repeats mod 256) must
+        # collapse to one signature per class — n_phash=1 is the
+        # oracled certificate; payloads never cross the wire
+        return M.media_phash_groups(sf_dir)
+
     def q_docs_ids_concat(sf_dir):
         # string_agg/array_agg: order-insensitive partial collects,
         # final per-group sort owns the order
@@ -1006,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cube": q_docs_cube,
         "events_conversion_window": q_events_conversion_window,
         "docs_ids_concat": q_docs_ids_concat,
+        "media_phash_groups": q_media_phash_groups,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1476,6 +1484,13 @@ def _training_prep_sql() -> str:
     return training_prep_sql(_DOCS_AUG3)
 
 
+def _media_phash_groups_sql() -> str:
+    from yj_schema_validator_ray.stages.multimodal import (
+        media_phash_groups_sql)
+
+    return media_phash_groups_sql()
+
+
 def _docs_cube_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import docs_cube_sql
 
@@ -1693,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cube": _docs_cube_sql(),
         "events_conversion_window": _OL.events_conversion_window_sql(),
         "docs_ids_concat": _OL.docs_ids_concat_sql(),
+        "media_phash_groups": _media_phash_groups_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -685,3 +685,27 @@ def test_conversion_window_anchor_and_bounds(ray_session):
         got = (events_conversion_window(d).to_pandas()
                .sort_values("window_s").reset_index(drop=True))
     assert got.values.tolist() == [[3600, 3, 1], [86400, 3, 2]]
+
+
+def test_phash_invariances():
+    """pHash is invariant to re-encoding (PNG filter choice, PPM
+    transcode) and to a global brightness shift, but separates
+    genuinely different patterns."""
+    from yj_schema_validator_ray.stages.multimodal import (encode_png,
+                                                           encode_ppm,
+                                                           decode_image,
+                                                           phash64)
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 200, (8, 8, 3)).astype(np.uint8)
+
+    def ph(payload):
+        return int(phash64(np.stack([decode_image(payload)]))[0])
+
+    base = ph(encode_png(img, filter_type=0))
+    for ft in range(1, 5):
+        assert ph(encode_png(img, filter_type=ft)) == base  # re-encode
+    assert ph(encode_ppm(img)) == base                      # transcode
+    assert ph(encode_ppm((img + 40).astype(np.uint8))) == base  # shift
+    other = rng.randint(0, 200, (8, 8, 3)).astype(np.uint8)
+    assert ph(encode_ppm(other)) != base

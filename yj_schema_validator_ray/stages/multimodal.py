@@ -524,3 +524,99 @@ def media_features(media_ds, batch_size: int = 64, concurrency=None):
     return media_ds.map_batches(
         MediaFeaturizer, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or default_pool())
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup
+# ---------------------------------------------------------------------------
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG/pHash transform)."""
+    k = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] /= np.sqrt(2)
+    return m * np.sqrt(2.0 / n)
+
+
+def phash64(stack: np.ndarray) -> np.ndarray:
+    """Batched pHash of decoded (N, h, w, 3) uint8 images: integer luma
+    -> 2-D DCT -> drop DC -> median threshold -> 63-bit signature in an
+    int64.  A pure brightness shift or any re-encode (different PNG
+    filter, PPM/BMP transcode) leaves the signature unchanged — the
+    content-addressed identity byte hashing cannot give."""
+    if stack.size == 0:
+        return np.zeros(0, np.int64)
+    lum = (299 * stack[..., 0].astype(np.int64)
+           + 587 * stack[..., 1].astype(np.int64)
+           + 114 * stack[..., 2].astype(np.int64)) // 1000
+    h, w = lum.shape[1], lum.shape[2]
+    d_h, d_w = _dct_matrix(h), _dct_matrix(w)
+    coef = np.einsum("ij,njk,lk->nil", d_h, lum.astype(np.float64), d_w)
+    flat = coef.reshape(coef.shape[0], -1)[:, 1:]  # drop DC
+    med = np.median(flat, axis=1, keepdims=True)
+    bits = (flat > med).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(flat.shape[1], dtype=np.uint64)
+    return (bits * weights[None, :]).sum(axis=1).astype(np.int64)
+
+
+class PngPhash:
+    """Actor/process stage: decode PNG payloads, emit (media_id, phash).
+    Decode state (zlib, unfilter tables) is per-process; the DCT basis
+    is built once per instance."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        arrs = [decode_image(p) for p in
+                batch.column("payload").to_pylist()]
+        stack = (np.stack(arrs) if arrs
+                 else np.zeros((0, 1, 1, 3), np.uint8))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "phash": pa.array(phash64(stack)),
+        })
+
+
+def media_phash_groups(sf_dir: str):
+    """Perceptual-hash image dedup certificate: decode every synthetic
+    PNG, pHash it, and account (congruence class k = doc_id % 256,
+    distinct-pHash count).  The generator's pixel pattern depends on
+    doc_id ONLY through doc_id % 256 while the PNG filter type cycles
+    mod 5 — same-class images are pixel-identical but byte-DIFFERENT,
+    so sha/byte dedup cannot group them and the pipeline must prove
+    decode -> pHash collapses every class to exactly ONE signature
+    (n_phash = 1 is the oracled certificate, the simhash-style
+    constant-column pattern).
+
+    Shape: decode + hash per batch (process-cached stage), per-batch
+    (k, phash) distinct partials, one domain-sized exchange, per-class
+    distinct count — payload bytes never cross the wire.
+    """
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import process_cached
+
+    hashed = png_dataset_from_documents(sf_dir).map_batches(
+        process_cached(PngPhash, ()), batch_format="pyarrow",
+        batch_size=256)
+
+    def kclass(t: pa.Table) -> pa.Table:
+        mid = t.column("media_id").to_numpy()
+        return pa.table({
+            "k": pa.array(mid % 256),
+            "phash": t.column("phash"),
+        })
+
+    pairs = grouped_aggregate(
+        hashed.map_batches(kclass, batch_format="pyarrow"),
+        ["k", "phash"], [("", "count", "n_docs")])
+
+    return grouped_aggregate(
+        pairs, ["k"],
+        [("n_docs", "sum", "n_docs"), ("", "count", "n_phash")])
+
+
+def media_phash_groups_sql() -> str:
+    return """
+SELECT CAST(doc_id % 256 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(1 AS BIGINT) AS n_phash
+FROM documents GROUP BY doc_id % 256"""
