@@ -1,32 +1,37 @@
-"""OLAP accessory wave: argmin/argmax grouped selection, dense-rank
-top-k with ties, and exact per-label embedding centroids.
+"""OLAP accessory wave: the classic warehouse shapes the relational
+family did not yet cover (reference scope: the engine-side analytics
+surface; no single reference file — these extend SURVEY.md §2's
+constraint/aggregate rows):
 
-These are the remaining classic warehouse shapes the relational family
-did not yet cover (reference scope: the engine-side analytics surface;
-no single reference file — these extend SURVEY.md §2's constraint/
-aggregate rows):
+* ``events_first_last`` — per-entity FIRST/LAST-touch attribution:
+  argmin/argmax batch partials, 2 candidate rows per (user, batch).
+* ``docs_dense_topk`` / ``dense_topk`` — grouped top-k by DENSE RANK
+  including ALL ties; the batch-local k-th-distinct prune is a sound
+  superset of the global tiers.
+* ``embedding_centroids`` — exact per-label centroid sums in fixed
+  point ((label x dim) int64 partials, order-free merge — the k-means
+  building block; vectors never move).
+* ``events_ols_stats`` — grouped OLS sufficient statistics (five
+  mergeable int64 sums; slope/R^2 are driver math).
+* ``events_mad_outliers`` — the MAD/Hampel robust anomaly gate (two
+  exact radix-rank median passes + a counting scan).
+* ``events_path_trigrams`` — sequence mining: per-user ordered
+  event-type 3-gram counts.
+* ``orders_open_per_day`` — the interval-overlap sweep (spans to +-1
+  boundary events, day-domain histogram, driver cumsum).
+* ``docs_ids_concat`` — ordered collect (string_agg/array_agg):
+  order-insensitive partial collects, the final per-group sort owns
+  the order.
+* ``events_conversion_window`` — time-bounded funnel conversion
+  (first-view anchor, click within W).
+* ``events_user_mode`` — grouped MODE via distributive counts + a
+  domain-sized argmax exchange, deterministic tie rule.
+* ``docs_pareto_frontier`` — the 2-D dominance skyline (global
+  frontier ⊆ every batch-local frontier).
 
-* ``events_first_last`` — per-entity FIRST/LAST attribution (the
-  "first touch / last touch" marketing shape): a per-batch argmin /
-  argmax partial means only two candidate rows per (user, batch) ever
-  reach the exchange, never the event stream itself.
-* ``docs_dense_topk`` — grouped top-k by DENSE RANK including ALL
-  ties (unlike ``docs_top_per_group``'s row_number cut): a candidate
-  row can only be in the global top-k distinct values of its group if
-  it is in its batch's top-k distinct values, so the local prune is a
-  sound superset.
-* ``embedding_centroids`` — exact per-label centroid accounting in
-  fixed point: per-batch (label x dim) int64 partial sums (the same
-  floor(x*1e6 + 0.5) convention as ``ann.embedding_quantize``), one
-  label/dim-domain-sized exchange, no float summation anywhere, so
-  the result hash-matches SQL bit-for-bit regardless of summation
-  order.  This is the building block of k-means / prototype-based
-  curation at corpus scale: vectors never move, only (labels x dims)
-  partial rows.
-
-All three follow the CLAUDE.md exchange discipline: partials through
-``exact_agg.hash_columns``-keyed coarse groupbys, merges vectorized
-per partition, integer outputs everywhere hashes must match.
+All follow the CLAUDE.md exchange discipline: partials through
+``exact_agg``-keyed coarse groupbys, merges vectorized per partition,
+integer outputs everywhere hashes must match.
 """
 
 from __future__ import annotations
