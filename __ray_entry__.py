@@ -541,6 +541,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled certificate; payloads never cross the wire
         return M.media_phash_groups(sf_dir)
 
+    def q_trade_hits(sf_dir):
+        # HITS hubs/authorities: the normalize-per-round iterative
+        # pattern — exact-integer L1 renormalization via one driver
+        # scalar per half-step; adjacency orientations are pure maps
+        from yj_schema_validator_ray.stages.pagerank import trade_hits
+
+        return trade_hits(sf_dir)
+
     def q_docs_ids_concat(sf_dir):
         # string_agg/array_agg: order-insensitive partial collects,
         # final per-group sort owns the order
@@ -1014,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion_window": q_events_conversion_window,
         "docs_ids_concat": q_docs_ids_concat,
         "media_phash_groups": q_media_phash_groups,
+        "trade_hits": q_trade_hits,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1224,6 +1233,12 @@ def _repetition_stats_sql() -> str:
     from yj_schema_validator_ray.stages.text import repetition_stats_sql
 
     return repetition_stats_sql()
+
+
+def _trade_hits_sql() -> str:
+    from yj_schema_validator_ray.stages.pagerank import trade_hits_sql
+
+    return trade_hits_sql()
 
 
 def _trade_pagerank_sql() -> str:
@@ -1709,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "events_conversion_window": _OL.events_conversion_window_sql(),
         "docs_ids_concat": _OL.docs_ids_concat_sql(),
         "media_phash_groups": _media_phash_groups_sql(),
+        "trade_hits": _trade_hits_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

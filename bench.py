@@ -382,6 +382,12 @@ def run_bench() -> dict:
     best_of("term_cooccurrence",
             lambda: term_cooccurrence(docs_ds(), v=50).count())
 
+    # multimodal dedup: synthesize + REAL PNG decode + DCT pHash per doc
+    from yj_schema_validator_ray.stages.multimodal import media_phash_groups
+
+    best_of("media_phash_groups",
+            lambda: media_phash_groups(SF_DIR).count())
+
     headline = timings["validate"]
     result = {
         "metric": ("validated files/sec end-to-end (rows validated + "

@@ -709,3 +709,52 @@ def test_phash_invariances():
     assert ph(encode_ppm((img + 40).astype(np.uint8))) == base  # shift
     other = rng.randint(0, 200, (8, 8, 3)).astype(np.uint8)
     assert ph(encode_ppm(other)) != base
+
+
+def test_hits_star_structure_and_mass(ray_session):
+    """On a star (all customers buy from supplier 1, customer 1 also
+    from 2/3): supplier 1 is the top authority, customer 1 the top hub;
+    L1 mass stays ~scale after each renormalization (floor losses only)
+    and matches the exact python reference."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.stages.pagerank import (HITS_SCALE,
+                                                         trade_hits)
+
+    custs = [1, 2, 3, 4, 5, 6, 1, 1]
+    supps = [1, 1, 1, 1, 1, 1, 2, 3]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(range(len(custs)), pa.int64()),
+            "o_custkey": pa.array(custs, pa.int64()),
+        }), os.path.join(d, "orders.parquet"))
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array(range(len(supps)), pa.int64()),
+            "l_suppkey": pa.array(supps, pa.int64()),
+        }), os.path.join(d, "lineitem.parquet"))
+        got = trade_hits(d, iters=2).to_pandas()
+
+    pairs = sorted(set(zip(custs, supps)))
+    cs = sorted({c for c, _ in pairs})
+    h = {c: HITS_SCALE // len(cs) for c in cs}
+    for _ in range(2):
+        ar = {}
+        for c, s in pairs:
+            ar[s] = ar.get(s, 0) + h[c]
+        ta = sum(ar.values())
+        a = {s: (v * HITS_SCALE) // ta for s, v in ar.items()}
+        hr = {}
+        for c, s in pairs:
+            hr[c] = hr.get(c, 0) + a[s]
+        th = sum(hr.values())
+        h = {c: (v * HITS_SCALE) // th for c, v in hr.items()}
+    want = {("customer", c): v for c, v in h.items()}
+    want.update({("supplier", s): v for s, v in a.items()})
+    got_map = {(r.kind, r.node_key): r.score_q for r in got.itertuples()}
+    assert got_map == want
+    sup = got[got["kind"] == "supplier"].set_index("node_key")["score_q"]
+    hub = got[got["kind"] == "customer"].set_index("node_key")["score_q"]
+    assert sup.idxmax() == 1 and hub.idxmax() == 1
+    assert 0 <= HITS_SCALE - int(sup.sum()) < len(sup)
+    assert 0 <= HITS_SCALE - int(hub.sum()) < len(hub)

@@ -244,3 +244,188 @@ SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
        r AS rank_q
 FROM r{iters}""")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities) — the normalize-per-round iterative pattern
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 1_000_000
+
+
+def trade_hits(sf_dir: str, iters: int = 2, scale: int = HITS_SCALE):
+    """Exact integer HITS on the bipartite customer->supplier trade
+    graph: hub scores (customers) and authority scores (suppliers)
+    after ``iters`` mutual-reinforcement rounds with L1 renormalization
+    to ``scale`` each half-step:
+
+        a_raw(s) = sum_{(c,s)} h(c);  a = (a_raw * scale) // A_total
+        h_raw(c) = sum_{(c,s)} a(s);  h = (h_raw * scale) // H_total
+
+    Unlike :func:`trade_pagerank` the recurrence needs a GLOBAL total
+    per half-step — computed as an exact integer ``Dataset.aggregate``
+    driver scalar (the one number that must leave the cluster), so the
+    normalized vector is still order-free int64 and hash-matches the
+    unrolled-CTE oracle.  ``scale`` = 1e6 keeps raw*scale within int64
+    (raw <= scale by L1 invariance).
+
+    Shape: the two adjacency orientations are pure maps over the
+    distinct-pairs table (coarse key precomputed, materialized once,
+    no degree pass needed); each half-step is one static-union
+    co-location exchange + one node-keyed exchange of pre-aggregated
+    int64 partials + one scalar aggregate.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.dimjoin import colocate_join
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+    from .dedup import coarse_mix
+
+    COARSE = 1024
+    nparts = shuffle_partitions()
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+        })
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+        })
+
+    joined = colocate_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey")
+
+    pairs = grouped_aggregate(
+        joined.map_batches(
+            lambda t: pa.table({"c": t.column("o_custkey"),
+                                "s": t.column("l_suppkey")}),
+            batch_format="pyarrow"),
+        ["c", "s"], [("", "count", "__m")]).materialize()
+
+    def orient(key_col: str, other_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column(key_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            o = t.column(other_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "key": pa.array(k), "other": pa.array(o),
+                "v": pa.array(np.full(len(k), -1, np.int64)),
+                "__coarse": pa.array(coarse_mix(k, COARSE - 1),
+                                     pa.int64()),
+            })
+        return f
+
+    adj_c = pairs.map_batches(orient("c", "s"),
+                              batch_format="pyarrow").materialize()
+    adj_s = pairs.map_batches(orient("s", "c"),
+                              batch_format="pyarrow").materialize()
+
+    custs = grouped_aggregate(pairs, ["c"],
+                              [("", "count", "__d")]).materialize()
+    n_c = custs.count()
+    h0 = scale // n_c
+
+    def vec_from(t: pa.Table, node_col: str, vals: np.ndarray) -> pa.Table:
+        node = t.column(node_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "key": pa.array(node),
+            "other": pa.array(np.full(len(node), -1, np.int64)),
+            "v": pa.array(vals),
+            "__coarse": pa.array(coarse_mix(node, COARSE - 1), pa.int64()),
+        })
+
+    vec = custs.map_batches(
+        lambda t: vec_from(t, "c", np.full(t.num_rows, h0, np.int64)),
+        batch_format="pyarrow").materialize()
+
+    def halfstep(g: pd.DataFrame) -> pd.DataFrame:
+        is_vec = g["other"] < 0
+        vv = g.loc[is_vec, ["key", "v"]]
+        ed = g.loc[~is_vec, ["key", "other"]].merge(vv, on="key",
+                                                    how="inner")
+        out = (ed.groupby("other", sort=False, as_index=False)["v"].sum()
+               .rename(columns={"other": "node", "v": "x"}))
+        out["x"] = out["x"].astype("int64")
+        return out
+
+    result = {}
+    for half in range(2 * iters):
+        adj = adj_c if half % 2 == 0 else adj_s
+        raw = grouped_aggregate(
+            adj.union(vec).groupby("__coarse", num_partitions=nparts)
+            .map_groups(halfstep, batch_format="pandas"),
+            ["node"], [("x", "sum", "xr")]).materialize()
+        total = int(raw.aggregate(Sum("xr"))["sum(xr)"])
+
+        def norm(t: pa.Table) -> pa.Table:
+            xr = t.column("xr").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return vec_from(t, "node", (xr * scale) // total)
+
+        vec = raw.map_batches(norm, batch_format="pyarrow").materialize()
+        result["a" if half % 2 == 0 else "h"] = vec
+
+    def present(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "kind": pa.array(np.repeat(np.array([kind]), n)),
+                "node_key": pc.cast(t.column("key"), pa.int64()),
+                "score_q": pc.cast(t.column("v"), pa.int64()),
+            })
+        return f
+
+    hubs = result["h"].map_batches(present("customer"),
+                                   batch_format="pyarrow")
+    auths = result["a"].map_batches(present("supplier"),
+                                    batch_format="pyarrow")
+    return hubs.union(auths)
+
+
+def trade_hits_sql(iters: int = 2, scale: int = HITS_SCALE) -> str:
+    """Unrolled-CTE oracle of the same integer HITS recurrence."""
+    parts = [f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                  CAST(l.l_suppkey AS BIGINT) AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+h0 AS (
+  SELECT c, CAST({scale} // (SELECT count(DISTINCT c) FROM pairs)
+            AS BIGINT) AS h
+  FROM (SELECT DISTINCT c FROM pairs))"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+a{t}r AS (
+  SELECT s, CAST(sum(h{t-1}.h) AS BIGINT) AS ar
+  FROM pairs JOIN h{t-1} USING (c) GROUP BY s),
+a{t} AS (
+  SELECT s, CAST(ar * {scale} // (SELECT sum(ar) FROM a{t}r)
+           AS BIGINT) AS a
+  FROM a{t}r),
+h{t}r AS (
+  SELECT c, CAST(sum(a{t}.a) AS BIGINT) AS hr
+  FROM pairs JOIN a{t} USING (s) GROUP BY c),
+h{t} AS (
+  SELECT c, CAST(hr * {scale} // (SELECT sum(hr) FROM h{t}r)
+           AS BIGINT) AS h
+  FROM h{t}r)""")
+    parts.append(f"""
+SELECT 'customer' AS kind, c AS node_key, h AS score_q FROM h{iters}
+UNION ALL
+SELECT 'supplier' AS kind, s AS node_key, a AS score_q FROM a{iters}""")
+    return "".join(parts)
