@@ -541,6 +541,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled certificate; payloads never cross the wire
         return M.media_phash_groups(sf_dir)
 
+    def q_embedding_lloyd_step(sf_dir):
+        # one exact k-means Lloyd iteration, fully SQL-oracled via the
+        # fixed-point formulation; centroids k x d driver-side, the
+        # assignment is a zero-shuffle broadcast-argmin scan
+        return OL.embedding_lloyd_step(sf_dir)
+
     def q_trade_hits(sf_dir):
         # HITS hubs/authorities: the normalize-per-round iterative
         # pattern — exact-integer L1 renormalization via one driver
@@ -1023,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ids_concat": q_docs_ids_concat,
         "media_phash_groups": q_media_phash_groups,
         "trade_hits": q_trade_hits,
+        "embedding_lloyd_step": q_embedding_lloyd_step,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1725,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_ids_concat": _OL.docs_ids_concat_sql(),
         "media_phash_groups": _media_phash_groups_sql(),
         "trade_hits": _trade_hits_sql(),
+        "embedding_lloyd_step": _OL.embedding_lloyd_step_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

