@@ -479,6 +479,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scalar-subquery balance gate + recent-orders anti-join
         return TX.q22_global_sales_opportunity(sf_dir)
 
+    def q_q9_product_profit(sf_dir):
+        # Q9 adapted (p_retailprice as unit cost): part gate + supplier
+        # nation attach size-adaptively; (nation x year)-domain reduce
+        return TX.q9_product_profit(sf_dir)
+
+    def q_q16_supplier_variety(sf_dir):
+        # Q16 adapted: NOT-IN broadcast anti-join (negative-balance
+        # suppliers) + two keyed aggregates = count(DISTINCT suppkey)
+        return TX.q16_supplier_variety(sf_dir)
+
+    def q_supplier_triangles(sf_dir):
+        # distributed triangle counting: degree-oriented triad emission
+        # + one packed-key closure join (Suri-Vassilvitskii shape)
+        from yj_schema_validator_ray.stages.graph import supplier_triangles
+
+        return supplier_triangles(sf_dir)
+
+    def q_part_fuzzy_pairs(sf_dir):
+        # blocked edit-distance fuzzy dedup: brand blocking key, fully
+        # vectorized pair-axis Levenshtein DP, hard max_block guard
+        from yj_schema_validator_ray.stages.fuzzy import part_fuzzy_pairs
+
+        return part_fuzzy_pairs(sf_dir)
+
+    def q_charlm_scores(sf_dir):
+        # corpus-trained char-bigram LM scoring (CCNet shape): bigram
+        # table aggregate -> broadcast -> exact integer per-doc score
+        from yj_schema_validator_ray.stages.classify import charlm_scores
+
+        return charlm_scores(docs(sf_dir))
+
     from yj_schema_validator_ray.pipelines import olap as OL
 
     def q_events_first_last(sf_dir):
@@ -1030,6 +1061,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_groups": q_media_phash_groups,
         "trade_hits": q_trade_hits,
         "embedding_lloyd_step": q_embedding_lloyd_step,
+        "q9_product_profit": q_q9_product_profit,
+        "q16_supplier_variety": q_q16_supplier_variety,
+        "supplier_triangles": q_supplier_triangles,
+        "part_fuzzy_pairs": q_part_fuzzy_pairs,
+        "charlm_scores": q_charlm_scores,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1642,6 +1678,24 @@ def _cross_source_overlap_sql() -> str:
     return cross_source_overlap_sql()
 
 
+def _supplier_triangles_sql() -> str:
+    from yj_schema_validator_ray.stages.graph import supplier_triangles_sql
+
+    return supplier_triangles_sql()
+
+
+def _part_fuzzy_pairs_sql() -> str:
+    from yj_schema_validator_ray.stages.fuzzy import part_fuzzy_pairs_sql
+
+    return part_fuzzy_pairs_sql()
+
+
+def _charlm_scores_sql() -> str:
+    from yj_schema_validator_ray.stages.classify import charlm_scores_sql
+
+    return charlm_scores_sql()
+
+
 def _docs_token_budget_sql() -> str:
     from yj_schema_validator_ray.stages.rank import docs_token_budget_sql
 
@@ -1733,6 +1787,11 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_groups": _media_phash_groups_sql(),
         "trade_hits": _trade_hits_sql(),
         "embedding_lloyd_step": _OL.embedding_lloyd_step_sql(),
+        "q9_product_profit": _TX.q9_sql(),
+        "q16_supplier_variety": _TX.q16_sql(),
+        "supplier_triangles": _supplier_triangles_sql(),
+        "part_fuzzy_pairs": _part_fuzzy_pairs_sql(),
+        "charlm_scores": _charlm_scores_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

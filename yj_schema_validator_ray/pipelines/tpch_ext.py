@@ -4,8 +4,13 @@ share (Q8), max-subquery top supplier (Q15), correlated-average filter
 (Q17), OR-of-predicate-branches join (Q19), the EXISTS/NOT-EXISTS
 double-correlated shape (Q21) and scalar-subquery + anti-join (Q22).
 
-Adaptations to this corpus (documented per query): no ``partsupp`` table
-(Q2/Q9/Q11/Q16/Q20 are unexpressible), no ``l_shipmode`` /
+Adaptations to this corpus (documented per query): no ``partsupp``
+table — Q2/Q11/Q20 are unexpressible, while Q9/Q16 are adapted here by
+substituting part attributes for the partsupp columns (Q9's
+``ps_supplycost`` -> ``p_retailprice`` as the unit-cost proxy; Q16's
+supplier-exclusion subquery keyed on ``s_acctbal < 0`` instead of the
+comment pattern) with the ORIGINAL join/aggregate structure intact —
+and no ``l_shipmode`` /
 ``l_commitdate`` / ``c_phone`` columns — each query substitutes a column
 of the same shape and keeps the ORIGINAL join/subquery structure, which
 is what the engine is exercising.
@@ -892,3 +897,189 @@ WHERE c.c_nationkey IN ({nat})
                     AND o.o_orderdate >= TIMESTAMP '{cutoff}')
 GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey"""
+
+
+def q9_product_profit(sf_dir: str, name_word: str = "widget"):
+    """TPC-H Q9-shaped product-type profit by nation and year.  No
+    ``partsupp`` in this corpus, so the supply-cost term substitutes the
+    part's own ``p_retailprice`` as the unit cost (Q9 proper uses
+    ``ps_supplycost``); the join/aggregate STRUCTURE — part-name gate,
+    part + supplier + nation attach, profit expression per (nation,
+    ship year) — is Q9's.  Profit in exact e4 fixed point:
+    ``price_c*(100-disc_c) - retail_c*qty*100``.
+
+    Plan: the part gate and the supplier-nation lookup attach
+    size-adaptively onto the lineitem scan (both dims scale with the
+    corpus); the scan reduces per batch to (nationkey, year) partials —
+    a 25 x |years| domain — and one driver-side merge finishes (nation
+    names are dimension-scale and map driver-side, like Q7/Q8).
+    """
+    import ray.data
+
+    from ..stages.dimjoin import attach_dim_adaptive
+    from ..util import collect_small_arrow
+
+    names = _nation_names(sf_dir)
+
+    def part_gate(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.match_substring(t.column("p_name"), name_word))
+        return pa.table({
+            "p_partkey": pc.cast(s.column("p_partkey"), pa.int64()),
+            "p_retail_c": _cents(s.column("p_retailprice"))})
+
+    part_dim = (ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"])
+        .map_batches(part_gate, batch_format="pyarrow"))
+    supp_dim = (ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+        .map_batches(lambda t: pa.table({
+            "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+            "s_nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
+            batch_format="pyarrow"))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "rev_e4": _rev_e4(t),
+            "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            "o_year": pc.strftime(t.column("l_shipdate"), format="%Y")})
+
+    li = attach_dim_adaptive(
+        attach_dim_adaptive(
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_suppkey", "l_quantity",
+                         "l_extendedprice", "l_discount", "l_shipdate"])
+            .map_batches(li_prep, batch_format="pyarrow"),
+            "l_partkey", part_dim, "p_partkey", ["p_retail_c"],
+            how="inner"),
+        "l_suppkey", supp_dim, "s_suppkey", ["s_nationkey"], how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cost_e4 = pc.multiply(
+            pc.multiply(t.column("p_retail_c"), t.column("qty")),
+            pa.scalar(100, pa.int64()))
+        tt = pa.table({
+            "s_nationkey": t.column("s_nationkey"),
+            "o_year": t.column("o_year"),
+            "profit_e4": pc.subtract(t.column("rev_e4"), cost_e4)})
+        return (tt.group_by(["s_nationkey", "o_year"])
+                .aggregate([("profit_e4", "sum")])
+                .rename_columns(["s_nationkey", "o_year", "profit_e4"]))
+
+    partials = collect_small_arrow(
+        li.map_batches(partial, batch_format="pyarrow")).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"nation": pd.Series(dtype="string"),
+                             "o_year": pd.Series(dtype="string"),
+                             "profit_e4": pd.Series(dtype="int64")})
+    out = (partials.groupby(["s_nationkey", "o_year"], as_index=False)
+           ["profit_e4"].sum())
+    out["nation"] = out["s_nationkey"].map(names)
+    out["profit_e4"] = out["profit_e4"].astype("int64")
+    return (out[["nation", "o_year", "profit_e4"]]
+            .sort_values(["nation", "o_year"],
+                         ascending=[True, False]).reset_index(drop=True))
+
+
+def q9_sql(name_word: str = "widget") -> str:
+    return f"""
+SELECT n.n_name AS nation,
+       strftime(l.l_shipdate, '%Y') AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100.0) AS BIGINT))
+                - CAST(round(p.p_retailprice * 100.0) AS BIGINT)
+                  * CAST(round(l.l_quantity) AS BIGINT) * 100)
+            AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+           AND contains(p.p_name, '{name_word}')
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC"""
+
+
+def q16_supplier_variety(sf_dir: str, excl_brand: str = "Brand#1"):
+    """TPC-H Q16-shaped supplier variety: how many DISTINCT suppliers
+    ship each (brand, type, size) part style, excluding one brand and
+    excluding "complaint" suppliers — adapted to this corpus as the
+    suppliers with a negative account balance (Q16 proper greps the
+    comment text; same NOT-IN-subquery shape).
+
+    Plan: the exclusion set is collected ONCE (negative-balance
+    suppliers are a vanishing fraction of any realistic corpus — the
+    bounded side of a broadcast anti-join, same discipline as
+    ``constraints.ref_integrity``); lineitem reduces to distinct
+    (partkey, suppkey) partials, the part attributes attach
+    size-adaptively, and two keyed exact aggregates implement
+    ``count(DISTINCT suppkey)`` without ever shipping a row twice.
+    """
+    import ray.data
+
+    from ..stages.dimjoin import attach_dim_adaptive
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    bad_tbl = collect_small_arrow(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_acctbal"])
+        .map_batches(lambda t: pa.table({
+            "s_suppkey": pc.cast(
+                t.filter(pc.less(t.column("s_acctbal"),
+                                 pa.scalar(0.0))).column("s_suppkey"),
+                pa.int64())}), batch_format="pyarrow"))
+    bad = (bad_tbl.column("s_suppkey").combine_chunks()
+           if bad_tbl.num_columns else pa.array([], pa.int64()))
+
+    def part_gate(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.not_equal(t.column("p_brand"),
+                                  pa.scalar(excl_brand)))
+        return pa.table({
+            "p_partkey": pc.cast(s.column("p_partkey"), pa.int64()),
+            "p_brand": s.column("p_brand"),
+            "p_type": s.column("p_type"),
+            "p_size": pc.cast(s.column("p_size"), pa.int64())})
+
+    part_dim = (ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+        .map_batches(part_gate, batch_format="pyarrow"))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64())})
+        tt = tt.filter(pc.invert(pc.is_in(tt.column("l_suppkey"),
+                                          value_set=bad)))
+        return tt.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    li = attach_dim_adaptive(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey"])
+        .map_batches(li_prep, batch_format="pyarrow"),
+        "l_partkey", part_dim, "p_partkey",
+        ["p_brand", "p_type", "p_size"], how="inner")
+
+    distinct = grouped_aggregate(
+        li, ["p_brand", "p_type", "p_size", "l_suppkey"],
+        [("l_suppkey", "count", "n")])
+    return grouped_aggregate(
+        distinct, ["p_brand", "p_type", "p_size"],
+        [("n", "count", "supplier_cnt")])
+
+
+def q16_sql(excl_brand: str = "Brand#1") -> str:
+    return f"""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{excl_brand}'
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size"""

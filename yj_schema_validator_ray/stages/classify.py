@@ -99,6 +99,126 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"""
 
 
+class _BigramScorer:
+    """Per-process state: the broadcast 65,536-cell bigram count table
+    (one ``ray.get`` per worker process, zero-copy numpy view)."""
+
+    def __init__(self, ref):
+        import ray
+
+        self.counts = ray.get(ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        data, offs, doc_idx, codes, valid = _bigram_codes(t.column("text"))
+        n = len(ids)
+        score = np.zeros(n, np.int64)
+        nb = np.zeros(n, np.int64)
+        if len(codes):
+            vals = self.counts[codes]
+            np.add.at(score, doc_idx[valid], vals[valid])
+            np.add.at(nb, doc_idx[valid], 1)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_bigrams": pa.array(nb),
+                         "score": pa.array(score)})
+
+
+def _bigram_codes(col):
+    """Vectorized char-bigram extraction straight from the Arrow string
+    buffers: returns (data bytes, offsets, per-pair doc index, pair
+    codes b0*256+b1, validity mask excluding cross-document pairs).
+    ASCII-only by contract (byte == character, so the DuckDB ``substr``
+    oracle sees identical bigrams); non-ASCII bytes raise."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    n = len(col)
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[
+        offs[0]:offs[-1]]
+    offs = offs - offs[0]
+    if len(data) and data.max() >= 128:
+        raise ValueError("char bigram LM: corpus must be ASCII "
+                         "(byte != char breaks the substr oracle)")
+    if len(data) < 2:
+        return data, offs, np.zeros(0, np.int64), np.zeros(0, np.int64), \
+            np.zeros(0, bool)
+    codes = data[:-1].astype(np.int64) * 256 + data[1:]
+    lens = offs[1:] - offs[:-1]
+    doc_idx = np.repeat(np.arange(n), lens)[:len(data) - 1]
+    valid = np.ones(len(data) - 1, bool)
+    bound = offs[1:-1] - 1  # last byte of each doc pairs into the next
+    bound = bound[bound >= 0]
+    valid[bound[bound < len(valid)]] = False
+    return data, offs, doc_idx, codes, valid
+
+
+def charlm_scores(docs_ds):
+    """Corpus-trained character-bigram LM quality score (the CCNet /
+    KenLM "score every document with a model trained on the corpus
+    itself" shape, in exact integers): pass 1 aggregates the global
+    bigram frequency table (domain <= 256^2 cells — a per-batch
+    ``bincount`` partial and one tiny keyed aggregate), pass 2
+    broadcasts it and scores each document as the SUM of its bigrams'
+    corpus frequencies.  Common char sequences score high; line noise
+    scores low.  Integer sums keep the DuckDB mirror bit-exact where a
+    log-prob formulation would drift.
+
+    Output: ``(doc_id, n_bigrams, score)``, one row per document
+    (zero-bigram docs score 0).
+    """
+    import ray
+
+    from ..util import collect_small_arrow, process_cached, ref_key
+    from .exact_agg import grouped_aggregate
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        _, _, _, codes, valid = _bigram_codes(t.column("text"))
+        counts = np.bincount(codes[valid], minlength=65536) \
+            if len(codes) else np.zeros(65536, np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table({"code": pa.array(nz, pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+    agg = grouped_aggregate(
+        docs_ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["code"], [("n", "sum", "n")])
+    tbl = collect_small_arrow(agg)
+    full = np.zeros(65536, np.int64)
+    if tbl.num_columns:
+        full[tbl.column("code").to_numpy()] = tbl.column("n").to_numpy()
+    ref = ray.put(full)
+
+    return docs_ds.map_batches(
+        process_cached(_BigramScorer, (ref_key(ref),), ref),
+        batch_format="pyarrow")
+
+
+def charlm_scores_sql() -> str:
+    """Mirror: explode char bigrams via ``substr`` positions, aggregate
+    the same global frequency table, join it back per document."""
+    return """
+WITH grams AS (
+  SELECT doc_id, substr(text, i, 2) AS g
+  FROM documents, unnest(range(1, length(text))) AS t(i)
+),
+counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+s AS (
+  SELECT doc_id, count(*) AS nb, sum(c) AS sc
+  FROM grams JOIN counts USING (g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.sc, 0) AS BIGINT) AS score
+FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
 def term_postings(docs_ds, k: int = 50, cap: int = 20):
     """Bounded inverted index: for the top-``k`` terms by document
     frequency, the first ``cap`` doc ids (ascending) that contain the

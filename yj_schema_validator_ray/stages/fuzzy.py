@@ -1,0 +1,167 @@
+"""Blocked fuzzy matching: edit-distance (Levenshtein) near-duplicate
+pairs within blocking buckets — the record-linkage / fuzzy-dedup
+operator (catalog entity resolution: "cold widget" vs "cold widgit").
+
+Reference analogue: none in ``alexmond/yj-schema-validator`` (schema
+validator); this comes from the LLM-training-data brief's dedup family,
+complementing the token-set similarity operators
+(:mod:`.dedup` MinHash / n-gram Jaccard) with CHARACTER-level edit
+distance, the right metric for short entity strings where token sets
+are too coarse.
+
+Shape: candidate generation is BLOCKED — pairs are only formed inside a
+user-chosen blocking key (brand, sorted-token signature, length bucket,
+phonetic key, ...), the standard record-linkage discipline that turns
+the O(n^2) all-pairs problem into a sum of per-block quadratics.  One
+coarse-hash exchange co-locates each block; the per-block scorer is a
+fully VECTORIZED Levenshtein DP over the pair axis (one (pairs,) numpy
+lane per DP cell, no Python per-pair loop).  A ``max_block`` guard hard
+errors on quadratic blowup instead of silently burning cluster time —
+at 100 TB the caller must pick a finer blocking key (the same
+explicit-bound discipline as ``dedup.decontaminate``'s gram cap).
+
+The scorer is exact (no band, no prefix pruning): block strings are
+short entity names, so the DP is ``len_a x len_b`` vector ops per
+block, and exactness is what lets DuckDB's ``levenshtein()`` serve as
+the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def levenshtein_pairs(a_strs, b_strs, max_d: int | None = None) -> np.ndarray:
+    """Exact Levenshtein distance for P string pairs, vectorized over
+    the PAIR axis: the DP recurrence runs as ``len_a * len_b`` scalar
+    steps of (P,)-shaped numpy ops.  ``a_strs``/``b_strs`` are
+    same-length sequences of ASCII/UTF-8 strings (distance is measured
+    in BYTES; for the ASCII corpora this engine targets byte == char,
+    matching DuckDB's ``levenshtein``).
+
+    ``max_d`` only short-circuits the all-pairs-identical case; the DP
+    itself is exact and unbanded (entity strings are short).
+    """
+    P = len(a_strs)
+    if P == 0:
+        return np.zeros(0, np.int64)
+    a_b = [s.encode("utf-8") for s in a_strs]
+    b_b = [s.encode("utf-8") for s in b_strs]
+    la = np.array([len(s) for s in a_b], np.int64)
+    lb = np.array([len(s) for s in b_b], np.int64)
+    La, Lb = int(la.max(initial=0)), int(lb.max(initial=0))
+    A = np.zeros((P, La), np.uint8)
+    B = np.zeros((P, Lb), np.uint8)
+    for i, s in enumerate(a_b):
+        A[i, :len(s)] = np.frombuffer(s, np.uint8)
+    for i, s in enumerate(b_b):
+        B[i, :len(s)] = np.frombuffer(s, np.uint8)
+
+    dist = lb.copy()  # rows with len_a == 0: distance = len_b
+    prev = np.broadcast_to(np.arange(Lb + 1, dtype=np.int64),
+                           (P, Lb + 1)).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, La + 1):
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, Lb + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int64)
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + cost, out=cur[:, j])
+        done = la == i
+        if done.any():
+            dist[done] = cur[done, lb[done]]
+        prev, cur = cur, prev
+    return dist
+
+
+def fuzzy_pairs(ds, block_col: str, id_col: str, text_col: str, *,
+                max_d: int = 2, coarse: int = 1024,
+                max_block: int = 10_000):
+    """All pairs (id_a < id_b) within each ``block_col`` bucket whose
+    ``text_col`` edit distance is <= ``max_d``.  Output columns:
+    ``(block_col, id_a, id_b, dist)``, order unspecified.
+
+    One coarse-hash exchange on the blocking key; pairs never cross a
+    block.  Blocks larger than ``max_block`` raise (pick a finer
+    blocking key) — an explicit bound, not a silent quadratic.
+    """
+    from ..util import shuffle_partitions
+    from .exact_agg import hash_columns
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        kh = hash_columns(t.select([block_col]))
+        return t.append_column(
+            "__coarse", pa.array((kh & np.uint64(coarse - 1)).astype(np.int64)))
+
+    empty = pd.DataFrame({block_col: pd.Series(dtype="object"),
+                          "id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "dist": pd.Series(dtype="int64")})
+
+    def score_block(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [empty]
+        # a coarse bucket may hold several blocking keys — pair within
+        for key, blk in g.groupby(block_col, sort=False):
+            n = len(blk)
+            if n < 2:
+                continue
+            if n > max_block:
+                raise ValueError(
+                    f"fuzzy_pairs: block {key!r} has {n} rows "
+                    f"(> max_block={max_block}); use a finer blocking key")
+            blk = blk.sort_values(id_col, kind="mergesort")
+            ids = blk[id_col].to_numpy(np.int64)
+            txt = blk[text_col].to_numpy(object)
+            ii, jj = np.triu_indices(n, k=1)
+            # length prefilter: |len_a - len_b| > max_d can't pass
+            lens = np.array([len(s.encode("utf-8")) for s in txt], np.int64)
+            keep = np.abs(lens[ii] - lens[jj]) <= max_d
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+            d = levenshtein_pairs(txt[ii], txt[jj], max_d)
+            hit = d <= max_d
+            if not hit.any():
+                continue
+            outs.append(pd.DataFrame({
+                block_col: np.full(int(hit.sum()), key, object),
+                "id_a": ids[ii[hit]], "id_b": ids[jj[hit]],
+                "dist": d[hit].astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    return (ds.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(score_block, batch_format="pandas"))
+
+
+def part_fuzzy_pairs(sf_dir: str, max_d: int = 2):
+    """Fuzzy product-name dedup over ``part``: within each brand
+    (the blocking key), part pairs whose names are within ``max_d``
+    edits.  Columns ``(p_brand, part_a, part_b, dist)``."""
+    import ray.data
+
+    ds = (ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_name"])
+        .map_batches(lambda t: pa.table({
+            "p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+            "p_brand": t.column("p_brand"),
+            "p_name": t.column("p_name")}), batch_format="pyarrow"))
+    out = fuzzy_pairs(ds, "p_brand", "p_partkey", "p_name", max_d=max_d)
+    return out.map_batches(
+        lambda t: t.rename_columns(["p_brand", "part_a", "part_b", "dist"]),
+        batch_format="pyarrow")
+
+
+def part_fuzzy_pairs_sql(max_d: int = 2) -> str:
+    return f"""
+SELECT a.p_brand,
+       a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {max_d}"""

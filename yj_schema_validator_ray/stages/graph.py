@@ -215,6 +215,187 @@ def ngram_components(docs_ds, n: int = 3, threshold: float = 0.3):
     return connected_components(pairs)
 
 
+def supplier_cooccurrence_edges(sf_dir: str, coarse: int = 1024):
+    """Distinct supplier co-occurrence edges from ``lineitem``: an
+    undirected edge (a < b) for every supplier pair that ships in the
+    same order, plus the number of orders supporting it.  Columns
+    ``(a, b, n_orders)``.
+
+    Shape: per-batch distinct (order, supplier) partials -> one
+    order-keyed coarse exchange -> per-order pair emission (basket
+    sizes are bounded by order line counts, so the per-order self-join
+    is tiny) -> a pair-keyed exact aggregate for global dedup.
+    """
+    import ray.data
+
+    from ..util import shuffle_partitions
+    from .dedup import coarse_mix
+    from .exact_agg import grouped_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = (pa.table({
+            "o": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "s": pc.cast(t.column("l_suppkey"), pa.int64())})
+            .group_by(["o", "s"]).aggregate([]))
+        return d.append_column(
+            "__coarse",
+            pa.array(coarse_mix(d.column("o").to_numpy(), coarse - 1),
+                     pa.int64()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["o", "s"]].drop_duplicates()
+        m = d.merge(d, on="o")
+        m = m[m["s_x"] < m["s_y"]]
+        return pd.DataFrame({"a": m["s_x"].to_numpy(np.int64),
+                             "b": m["s_y"].to_numpy(np.int64)})
+
+    pair_rows = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("__coarse", num_partitions=shuffle_partitions())
+        .map_groups(pairs, batch_format="pandas"))
+    return grouped_aggregate(pair_rows, ["a", "b"],
+                             [("a", "count", "n_orders")], coarse=coarse)
+
+
+def triangle_counts(edges_ds, coarse: int = 1024):
+    """Exact per-node triangle participation counts over an undirected
+    graph given as DISTINCT edges ``(a, b)`` with ``a < b`` (int64 node
+    ids < 2^31).  Returns ``(node, n_triangles)`` for nodes in >= 1
+    triangle.
+
+    The MapReduce triangle algorithm (Cohen, "Graph Twiddling in a
+    MapReduce World", CiSE 2009; Suri & Vassilvitskii, WWW'11): orient
+    each edge from its lower-(degree, id) endpoint — every node's
+    OUT-degree is then O(sqrt(m)) — emit open triads (pairs of
+    out-neighbors) per source, and close them against the edge set with
+    one large-large co-location join on a packed (v, w) int64 key.
+    Exchanges move int64 triples only; no adjacency ever materializes
+    driver-side.
+    """
+    from ..util import shuffle_partitions
+    from .dedup import coarse_mix
+    from .exact_agg import grouped_aggregate
+
+    edges = edges_ds.materialize()  # read 3x: degrees, triads, closure
+    if edges.count() == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "n_triangles": pa.array([], pa.int64())})
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            pc.cast(t.column("a"), pa.int64()).combine_chunks(),
+            pc.cast(t.column("b"), pa.int64()).combine_chunks()])})
+
+    degrees = grouped_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], [("node", "count", "deg")], coarse=coarse)
+
+    from .dimjoin import attach_dim_adaptive
+
+    deg_a = degrees.map_batches(
+        lambda t: t.rename_columns(["na", "deg_a"]), batch_format="pyarrow")
+    deg_b = degrees.map_batches(
+        lambda t: t.rename_columns(["nb", "deg_b"]), batch_format="pyarrow")
+    ed = attach_dim_adaptive(
+        attach_dim_adaptive(edges, "a", deg_a, "na", ["deg_a"], how="inner"),
+        "b", deg_b, "nb", ["deg_b"], how="inner")
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy()
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy()
+        if len(a) and max(a.max(initial=0), b.max(initial=0)) >= 1 << 31:
+            raise ValueError("triangle_counts: node ids must be < 2^31")
+        da = t.column("deg_a").to_numpy()
+        db = t.column("deg_b").to_numpy()
+        low_a = (da < db) | ((da == db) & (a < b))
+        src = np.where(low_a, a, b)
+        dst = np.where(low_a, b, a)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "__coarse": pa.array(coarse_mix(src, coarse - 1), pa.int64())})
+
+    def triads(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["src", "dst"]]
+        m = d.merge(d, on="src")
+        m = m[m["dst_x"] < m["dst_y"]]
+        v = m["dst_x"].to_numpy(np.int64)
+        w = m["dst_y"].to_numpy(np.int64)
+        return pd.DataFrame({"k": (v << 32) | w,
+                             "u": m["src"].to_numpy(np.int64)})
+
+    triad_ds = (ed.map_batches(orient, batch_format="pyarrow")
+                .groupby("__coarse", num_partitions=shuffle_partitions())
+                .map_groups(triads, batch_format="pandas"))
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy()
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy()
+        return pa.table({"k": pa.array((a << 32) | b, pa.int64()),
+                         "hit": pa.array(np.ones(len(a), np.int64))})
+
+    from .dimjoin import colocate_join
+
+    closed = colocate_join(
+        triad_ds, edges.map_batches(edge_keys, batch_format="pyarrow"),
+        "k", "k",
+        schemas=(pa.schema([("k", pa.int64()), ("u", pa.int64())]),
+                 pa.schema([("k", pa.int64()), ("hit", pa.int64())])))
+
+    def fan3(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column("k"), pa.int64()).to_numpy()
+        u = pc.cast(t.column("u"), pa.int64()).to_numpy()
+        v = k >> 32
+        w = k & ((1 << 32) - 1)
+        return pa.table({"node": pa.array(np.concatenate([u, v, w]),
+                                          pa.int64())})
+
+    return grouped_aggregate(
+        closed.map_batches(fan3, batch_format="pyarrow"),
+        ["node"], [("node", "count", "n_triangles")], coarse=coarse)
+
+
+def supplier_triangles(sf_dir: str):
+    """Per-supplier triangle counts of the order-co-occurrence graph —
+    the clustering-structure audit of the trade network (tightly-knit
+    supplier groups ship together transitively).  Columns
+    ``(s_suppkey, n_triangles)``."""
+    edges = supplier_cooccurrence_edges(sf_dir).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    out = triangle_counts(edges)
+    if isinstance(out, pa.Table):  # empty-graph fast path
+        return out.rename_columns(["s_suppkey", "n_triangles"])
+    return out.map_batches(
+        lambda t: t.rename_columns(["s_suppkey", "n_triangles"]),
+        batch_format="pyarrow")
+
+
+def supplier_triangles_sql() -> str:
+    """Oracle: distinct co-occurrence pairs, canonical u<v<w triangle
+    enumeration by a double pair self-join, then a 3-way node unnest."""
+    return """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+  FROM pairs e1
+  JOIN pairs e2 ON e2.x = e1.y
+  JOIN pairs e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+nodes AS (
+  SELECT u AS s FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT s AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY s"""
+
+
 def ngram_components_sql(n: int = 3, threshold: float = 0.3) -> str:
     """DuckDB oracle for :func:`ngram_components`: the
     :func:`..stages.dedup.ngram_jaccard_exact_sql` pair CTE followed by a
