@@ -510,6 +510,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return charlm_scores(docs(sf_dir))
 
+    def q_events_type_pivot(sf_dir):
+        # long-to-wide pivot: crosstab partials + one wide keyed sum
+        from yj_schema_validator_ray.pipelines.olap import events_type_pivot
+
+        return events_type_pivot(sf_dir)
+
+    def q_orders_rfm(sf_dir):
+        # RFM segmentation: exact population quintiles of a DERIVED
+        # per-customer aggregate -> broadcast thresholds -> score scan
+        from yj_schema_validator_ray.pipelines.olap import orders_rfm
+
+        return orders_rfm(sf_dir)
+
+    def q_docs_exact_split(sf_dir):
+        # exact-proportion stratified split: two-phase md5-bucket rank
+        # within source (no global sort; text never moves)
+        from yj_schema_validator_ray.stages.sampling import exact_split
+
+        return exact_split(docs3(sf_dir))
+
     from yj_schema_validator_ray.pipelines import olap as OL
 
     def q_events_first_last(sf_dir):
@@ -1066,6 +1086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_triangles": q_supplier_triangles,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "charlm_scores": q_charlm_scores,
+        "events_type_pivot": q_events_type_pivot,
+        "orders_rfm": q_orders_rfm,
+        "docs_exact_split": q_docs_exact_split,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1696,6 +1719,12 @@ def _charlm_scores_sql() -> str:
     return charlm_scores_sql()
 
 
+def _docs_exact_split_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import exact_split_sql
+
+    return exact_split_sql()
+
+
 def _docs_token_budget_sql() -> str:
     from yj_schema_validator_ray.stages.rank import docs_token_budget_sql
 
@@ -1792,6 +1821,9 @@ def oracle_sql() -> dict[str, str]:
         "supplier_triangles": _supplier_triangles_sql(),
         "part_fuzzy_pairs": _part_fuzzy_pairs_sql(),
         "charlm_scores": _charlm_scores_sql(),
+        "events_type_pivot": _OL.events_type_pivot_sql(),
+        "orders_rfm": _OL.orders_rfm_sql(),
+        "docs_exact_split": _docs_exact_split_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

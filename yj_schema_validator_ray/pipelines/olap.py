@@ -1001,3 +1001,203 @@ SELECT label, CAST(dim AS BIGINT) AS dim,
        CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
                      AS BIGINT)) AS BIGINT) AS sum_q
 FROM el GROUP BY label, dim"""
+
+
+# ---------------------------------------------------------------------------
+# wide pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str):
+    """PIVOT the event stream into one WIDE row per user: a count
+    column per (pinned) event type plus the total — the long-to-wide
+    conditional-aggregation reshape feeding feature stores.  The type
+    list is pinned (a pivot's output schema must be static); unlisted
+    types count only toward ``n_total``.
+
+    Shape: per-batch crosstab partials (already wide, one row per user
+    per batch) -> one keyed exact aggregate summing the wide columns.
+    No row-grain data crosses the exchange.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=list(EVENT_TYPES), fill_value=0)
+        out = ct.rename(columns={t: f"n_{t}" for t in EVENT_TYPES})
+        out = out.reset_index()
+        out["user_id"] = out["user_id"].astype("int64")
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        out["n_total"] = (df.groupby("user_id", sort=False).size()
+                          .reindex(out["user_id"]).to_numpy()
+                          .astype("int64"))
+        return out
+
+    return grouped_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        [(c, "sum", c) for c in cols] + [("n_total", "sum", "n_total")])
+
+
+def events_type_pivot_sql() -> str:
+    sel = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}" for t in EVENT_TYPES)
+    return f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       {sel},
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (exact quintile scores over a derived aggregate)
+# ---------------------------------------------------------------------------
+
+def orders_rfm(sf_dir: str):
+    """RFM customer segmentation: per customer, Recency (last order
+    timestamp), Frequency (order count) and Monetary (lifetime cents),
+    each scored 1-5 against the EXACT population quintiles of the
+    derived per-customer aggregate — the classic warehouse
+    segmentation, built from this engine's exact-quantile machinery
+    (:func:`~..stages.quantiles.grouped_exact_quantiles`) applied to a
+    DERIVED table instead of a base table.
+
+    Shape: one keyed aggregate to customer grain (materialized — the
+    quantile pass streams it twice), a long-format (metric, value)
+    projection through the exact-quantile histogram plan (3x4
+    thresholds -> broadcast), one stateless scoring scan.  Scores are
+    ``1 + #(v > threshold)`` over doubles both engines derive
+    identically, so the hash is exact.
+    """
+    import ray
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.quantiles import grouped_exact_quantiles
+    from ..util import process_cached, ref_key
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), pa.scalar(100.0))), pa.int64()),
+            "ts_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+        })
+
+    per_cust = grouped_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("cents", "count", "n_orders"),
+         ("cents", "sum", "monetary_cents"),
+         ("ts_us", "max", "last_us")]).materialize()
+
+    def long_form(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        v = np.concatenate([
+            t.column("last_us").to_numpy().astype(np.float64),
+            t.column("n_orders").to_numpy().astype(np.float64),
+            t.column("monetary_cents").to_numpy().astype(np.float64)])
+        metric = np.concatenate([np.full(n, "r", object),
+                                 np.full(n, "f", object),
+                                 np.full(n, "m", object)])
+        return pa.table({"metric": pa.array(metric, pa.string()),
+                         "v": pa.array(v, pa.float64())})
+
+    qs = (0.2, 0.4, 0.6, 0.8)
+    thr = grouped_exact_quantiles(
+        per_cust.map_batches(long_form, batch_format="pyarrow"),
+        "metric", "v", qs=qs).to_pandas()
+    piv = thr.pivot_table(index="metric", columns="quantile",
+                          values="value", aggfunc="max")
+    mat = {m: piv.loc[m, list(qs)].to_numpy(dtype=np.float64)
+           for m in piv.index}
+    ref = ray.put(mat)
+
+    class Score:
+        def __init__(self, r):
+            self.mat = ray.get(r)
+
+        def _score(self, v: np.ndarray, metric: str) -> np.ndarray:
+            th = self.mat[metric]
+            return (1 + (v[:, None] > th[None, :]).sum(axis=1)) \
+                .astype(np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            r = self._score(t.column("last_us").to_numpy()
+                            .astype(np.float64), "r")
+            f = self._score(t.column("n_orders").to_numpy()
+                            .astype(np.float64), "f")
+            m = self._score(t.column("monetary_cents").to_numpy()
+                            .astype(np.float64), "m")
+            return pa.table({
+                "o_custkey": t.column("o_custkey"),
+                "n_orders": t.column("n_orders"),
+                "monetary_cents": t.column("monetary_cents"),
+                "last_us": t.column("last_us"),
+                "r_score": pa.array(r), "f_score": pa.array(f),
+                "m_score": pa.array(m),
+                "rfm_code": pa.array(100 * r + 10 * f + m),
+            })
+
+    return per_cust.map_batches(process_cached(Score, ref_key(ref), ref),
+                                batch_format="pyarrow")
+
+
+def orders_rfm_sql() -> str:
+    def score(col, alias):
+        cmps = " + ".join(
+            f"(CASE WHEN c.{col} > p{alias}.t{i} THEN 1 ELSE 0 END)"
+            for i in (1, 2, 3, 4))
+        return f"CAST(1 + {cmps} AS BIGINT)"
+
+    return f"""
+WITH c AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS monetary_cents,
+         CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us
+  FROM orders GROUP BY o_custkey),
+m AS (
+  SELECT 'r' AS metric, CAST(last_us AS DOUBLE) AS v FROM c
+  UNION ALL SELECT 'f', CAST(n_orders AS DOUBLE) FROM c
+  UNION ALL SELECT 'm', CAST(monetary_cents AS DOUBLE) FROM c),
+s AS (
+  SELECT metric, v,
+         row_number() OVER (PARTITION BY metric ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM m),
+q AS (SELECT CAST(unnest([0.2, 0.4, 0.6, 0.8]) AS DOUBLE) AS quantile),
+thr AS (
+  SELECT s.metric, q.quantile, s.v FROM q JOIN s
+  ON s.rk = CAST(ceil(q.quantile * s.n) AS BIGINT)),
+p AS (
+  SELECT metric,
+         max(CASE WHEN quantile = 0.2 THEN v END) AS t1,
+         max(CASE WHEN quantile = 0.4 THEN v END) AS t2,
+         max(CASE WHEN quantile = 0.6 THEN v END) AS t3,
+         max(CASE WHEN quantile = 0.8 THEN v END) AS t4
+  FROM thr GROUP BY metric)
+SELECT c.o_custkey, c.n_orders, c.monetary_cents, c.last_us,
+       {score('last_us', 'r')} AS r_score,
+       {score('n_orders', 'f')} AS f_score,
+       {score('monetary_cents', 'm')} AS m_score,
+       CAST(100 * (1 + {" + ".join(f"(CASE WHEN c.last_us > pr.t{i} THEN 1 ELSE 0 END)" for i in (1, 2, 3, 4))})
+          + 10 * (1 + {" + ".join(f"(CASE WHEN c.n_orders > pf.t{i} THEN 1 ELSE 0 END)" for i in (1, 2, 3, 4))})
+          + (1 + {" + ".join(f"(CASE WHEN c.monetary_cents > pm.t{i} THEN 1 ELSE 0 END)" for i in (1, 2, 3, 4))})
+            AS BIGINT) AS rfm_code
+FROM c, p pr, p pf, p pm
+WHERE pr.metric = 'r' AND pf.metric = 'f' AND pm.metric = 'm'"""

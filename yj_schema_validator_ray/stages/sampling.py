@@ -366,3 +366,109 @@ WHERE {source_col} IN ({srcs})
            AND substr(md5(CAST({id_col} AS VARCHAR) || ':' ||
                           CAST(e.epoch AS VARCHAR)), 1, 8)
                < (CASE {source_col} {thr_case} END)))"""
+
+
+def exact_split(docs_ds, train_frac: float = 0.8, val_frac: float = 0.1,
+                coarse: int = 1024):
+    """EXACT-proportion stratified train/val/test split: within each
+    ``source``, rank documents by ``(md5(text), doc_id)`` and cut at
+    exactly ``floor(train_frac*n)`` / ``floor(val_frac*n)`` rows —
+    unlike :func:`hash_sample` (whose per-row threshold
+    only hits the rate in expectation), this delivers the precise split
+    sizes an eval protocol demands, deterministically.
+
+    Distributed rank without a global sort (the
+    :func:`~.rank.docs_length_rank` two-phase histogram pattern, keyed
+    here by the first md5 byte): pass 1 counts (source, byte-bucket)
+    occupancy — a 256 x |sources| histogram — and the driver turns it
+    into per-bucket rank OFFSETS; pass 2 co-locates each (source,
+    bucket), sorts the bucket locally by (md5, doc_id), and adds the
+    offset.  Text never moves (only id + 32-byte digest cross the
+    exchange); driver state is the tiny histogram.
+
+    Output: ``(doc_id, source, rk, split)`` with ``rk`` the 1-based
+    within-source rank.
+    """
+    import ray
+
+    from ..util import collect_small_arrow, process_cached, ref_key, \
+        shuffle_partitions
+    from .exact_agg import grouped_aggregate, hash_columns
+
+    def digest_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest()
+             for t in df["text"]]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "source": df["source"].to_numpy(object),
+            "h": h,
+            "bucket": np.array([int(x[:2], 16) for x in h], np.int64)})
+
+    digests = docs_ds.map_batches(digest_rows,
+                                  batch_format="pandas").materialize()
+
+    hist = collect_small_arrow(grouped_aggregate(
+        digests, ["source", "bucket"], [("", "count", "n")],
+        num_partitions=min(8, shuffle_partitions()))).to_pandas()
+    offsets: dict = {}
+    cuts: dict = {}
+    for src, g in hist.groupby("source", sort=False):
+        g = g.sort_values("bucket")
+        n = int(g["n"].sum())
+        cum = np.concatenate([[0], np.cumsum(g["n"].to_numpy())[:-1]])
+        for b, off in zip(g["bucket"].to_numpy(), cum):
+            offsets[(src, int(b))] = int(off)
+        n_train = int(np.floor(train_frac * n))
+        n_val = int(np.floor(val_frac * n))
+        cuts[src] = (n_train, n_train + n_val)
+    ref = ray.put((offsets, cuts))
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        kh = hash_columns(t.select(["source", "bucket"]))
+        return t.append_column(
+            "__coarse",
+            pa.array((kh & np.uint64(coarse - 1)).astype(np.int64)))
+
+    class RankGroup:
+        def __init__(self, r):
+            self.offsets, self.cuts = ray.get(r)
+
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for (src, b), blk in g.groupby(["source", "bucket"],
+                                           sort=False):
+                blk = blk.sort_values(["h", "doc_id"], kind="mergesort")
+                rk = (np.arange(1, len(blk) + 1, dtype=np.int64)
+                      + self.offsets[(src, int(b))])
+                t_cut, v_cut = self.cuts[src]
+                split = np.where(rk <= t_cut, "train",
+                                 np.where(rk <= v_cut, "val", "test"))
+                outs.append(pd.DataFrame({
+                    "doc_id": blk["doc_id"].to_numpy(np.int64),
+                    "source": blk["source"].to_numpy(object),
+                    "rk": rk,
+                    "split": split.astype(object)}))
+            return pd.concat(outs, ignore_index=True)
+
+    return (digests.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(process_cached(RankGroup, ref_key(ref), ref),
+                        batch_format="pandas"))
+
+
+def exact_split_sql(train_frac: float = 0.8, val_frac: float = 0.1) -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(text), doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+       CASE WHEN rk <= CAST(floor({train_frac} * n) AS BIGINT)
+              THEN 'train'
+            WHEN rk <= CAST(floor({train_frac} * n) AS BIGINT)
+                     + CAST(floor({val_frac} * n) AS BIGINT)
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM r"""
