@@ -523,6 +523,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return orders_rfm(sf_dir)
 
+    def q_events_purchase_view_window(sf_dir):
+        # non-equi BAND self-join: per purchase, views in [ts-1h, ts)
+        # via two searchsorted probes per partition (never P x V)
+        from yj_schema_validator_ray.pipelines.olap import (
+            events_purchase_view_window)
+
+        return events_purchase_view_window(sf_dir)
+
+    def q_orders_yoy_growth(sf_dir):
+        # lag over an aggregated series: YoY integer cent deltas
+        from yj_schema_validator_ray.pipelines.olap import orders_yoy_growth
+
+        return orders_yoy_growth(sf_dir)
+
+    def q_knn_classify(sf_dir):
+        # leave-one-out kNN majority vote, exact int64 fixed-point L2
+        from yj_schema_validator_ray.stages.ann import knn_classify
+
+        return knn_classify(sf_dir)
+
     def q_docs_exact_split(sf_dir):
         # exact-proportion stratified split: two-phase md5-bucket rank
         # within source (no global sort; text never moves)
@@ -1089,6 +1109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": q_events_type_pivot,
         "orders_rfm": q_orders_rfm,
         "docs_exact_split": q_docs_exact_split,
+        "events_purchase_view_window": q_events_purchase_view_window,
+        "orders_yoy_growth": q_orders_yoy_growth,
+        "knn_classify": q_knn_classify,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1725,6 +1748,12 @@ def _docs_exact_split_sql() -> str:
     return exact_split_sql()
 
 
+def _knn_classify_sql() -> str:
+    from yj_schema_validator_ray.stages.ann import knn_classify_sql
+
+    return knn_classify_sql()
+
+
 def _docs_token_budget_sql() -> str:
     from yj_schema_validator_ray.stages.rank import docs_token_budget_sql
 
@@ -1824,6 +1853,10 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": _OL.events_type_pivot_sql(),
         "orders_rfm": _OL.orders_rfm_sql(),
         "docs_exact_split": _docs_exact_split_sql(),
+        "events_purchase_view_window":
+            _OL.events_purchase_view_window_sql(),
+        "orders_yoy_growth": _OL.orders_yoy_growth_sql(),
+        "knn_classify": _knn_classify_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

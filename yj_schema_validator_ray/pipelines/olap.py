@@ -1201,3 +1201,158 @@ SELECT c.o_custkey, c.n_orders, c.monetary_cents, c.last_us,
             AS BIGINT) AS rfm_code
 FROM c, p pr, p pf, p pm
 WHERE pr.metric = 'r' AND pf.metric = 'f' AND pm.metric = 'm'"""
+
+
+# ---------------------------------------------------------------------------
+# band (non-equi temporal) self join: views in the hour before a purchase
+# ---------------------------------------------------------------------------
+
+def events_purchase_view_window(sf_dir: str, window_s: int = 3600,
+                                coarse: int = 1024):
+    """BAND JOIN: for every purchase, how many of the same user's view
+    events fall in the hour before it ``[ts - W, ts)`` — the non-equi
+    temporal join (attribution lookback) the equi-join operators can't
+    express.  Unlike :func:`events_conversion_window` (first-view
+    anchor, one row per user) this scores EVERY purchase against a
+    sliding lookback.
+
+    Shape: one user-keyed exchange; per partition both event streams
+    sort once and the band is two vectorized ``searchsorted`` probes —
+    O((P+V) log V) per user, never the P x V product.  Purchases with
+    zero views are kept (LEFT semantics), matching the SQL.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..util import shuffle_partitions
+
+    w_us = window_s * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["purchase", "view"]))
+        t = t.filter(keep)
+        user = pc.cast(t.column("user_id"), pa.int64())
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": user,
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "is_p": pc.cast(pc.equal(t.column("event_type"),
+                                     pa.scalar("purchase")), pa.int64()),
+            "__coarse": pa.array(coarse_mix(user.to_numpy(), coarse - 1),
+                                 pa.int64()),
+        })
+
+    def band(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, u in g.groupby("user_id", sort=False):
+            p = u[u["is_p"] == 1]
+            if p.empty:
+                continue
+            vts = np.sort(u.loc[u["is_p"] == 0, "ts_us"]
+                          .to_numpy(np.int64))
+            pts = p["ts_us"].to_numpy(np.int64)
+            n = (np.searchsorted(vts, pts, side="left")
+                 - np.searchsorted(vts, pts - w_us, side="left"))
+            outs.append(pd.DataFrame({
+                "event_id": p["event_id"].to_numpy(np.int64),
+                "user_id": p["user_id"].to_numpy(np.int64),
+                "ts_us": pts,
+                "n_views_1h": n.astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "ts_us": pd.Series(dtype="int64"),
+                                 "n_views_1h": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return (ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("__coarse", num_partitions=shuffle_partitions())
+        .map_groups(band, batch_format="pandas"))
+
+
+def events_purchase_view_window_sql(window_s: int = 3600) -> str:
+    return f"""
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+       CAST(count(v.event_id) AS BIGINT) AS n_views_1h
+FROM events p LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL {window_s} SECOND AND v.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts"""
+
+
+# ---------------------------------------------------------------------------
+# year-over-year growth (lag over an aggregated series)
+# ---------------------------------------------------------------------------
+
+def orders_yoy_growth(sf_dir: str):
+    """Year-over-year revenue deltas per order priority: aggregate to
+    the (priority, year) domain, then LAG within each priority's year
+    series — the trend-report shape (growth emitted as the exact
+    integer cent DIFFERENCE; a ratio would be fp).  First year of each
+    priority has no predecessor and is dropped, like the SQL's
+    ``WHERE prev IS NOT NULL``.
+
+    Per-batch domain partials -> driver-side lag over the ~|priorities
+    x years| series (domain-sized by construction)."""
+    import ray.data
+
+    from ..util import collect_small_arrow
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "o_year": pc.strftime(t.column("o_orderdate"), format="%Y"),
+            "revenue_cents": pc.cast(pc.round(pc.multiply(
+                t.column("o_totalprice"), pa.scalar(100.0))), pa.int64())})
+        return (tt.group_by(["o_orderpriority", "o_year"])
+                .aggregate([("revenue_cents", "sum")])
+                .rename_columns(["o_orderpriority", "o_year",
+                                 "revenue_cents"]))
+
+    partials = collect_small_arrow(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderpriority", "o_orderdate",
+                                       "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series(dtype="string"),
+            "o_year": pd.Series(dtype="string"),
+            "revenue_cents": pd.Series(dtype="int64"),
+            "prev_cents": pd.Series(dtype="int64"),
+            "yoy_diff_cents": pd.Series(dtype="int64")})
+    y = (partials.groupby(["o_orderpriority", "o_year"], as_index=False)
+         ["revenue_cents"].sum()
+         .sort_values(["o_orderpriority", "o_year"]))
+    y["prev_cents"] = (y.groupby("o_orderpriority", sort=False)
+                       ["revenue_cents"].shift(1))
+    y = y[y["prev_cents"].notna()].copy()
+    y["revenue_cents"] = y["revenue_cents"].astype("int64")
+    y["prev_cents"] = y["prev_cents"].astype("int64")
+    y["yoy_diff_cents"] = (y["revenue_cents"]
+                           - y["prev_cents"]).astype("int64")
+    return y.reset_index(drop=True)
+
+
+def orders_yoy_growth_sql() -> str:
+    return """
+WITH y AS (
+  SELECT o_orderpriority, strftime(o_orderdate, '%Y') AS o_year,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1, 2),
+l AS (
+  SELECT *, lag(revenue_cents) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_year) AS prev_cents
+  FROM y)
+SELECT o_orderpriority, o_year, revenue_cents,
+       CAST(prev_cents AS BIGINT) AS prev_cents,
+       CAST(revenue_cents - prev_cents AS BIGINT) AS yoy_diff_cents
+FROM l WHERE prev_cents IS NOT NULL"""

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _list_f64_matrix(col) -> np.ndarray:
@@ -584,3 +585,124 @@ SELECT vec_id,
                               AS BIGINT)), 0) AS BIGINT) AS q_norm_sum
 FROM embeddings LEFT JOIN unnest(embedding) AS u(x) ON TRUE
 GROUP BY vec_id, len(embedding)"""
+
+
+def knn_classify(sf_dir: str, k: int = 5,
+                 max_broadcast_bytes: int = 2 << 30):
+    """Leave-one-out k-NN label vote over the embeddings table: every
+    vector is classified by the MAJORITY label of its ``k`` nearest
+    OTHER vectors (exact integer L2 on 1e6 fixed-point coordinates, the
+    :func:`~..pipelines.olap.embedding_lloyd_step` arithmetic contract)
+    — classification-via-retrieval, fully SQL-oracled because every
+    comparison is int64 (distance ties break to the smaller vec_id,
+    vote ties to the smaller label).
+
+    Shape: the quantized (n, d) neighbor matrix broadcasts once
+    (``ray.put``) and each batch scores against it with one int64
+    matmul — the EXACT-oracle baseline, capped at ``max_broadcast_bytes``
+    like :func:`embedding_dups` (the documented scale path is the
+    LSH/IVF-pruned candidate generation of :func:`ann_topk_lsh` feeding
+    the same vote).  Output: (vec_id, label, pred_label, n_votes,
+    correct).
+    """
+    import ray
+    import ray.data
+
+    from ..util import collect_small_arrow, process_cached, ref_key
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+    mat_t = collect_small_arrow(emb.materialize())
+    nbytes = mat_t.nbytes
+    if nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"knn_classify: embedding table is {nbytes}B > "
+            f"{max_broadcast_bytes}B — use the LSH-bucketed candidate "
+            "path (ann_topk_lsh) at this scale")
+    order = np.argsort(mat_t.column("vec_id").to_numpy())
+    all_ids = mat_t.column("vec_id").to_numpy()[order].astype(np.int64)
+    all_q = np.floor(_list_f64_matrix(mat_t.column("embedding"))
+                     * 1e6 + 0.5).astype(np.int64)[order]
+    all_lbl = mat_t.column("label").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[order]
+    labels = np.sort(np.unique(all_lbl))
+    lbl_idx = np.searchsorted(labels, all_lbl)
+    ref = ray.put((all_ids, all_q, all_lbl, labels, lbl_idx))
+
+    class Vote:
+        def __init__(self, r):
+            (self.ids, self.q, self.lbl, self.labels,
+             self.lbl_idx) = ray.get(r)
+            self.norms = (self.q * self.q).sum(axis=1)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("vec_id"), pa.int64()).to_numpy()
+            true = t.column("label").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            xq = np.floor(_list_f64_matrix(t.column("embedding"))
+                          * 1e6 + 0.5).astype(np.int64)
+            # exact int64 L2: |a|^2 + |b|^2 - 2ab (all well inside int64)
+            d2 = ((xq * xq).sum(axis=1)[:, None] + self.norms[None, :]
+                  - 2 * (xq @ self.q.T))
+            n_all = len(self.ids)
+            # deterministic composite order (d2, neighbor vec_id):
+            # neighbor index follows vec_id order, so idx breaks ties
+            if int(d2.max(initial=0)) > (2 ** 62) // max(n_all, 1):
+                raise ValueError("knn_classify: composite sort key would "
+                                 "overflow int64 at this n/d2 range")
+            key = d2 * np.int64(n_all) + np.arange(n_all, dtype=np.int64)
+            self_pos = np.searchsorted(self.ids, ids)
+            is_self = self.ids[self_pos.clip(max=n_all - 1)] == ids
+            rows = np.arange(len(ids))
+            key[rows[is_self], self_pos[is_self]] = np.iinfo(np.int64).max
+            top = np.argpartition(key, k - 1, axis=1)[:, :k]
+            top = np.take_along_axis(
+                top, np.argsort(np.take_along_axis(key, top, axis=1),
+                                axis=1), axis=1)
+            votes = np.zeros((len(ids), len(self.labels)), np.int64)
+            for j in range(k):
+                votes[rows, self.lbl_idx[top[:, j]]] += 1
+            best = votes.argmax(axis=1)  # first max = smallest label
+            return pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "label": pa.array(true),
+                "pred_label": pa.array(self.labels[best]),
+                "n_votes": pa.array(votes[rows, best]),
+                "correct": pa.array(
+                    (self.labels[best] == true).astype(np.int64)),
+            })
+
+    return emb.map_batches(
+        process_cached(Vote, (ref_key(ref), k), ref),
+        batch_format="pyarrow", batch_size=512)
+
+
+def knn_classify_sql(k: int = 5) -> str:
+    return f"""
+WITH el AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS xq
+  FROM embeddings),
+d AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(sum((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT) AS d2
+  FROM el a JOIN el b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  GROUP BY ia, ib),
+topk AS (
+  SELECT ia, ib,
+         row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+  FROM d),
+votes AS (
+  SELECT t.ia, CAST(e.label AS BIGINT) AS cand, count(*) AS c
+  FROM topk t JOIN embeddings e ON e.vec_id = t.ib
+  WHERE t.rn <= {k} GROUP BY t.ia, cand),
+pred AS (
+  SELECT ia, cand, c,
+         row_number() OVER (PARTITION BY ia ORDER BY c DESC, cand) AS pr
+  FROM votes)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, p.cand AS pred_label,
+       CAST(p.c AS BIGINT) AS n_votes,
+       CAST(CASE WHEN p.cand = e.label THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM embeddings e JOIN pred p ON p.ia = e.vec_id AND p.pr = 1"""
