@@ -388,6 +388,34 @@ def run_bench() -> dict:
     best_of("media_phash_groups",
             lambda: media_phash_groups(SF_DIR).count())
 
+    # round-4 fifth wave: graph triangle closure (triad emission + one
+    # packed-key colocate join), the two-pass corpus-trained char-bigram
+    # LM, the two-phase exact-proportion split rank, the band self-join
+    # and the derived-aggregate RFM quantile chain
+    from yj_schema_validator_ray.pipelines.olap import (
+        events_purchase_view_window, orders_rfm)
+    from yj_schema_validator_ray.stages.classify import charlm_scores
+    from yj_schema_validator_ray.stages.graph import supplier_triangles
+    from yj_schema_validator_ray.stages.sampling import exact_split
+
+    def docs3_ds():
+        import ray.data
+
+        return ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "text", "source"])
+
+    # min_support=5 thins the uniformly-drawn (hence near-complete)
+    # synthetic co-occurrence graph to ~48k edges — the sparse power-law
+    # regime real graphs live in; see supplier_triangles docstring
+    best_of("supplier_triangles",
+            lambda: supplier_triangles(SF_DIR, min_support=5).count())
+    best_of("charlm_scores", lambda: charlm_scores(docs_ds()).count())
+    best_of("docs_exact_split", lambda: exact_split(docs3_ds()).count())
+    best_of("events_band_join",
+            lambda: events_purchase_view_window(SF_DIR).count())
+    best_of("orders_rfm", lambda: orders_rfm(SF_DIR).count())
+
     headline = timings["validate"]
     result = {
         "metric": ("validated files/sec end-to-end (rows validated + "

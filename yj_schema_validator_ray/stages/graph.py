@@ -356,12 +356,29 @@ def triangle_counts(edges_ds, coarse: int = 1024):
         ["node"], [("node", "count", "n_triangles")], coarse=coarse)
 
 
-def supplier_triangles(sf_dir: str):
+def supplier_triangles(sf_dir: str, min_support: int = 1):
     """Per-supplier triangle counts of the order-co-occurrence graph —
     the clustering-structure audit of the trade network (tightly-knit
     supplier groups ship together transitively).  Columns
-    ``(s_suppkey, n_triangles)``."""
-    edges = supplier_cooccurrence_edges(sf_dir).map_batches(
+    ``(s_suppkey, n_triangles)``.
+
+    ``min_support`` drops edges backed by fewer than that many orders
+    BEFORE triangle closure.  Triangle counting is inherently
+    Theta(sum d_out^2): this synthetic corpus draws suppliers uniformly
+    per order, so its co-occurrence graph approaches COMPLETE at scale
+    (sf0.1: 454k of the 500k possible edges — and a near-complete
+    graph's triangle count is Theta(n^3), i.e. the ANSWER is huge no
+    matter the algorithm).  Real co-occurrence graphs are power-law
+    sparse; the support threshold is the standard densification guard
+    (and is what the bench measures at replicated scale)."""
+    edges = supplier_cooccurrence_edges(sf_dir)
+    if min_support > 1:
+        edges = edges.map_batches(
+            lambda t, s=min_support: t.filter(
+                pc.greater_equal(t.column("n_orders"),
+                                 pa.scalar(s, pa.int64()))),
+            batch_format="pyarrow")
+    edges = edges.map_batches(
         lambda t: t.select(["a", "b"]), batch_format="pyarrow")
     out = triangle_counts(edges)
     if isinstance(out, pa.Table):  # empty-graph fast path
@@ -371,15 +388,16 @@ def supplier_triangles(sf_dir: str):
         batch_format="pyarrow")
 
 
-def supplier_triangles_sql() -> str:
+def supplier_triangles_sql(min_support: int = 1) -> str:
     """Oracle: distinct co-occurrence pairs, canonical u<v<w triangle
     enumeration by a double pair self-join, then a 3-way node unnest."""
-    return """
+    return f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
 pairs AS (
-  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
 ),
 tri AS (
   SELECT e1.x AS u, e1.y AS v, e2.y AS w
