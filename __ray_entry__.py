@@ -1010,8 +1010,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave (events_first_last, docs_dense_topk, embedding_centroids,
         # events_ols_stats, events_mad_outliers, term_cooccurrence,
         # trade_pagerank, events_path_trigrams, orders_open_per_day,
-        # docs_pareto_frontier) — all local-harness + sf0.01
-        # driver-mimic green; rotate these into positions 1-29 next
+        # docs_pareto_frontier) plus the fifth wave (q9_product_profit,
+        # q16_supplier_variety, supplier_triangles, part_fuzzy_pairs,
+        # charlm_scores, events_type_pivot, orders_rfm,
+        # docs_exact_split, events_purchase_view_window,
+        # orders_yoy_growth, knn_classify) — all local-harness +
+        # sf0.01 driver-mimic green; rotate these into the window next
         # round, then the stalest r02 pool.
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
