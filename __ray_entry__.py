@@ -543,6 +543,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return knn_classify(sf_dir)
 
+    def q_corpus_fingerprint(sf_dir):
+        # order-free XOR table fingerprint (content + id certificates)
+        from yj_schema_validator_ray.pipelines.curation import (
+            corpus_fingerprint)
+
+        return corpus_fingerprint(ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang"]))
+
+    def q_part_fuzzy_clusters(sf_dir):
+        # entity resolution: fuzzy pair graph -> hash-min components
+        from yj_schema_validator_ray.stages.fuzzy import (
+            part_fuzzy_clusters)
+
+        return part_fuzzy_clusters(sf_dir)
+
+    def q_events_late_arrivals(sf_dir):
+        # watermark audit: distributed prefix-max over arrival order,
+        # allowed-lateness gate (sizes lateness for streaming windows)
+        from yj_schema_validator_ray.stages.streaming import (
+            events_late_arrivals)
+
+        return events_late_arrivals(sf_dir)
+
     def q_docs_exact_split(sf_dir):
         # exact-proportion stratified split: two-phase md5-bucket rank
         # within source (no global sort; text never moves)
@@ -1116,6 +1140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchase_view_window": q_events_purchase_view_window,
         "orders_yoy_growth": q_orders_yoy_growth,
         "knn_classify": q_knn_classify,
+        "corpus_fingerprint": q_corpus_fingerprint,
+        "part_fuzzy_clusters": q_part_fuzzy_clusters,
+        "events_late_arrivals": q_events_late_arrivals,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1758,6 +1785,26 @@ def _knn_classify_sql() -> str:
     return knn_classify_sql()
 
 
+def _corpus_fingerprint_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        corpus_fingerprint_sql)
+
+    return corpus_fingerprint_sql()
+
+
+def _part_fuzzy_clusters_sql() -> str:
+    from yj_schema_validator_ray.stages.fuzzy import part_fuzzy_clusters_sql
+
+    return part_fuzzy_clusters_sql()
+
+
+def _events_late_arrivals_sql() -> str:
+    from yj_schema_validator_ray.stages.streaming import (
+        events_late_arrivals_sql)
+
+    return events_late_arrivals_sql()
+
+
 def _docs_token_budget_sql() -> str:
     from yj_schema_validator_ray.stages.rank import docs_token_budget_sql
 
@@ -1861,6 +1908,9 @@ def oracle_sql() -> dict[str, str]:
             _OL.events_purchase_view_window_sql(),
         "orders_yoy_growth": _OL.orders_yoy_growth_sql(),
         "knn_classify": _knn_classify_sql(),
+        "corpus_fingerprint": _corpus_fingerprint_sql(),
+        "part_fuzzy_clusters": _part_fuzzy_clusters_sql(),
+        "events_late_arrivals": _events_late_arrivals_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

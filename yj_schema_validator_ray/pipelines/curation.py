@@ -1042,3 +1042,74 @@ SELECT CASE WHEN sha_old IS NULL THEN 'added'
             ELSE 'changed' END AS status,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM j GROUP BY 1"""
+
+
+def corpus_fingerprint(docs_ds):
+    """Table FINGERPRINT for migration / replication audits: per lang,
+    row count, total chars, and order-free XOR certificates over the
+    row CONTENT (md5-prefix int) and the id set — two corpus copies
+    fingerprint equal iff they hold the same rows, regardless of
+    partitioning or order (counts alone can't tell "row replaced" from
+    "row intact"; the :func:`corpus_merge` certificate idea promoted to
+    a standalone audit operator).
+
+    XOR is commutative/associative/self-inverse, so per-batch partials
+    merge exactly in any order; partials are lang-domain rows per block
+    and the final merge is a driver-side fold over |langs| x blocks
+    rows (the q8 year-partial pattern).  Text never moves.
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        content = np.array(
+            [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+             for t in df["text"]], np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        lens = df["text"].str.len().to_numpy(np.int64)
+        out = (pd.DataFrame({"lang": df["lang"].to_numpy(object),
+                             "n_docs": 1, "total_chars": lens,
+                             "content_xor": content, "id_xor": ids})
+               .groupby("lang", sort=False)
+               .agg(n_docs=("n_docs", "sum"),
+                    total_chars=("total_chars", "sum"),
+                    content_xor=("content_xor",
+                                 lambda v: np.bitwise_xor.reduce(
+                                     v.to_numpy(np.int64))),
+                    id_xor=("id_xor",
+                            lambda v: np.bitwise_xor.reduce(
+                                v.to_numpy(np.int64))))
+               .reset_index())
+        return out
+
+    from ..util import collect_small_arrow
+
+    partials = collect_small_arrow(
+        docs_ds.map_batches(partial, batch_format="pandas")).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"lang": pd.Series(dtype="string"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "total_chars": pd.Series(dtype="int64"),
+                             "content_xor": pd.Series(dtype="int64"),
+                             "id_xor": pd.Series(dtype="int64")})
+    out = (partials.groupby("lang", as_index=False)
+           .agg(n_docs=("n_docs", "sum"),
+                total_chars=("total_chars", "sum"),
+                content_xor=("content_xor",
+                             lambda v: np.bitwise_xor.reduce(
+                                 v.to_numpy(np.int64))),
+                id_xor=("id_xor",
+                        lambda v: np.bitwise_xor.reduce(
+                            v.to_numpy(np.int64)))))
+    for c in ("n_docs", "total_chars", "content_xor", "id_xor"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def corpus_fingerprint_sql() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+            AS BIGINT) AS content_xor,
+       CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+FROM documents GROUP BY lang"""

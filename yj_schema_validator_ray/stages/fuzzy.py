@@ -165,3 +165,44 @@ SELECT a.p_brand,
 FROM part a
 JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= {max_d}"""
+
+
+def part_fuzzy_clusters(sf_dir: str, max_d: int = 2):
+    """Entity-resolution CLUSTERS: the transitive closure of the
+    blocked edit-distance pair graph — :func:`part_fuzzy_pairs` piped
+    into the hash-min connected-components engine
+    (:func:`.graph.connected_components`), exactly the fuzzy-match ->
+    cluster -> survivorship chain a master-data pipeline runs.  Only
+    parts in at least one fuzzy pair appear (singletons are trivially
+    their own cluster).  Columns ``(p_partkey, cluster)`` with
+    ``cluster`` = smallest reachable partkey."""
+    from .graph import connected_components
+
+    pairs = part_fuzzy_pairs(sf_dir, max_d=max_d).map_batches(
+        lambda t: pa.table({"a": t.column("part_a"),
+                            "b": t.column("part_b")}),
+        batch_format="pyarrow")
+    comp = connected_components(pairs)
+    if isinstance(comp, pa.Table):  # empty pair graph
+        return comp.rename_columns(["p_partkey", "cluster"])
+    return comp.map_batches(
+        lambda t: t.rename_columns(["p_partkey", "cluster"]),
+        batch_format="pyarrow")
+
+
+def part_fuzzy_clusters_sql(max_d: int = 2) -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM part a
+  JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= {max_d}
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach AS (
+  SELECT a AS id, a AS comp FROM edges
+  UNION
+  SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS p_partkey, CAST(min(comp) AS BIGINT) AS cluster
+FROM reach GROUP BY id"""

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -251,3 +253,116 @@ def streaming_sessionize(sf_dir: str, gap_s: int = 1800,
                 n_events=("n_events", "sum")))
     return out.astype({"user_id": "int64", "n_sessions": "int64",
                        "n_events": "int64"})
+
+
+def events_late_arrivals(sf_dir: str, lateness_s: int = 60,
+                         coarse: int = 1024):
+    """Late-event accounting under watermark semantics: replaying the
+    stream in ARRIVAL order, each event is checked against the high
+    watermark — the max EVENT TIME seen strictly before it — minus the
+    allowed lateness; events older than that would be dropped (or
+    side-outputted) by a streaming window operator.  This is the batch
+    audit that sizes ``allowed_lateness`` before deploying the
+    stateful-actor windows (:func:`streaming_tumbling_window`).
+
+    The corpus's event_id order IS its time order (zero lateness), so
+    arrival order is defined as the deterministic md5 permutation of
+    event ids — a reproducible out-of-order network replay both
+    engines derive identically (the :mod:`..sampling` md5-decision
+    convention).
+
+    The watermark is a distributed PREFIX MAX over that order: pass 1
+    reduces per-bucket maxima keyed by the first md5 byte (256 rows on
+    the driver at ANY corpus size — bucket-prefix order equals
+    full-digest order), the driver folds them into exclusive incoming
+    maxima, pass 2 co-locates each bucket and runs a vectorized
+    shifted cummax over (digest, event_id).  The first arrival has no
+    predecessor: watermark = -1 sentinel (never late), matching the
+    SQL ``coalesce``.
+
+    Output per event: (event_id, ts_us, watermark_us, late).
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+
+    from ..util import collect_small_arrow, process_cached, ref_key, \
+        shuffle_partitions
+    from .exact_agg import grouped_aggregate
+
+    lateness_us = lateness_s * 1_000_000
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(i).encode()).hexdigest()
+             for i in df["event_id"]]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            # explicit us cast: the source parquet unit must not leak
+            # into the epoch integers (ns-unit files would come out 1000x)
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64")
+            .to_numpy(),
+            "h": h,
+            "bucket": np.array([int(x[:2], 16) for x in h], np.int64),
+        })
+
+    ev = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "ts"])
+          .map_batches(prep, batch_format="pandas")).materialize()
+
+    bmax = collect_small_arrow(grouped_aggregate(
+        ev, ["bucket"], [("ts_us", "max", "mx")],
+        num_partitions=min(8, shuffle_partitions()))).to_pandas()
+    bmax = bmax.sort_values("bucket")
+    run = np.maximum.accumulate(bmax["mx"].to_numpy(np.int64))
+    incoming = dict(zip(bmax["bucket"].astype(int),
+                        np.concatenate(([np.int64(-1)], run[:-1]))))
+    ref = ray.put(incoming)
+
+    class Watermark:
+        def __init__(self, r):
+            self.incoming = ray.get(r)
+
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for b, blk in g.groupby("bucket", sort=False):
+                blk = blk.sort_values(["h", "event_id"], kind="mergesort")
+                ts = blk["ts_us"].to_numpy(np.int64)
+                seed = np.int64(self.incoming[int(b)])
+                wm = np.concatenate(
+                    ([seed], np.maximum.accumulate(
+                        np.maximum(ts[:-1], seed))))
+                outs.append(pd.DataFrame({
+                    "event_id": blk["event_id"].to_numpy(np.int64),
+                    "ts_us": ts,
+                    "watermark_us": wm,
+                    "late": ((wm >= 0) & (ts < wm - lateness_us))
+                    .astype(np.int64)}))
+            return pd.concat(outs, ignore_index=True)
+
+    return (ev.groupby("bucket", num_partitions=shuffle_partitions())
+            .map_groups(process_cached(Watermark,
+                                       (ref_key(ref), lateness_us), ref),
+                        batch_format="pandas"))
+
+
+def events_late_arrivals_sql(lateness_s: int = 60) -> str:
+    us = lateness_s * 1_000_000
+    return f"""
+WITH a AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         md5(CAST(event_id AS VARCHAR)) AS h
+  FROM events),
+w AS (
+  SELECT event_id, ts_us,
+         CAST(coalesce(max(ts_us) OVER (
+                  ORDER BY h, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) AS BIGINT) AS watermark_us
+  FROM a)
+SELECT event_id, ts_us, watermark_us,
+       CAST(CASE WHEN watermark_us >= 0
+                  AND ts_us < watermark_us - {us}
+                 THEN 1 ELSE 0 END AS BIGINT) AS late
+FROM w"""
