@@ -642,6 +642,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # assignment is a zero-shuffle broadcast-argmin scan
         return OL.embedding_lloyd_step(sf_dir)
 
+    def q_embedding_kmeans(sf_dir):
+        # FULL k-means: 3 unrolled Lloyd rounds, each re-materialized
+        # to bound lineage; the whole trajectory is SQL-oracled via
+        # the unrolled-CTE chain (fixed-point arithmetic per round)
+        return OL.embedding_kmeans(sf_dir, rounds=3)
+
     def q_trade_hits(sf_dir):
         # HITS hubs/authorities: the normalize-per-round iterative
         # pattern — exact-integer L1 renormalization via one driver
@@ -1129,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_groups": q_media_phash_groups,
         "trade_hits": q_trade_hits,
         "embedding_lloyd_step": q_embedding_lloyd_step,
+        "embedding_kmeans": q_embedding_kmeans,
         "q9_product_profit": q_q9_product_profit,
         "q16_supplier_variety": q_q16_supplier_variety,
         "supplier_triangles": q_supplier_triangles,
@@ -1896,6 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_groups": _media_phash_groups_sql(),
         "trade_hits": _trade_hits_sql(),
         "embedding_lloyd_step": _OL.embedding_lloyd_step_sql(),
+        "embedding_kmeans": _OL.embedding_kmeans_sql(rounds=3),
         "q9_product_profit": _TX.q9_sql(),
         "q16_supplier_variety": _TX.q16_sql(),
         "supplier_triangles": _supplier_triangles_sql(),

@@ -1356,3 +1356,141 @@ SELECT o_orderpriority, o_year, revenue_cents,
        CAST(prev_cents AS BIGINT) AS prev_cents,
        CAST(revenue_cents - prev_cents AS BIGINT) AS yoy_diff_cents
 FROM l WHERE prev_cents IS NOT NULL"""
+
+
+# ---------------------------------------------------------------------------
+# multi-round k-means (unrolled Lloyd iterations, SQL-oracled end-to-end)
+# ---------------------------------------------------------------------------
+
+def embedding_kmeans(sf_dir: str, rounds: int = 3):
+    """FULL k-means refinement loop: ``rounds`` exact Lloyd iterations
+    (centroids of the current assignment -> nearest-centroid
+    re-assignment), the iterative-ML-training-loop shape
+    (:func:`embedding_lloyd_step` is one round; this drives the loop
+    with per-round re-materialization bounding the lineage, the
+    :mod:`..stages.pagerank` discipline).  The whole trajectory is
+    bit-checkable: the fixed-point arithmetic contract of the single
+    step holds every round, and the oracle unrolls the same ``rounds``
+    CTE chain.
+
+    A cluster that loses all members simply disappears from the next
+    round's centroid set (both engines derive this identically).
+
+    Shape per round: zero-shuffle (label x dim) int64 partial sums ->
+    driver-collected k x d centroid matrix (tiny at any corpus size)
+    -> broadcast argmin re-assignment scan.  Vectors never cross an
+    exchange; only the assignment column changes per round.
+
+    Output per vector: (vec_id, label_init, label_final, moved).
+    """
+    import ray
+    import ray.data
+
+    from ..stages.ann import _list_f64_matrix
+    from ..util import collect_small_arrow, process_cached, ref_key
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+            "embedding": t.column("embedding"),
+            "label_init": pc.cast(t.column("label"), pa.int64()),
+            "label": pc.cast(t.column("label"), pa.int64())})
+
+    cur = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding", "label"])
+           .map_batches(prep, batch_format="pyarrow")).materialize()
+
+    def cent_partial(t: pa.Table) -> pa.Table:
+        xq = np.floor(_list_f64_matrix(t.column("embedding"))
+                      * 1e6 + 0.5).astype(np.int64)
+        lbl = t.column("label").to_numpy()
+        labels, inv = np.unique(lbl, return_inverse=True)
+        k, d = len(labels), xq.shape[1]
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, inv, xq)
+        ns = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(labels, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "sum_q": pa.array(sums.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(ns, d)),
+        })
+
+    for _ in range(rounds):
+        cdf = collect_small_arrow(
+            cur.map_batches(cent_partial,
+                            batch_format="pyarrow")).to_pandas()
+        cdf = (cdf.groupby(["label", "dim"], as_index=False)
+               [["sum_q", "n_vecs"]].sum().sort_values(["label", "dim"]))
+        labels = np.sort(cdf["label"].unique())
+        d = int(cdf["dim"].max()) + 1
+        sums = cdf["sum_q"].to_numpy(np.int64).reshape(len(labels), d)
+        ns = (cdf.groupby("label", sort=True)["n_vecs"].first()
+              .to_numpy(np.int64))
+        m = np.sign(sums) * (np.abs(sums) // ns[:, None])
+        ref = ray.put((labels, m))
+
+        class Assign:
+            def __init__(self, r):
+                self.labels, self.m = ray.get(r)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                xq = np.floor(_list_f64_matrix(t.column("embedding"))
+                              * 1e6 + 0.5).astype(np.int64)
+                dist = ((xq[:, None, :].astype(np.int64)
+                         - self.m[None, :, :]) ** 2).sum(axis=2)
+                best = np.argmin(dist, axis=1)
+                return pa.table({
+                    "vec_id": t.column("vec_id"),
+                    "embedding": t.column("embedding"),
+                    "label_init": t.column("label_init"),
+                    "label": pa.array(self.labels[best], pa.int64())})
+
+        cur = cur.map_batches(
+            process_cached(Assign, ref_key(ref), ref),
+            batch_format="pyarrow", batch_size=1024).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        init = t.column("label_init")
+        fin = t.column("label")
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "label_init": init,
+            "label_final": fin,
+            "moved": pc.cast(pc.not_equal(fin, init), pa.int64())})
+
+    return cur.map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_kmeans_sql(rounds: int = 3) -> str:
+    """Oracle: the same ``rounds``-step Lloyd chain unrolled as CTEs
+    (the :func:`..stages.pagerank.trade_pagerank` unrolled-oracle
+    technique applied to k-means)."""
+    parts = ["""el AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS xq
+  FROM embeddings),
+a0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""c{r} AS (
+  SELECT a.label, e.dim, CAST(sum(e.xq) // count(*) AS BIGINT) AS m
+  FROM el e JOIN a{r - 1} a USING (vec_id) GROUP BY a.label, e.dim),
+d{r} AS (
+  SELECT e.vec_id, c.label AS cand,
+         CAST(sum((e.xq - c.m) * (e.xq - c.m)) AS BIGINT) AS d2
+  FROM el e JOIN c{r} c ON c.dim = e.dim GROUP BY e.vec_id, c.label),
+a{r} AS (
+  SELECT vec_id, cand AS label FROM (
+    SELECT vec_id, cand,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cand) AS rk
+    FROM d{r}) WHERE rk = 1)""")
+    return f"""
+WITH {", ".join(parts)}
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(e.label AS BIGINT) AS label_init,
+       a.label AS label_final,
+       CAST(CASE WHEN a.label <> e.label THEN 1 ELSE 0 END AS BIGINT)
+         AS moved
+FROM embeddings e JOIN a{rounds} a USING (vec_id)"""
