@@ -789,3 +789,40 @@ def test_lloyd_step_recovers_corrupted_blob_labels(ray_session):
                .sort_values("vec_id").reset_index(drop=True))
     assert got["new_label"].to_numpy().tolist() == true.tolist()
     assert int(got["moved"].sum()) == len(flip)
+
+
+def test_kmeans_multi_round_converges_and_is_stable(ray_session):
+    """Three separated blobs with 30% corrupted labels: the 3-round
+    Lloyd loop recovers every true label, exactly the corrupted
+    vectors report moved=1, and a fixed point is reached (a 4th
+    round changes nothing)."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.pipelines.olap import embedding_kmeans
+
+    rng = np.random.RandomState(41)
+    n, d = 150, 5
+    true = rng.randint(0, 3, n)
+    centers = np.array([[9.0] * d, [-9.0] * d,
+                        [9.0, -9.0, 9.0, -9.0, 9.0]])
+    mat = (centers[true] + rng.randn(n, d) * 0.4).astype(np.float32)
+    noisy = true.copy()
+    flip = rng.choice(n, int(n * 0.3), replace=False)
+    noisy[flip] = (noisy[flip] + 1) % 3
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+        "label": pa.array(noisy.astype(np.int32), pa.int32()),
+    })
+    with tempfile.TemporaryDirectory() as dd:
+        pq.write_table(tbl, os.path.join(dd, "embeddings.parquet"))
+        got3 = (embedding_kmeans(dd, rounds=3).to_pandas()
+                .sort_values("vec_id").reset_index(drop=True))
+        got4 = (embedding_kmeans(dd, rounds=4).to_pandas()
+                .sort_values("vec_id").reset_index(drop=True))
+    assert got3["label_final"].to_numpy().tolist() == true.tolist()
+    moved_ids = set(got3.loc[got3["moved"] == 1, "vec_id"])
+    assert moved_ids == set(int(i) for i in flip)
+    # fixed point: round 4 output identical to round 3
+    assert got4["label_final"].to_numpy().tolist() == true.tolist()
