@@ -642,6 +642,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # assignment is a zero-shuffle broadcast-argmin scan
         return OL.embedding_lloyd_step(sf_dir)
 
+    def q_q2_min_cost_supplier(sf_dir):
+        # TPC-H Q2 shape over the lineitem-derived offer relation:
+        # correlated-min subquery = part-domain exact min attached
+        # back to the gated pairs (ties kept); completes the 22-query
+        # TPC-H canon together with q11/q20
+        from yj_schema_validator_ray.pipelines.tpch_ext import (
+            q2_min_cost_supplier)
+        return q2_min_cost_supplier(sf_dir)
+
+    def q_q11_important_parts(sf_dir):
+        # TPC-H Q11 shape: scalar-aggregate-in-HAVING via ONE driver
+        # scalar (Dataset.sum over the part-domain relation); integer
+        # floor-division threshold so both engines gate bit-identically
+        from yj_schema_validator_ray.pipelines.tpch_ext import (
+            q11_important_parts)
+        return q11_important_parts(sf_dir)
+
+    def q_q20_dominant_suppliers(sf_dir):
+        # TPC-H Q20 shape: nested-aggregate dominance test
+        # (2*supp_qty > part_qty, pure integers) + supplier-domain
+        # distinct + dimension-scale region gate
+        from yj_schema_validator_ray.pipelines.tpch_ext import (
+            q20_dominant_suppliers)
+        return q20_dominant_suppliers(sf_dir)
+
     def q_embedding_kmeans(sf_dir):
         # FULL k-means: 3 unrolled Lloyd rounds, each re-materialized
         # to bound lineage; the whole trajectory is SQL-oracled via
@@ -1136,6 +1161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trade_hits": q_trade_hits,
         "embedding_lloyd_step": q_embedding_lloyd_step,
         "embedding_kmeans": q_embedding_kmeans,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q11_important_parts": q_q11_important_parts,
+        "q20_dominant_suppliers": q_q20_dominant_suppliers,
         "q9_product_profit": q_q9_product_profit,
         "q16_supplier_variety": q_q16_supplier_variety,
         "supplier_triangles": q_supplier_triangles,
@@ -1904,6 +1932,9 @@ def oracle_sql() -> dict[str, str]:
         "trade_hits": _trade_hits_sql(),
         "embedding_lloyd_step": _OL.embedding_lloyd_step_sql(),
         "embedding_kmeans": _OL.embedding_kmeans_sql(rounds=3),
+        "q2_min_cost_supplier": _TX.q2_sql(),
+        "q11_important_parts": _TX.q11_sql(),
+        "q20_dominant_suppliers": _TX.q20_sql(),
         "q9_product_profit": _TX.q9_sql(),
         "q16_supplier_variety": _TX.q16_sql(),
         "supplier_triangles": _supplier_triangles_sql(),

@@ -5,8 +5,10 @@ share (Q8), max-subquery top supplier (Q15), correlated-average filter
 double-correlated shape (Q21) and scalar-subquery + anti-join (Q22).
 
 Adaptations to this corpus (documented per query): no ``partsupp``
-table — Q2/Q11/Q20 are unexpressible, while Q9/Q16 are adapted here by
-substituting part attributes for the partsupp columns (Q9's
+table — Q2/Q11/Q20 run over the lineitem-derived offer relation
+(min extendedprice-cents per (partkey, suppkey), :func:`_offer_min_cost`)
+which preserves their correlated-subquery structures, and Q9/Q16 are
+adapted by substituting part attributes for the partsupp columns (Q9's
 ``ps_supplycost`` -> ``p_retailprice`` as the unit-cost proxy; Q16's
 supplier-exclusion subquery keyed on ``s_acctbal < 0`` instead of the
 comment pattern) with the ORIGINAL join/aggregate structure intact —
@@ -1083,3 +1085,338 @@ WHERE p.p_brand <> '{excl_brand}'
   AND l.l_suppkey NOT IN
       (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q20 — the partsupp family, adapted over the lineitem-derived
+# offer relation (closing the full 22-query TPC-H canon)
+# ---------------------------------------------------------------------------
+
+def _gate_dim(mask_fn):
+    """Batch fn for a key-only dimension gate: keep ``p_partkey`` where
+    ``mask_fn(batch)`` holds, plus a constant marker column so
+    :func:`~..stages.dimjoin.attach_dim_adaptive` (inner) can act as a
+    pure semi-join filter."""
+    def f(t: pa.Table) -> pa.Table:
+        s = t.filter(mask_fn(t))
+        return pa.table({
+            "p_partkey": pc.cast(s.column("p_partkey"), pa.int64()),
+            "p_gate": pa.array(np.zeros(s.num_rows, np.int8()))})
+    return f
+
+
+def _offer_min_cost(sf_dir: str):
+    """The corpus has no ``partsupp``; the offer relation is derived
+    from lineitem as min(extendedprice-cents) per (partkey, suppkey) —
+    "the cheapest observed offer" — which preserves every downstream
+    correlated-subquery structure of the Q2/Q11/Q20 family.  Exact
+    integer cents; per-batch pre-aggregation before the one keyed
+    exchange (pair-domain output, far smaller than lineitem)."""
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "cost_cents": _cents(t.column("l_extendedprice"))})
+        return (tt.group_by(["l_partkey", "l_suppkey"])
+                .aggregate([("cost_cents", "min")])
+                .rename_columns(["l_partkey", "l_suppkey", "cost_cents"]))
+
+    return grouped_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(li_prep, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], [("cost_cents", "min", "cost_cents")])
+
+
+def q2_min_cost_supplier(sf_dir: str, region: str = "EUROPE",
+                         p_type: str = "STANDARD", max_size: int = 25):
+    """TPC-H Q2-shaped minimum-cost supplier: for each gated part
+    (type + size), the region supplier(s) whose offer equals the
+    per-part MINIMUM — the correlated-min-subquery shape.
+
+    Plan: the offer relation reduces lineitem to pair-domain
+    (:func:`_offer_min_cost`); supplier attributes attach
+    size-adaptively and the region gate is a 25-entry nation-key
+    ``is_in`` (nation/region are dimension-scale at ANY corpus size);
+    the part gate attaches size-adaptively too (part scales with the
+    corpus).  The per-part min is a second part-domain exact
+    aggregate attached back to the gated pairs — the groupwise-min +
+    equality-join-back plan; ties are kept exactly as SQL keeps them.
+    """
+    import ray.data
+
+    from ..stages.dimjoin import attach_dim_adaptive
+    from ..stages.exact_agg import grouped_aggregate
+
+    eu = pa.array(_nations_of_region(sf_dir, region), pa.int64())
+    nmap = _nation_names(sf_dir)
+
+    offer = _offer_min_cost(sf_dir)
+
+    supp_dim = (ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+        .map_batches(lambda t: pa.table({
+            "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+            "s_name": t.column("s_name"),
+            "s_acctbal_cents": _cents(t.column("s_acctbal")),
+            "s_nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
+            batch_format="pyarrow"))
+    gated = attach_dim_adaptive(
+        offer, "l_suppkey", supp_dim, "s_suppkey",
+        ["s_name", "s_acctbal_cents", "s_nationkey"], how="inner")
+    gated = gated.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("s_nationkey"), value_set=eu)),
+        batch_format="pyarrow")
+
+    part_dim = (ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type", "p_size"])
+        .map_batches(_gate_dim(lambda t: pc.and_(
+            pc.equal(t.column("p_type"), pa.scalar(p_type)),
+            pc.less_equal(t.column("p_size"),
+                          pa.scalar(max_size, pa.int32())))),
+            batch_format="pyarrow"))
+    gated = attach_dim_adaptive(gated, "l_partkey", part_dim, "p_partkey",
+                                ["p_gate"], how="inner")
+    gated = gated.drop_columns(["p_gate"]).materialize()
+
+    mins = grouped_aggregate(gated, ["l_partkey"],
+                             [("cost_cents", "min", "min_cost")])
+    withmin = attach_dim_adaptive(gated, "l_partkey", mins, "l_partkey",
+                                  ["min_cost"], how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("cost_cents"),
+                              t.column("min_cost")))
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_partkey": t.column("l_partkey"),
+            "s_suppkey": t.column("l_suppkey"),
+            "s_name": t.column("s_name"),
+            "s_acctbal_cents": t.column("s_acctbal_cents"),
+            "n_name": pa.array([nmap[int(k)] for k in nk], pa.string()),
+            "cost_cents": t.column("cost_cents")})
+
+    return withmin.map_batches(finish, batch_format="pyarrow")
+
+
+def q2_sql(region: str = "EUROPE", p_type: str = "STANDARD",
+           max_size: int = 25) -> str:
+    return f"""
+WITH eu AS (
+  SELECT n_nationkey, n_name
+  FROM nation JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{region}'),
+offer AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) AS cost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+gated AS (
+  SELECT o.l_partkey, o.l_suppkey, o.cost_cents, s.s_name,
+         CAST(round(s.s_acctbal * 100.0) AS BIGINT) AS s_acctbal_cents,
+         e.n_name
+  FROM offer o
+  JOIN supplier s ON s.s_suppkey = o.l_suppkey
+  JOIN eu e ON e.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = o.l_partkey
+  WHERE p.p_type = '{p_type}' AND p.p_size <= {max_size})
+SELECT g.l_partkey AS p_partkey, g.l_suppkey AS s_suppkey, g.s_name,
+       g.s_acctbal_cents, g.n_name, g.cost_cents
+FROM gated g
+WHERE g.cost_cents = (SELECT min(cost_cents) FROM gated g2
+                      WHERE g2.l_partkey = g.l_partkey)"""
+
+
+def q11_important_parts(sf_dir: str, region: str = "EUROPE",
+                        denom: int = 1000):
+    """TPC-H Q11-shaped important stock: per-part inventory value
+    restricted to one region's suppliers, keeping parts whose value
+    exceeds a fixed fraction of the GLOBAL total — the
+    scalar-aggregate-in-HAVING shape.  The threshold is exact integer
+    floor division (``total // denom``) so both engines derive the
+    same gate bit-for-bit.
+
+    Plan: per-batch (partkey, suppkey) partial sums, one size-adaptive
+    supplier attach for the nation gate, one part-domain exact
+    aggregate; the global total is ``Dataset.sum`` over the
+    part-domain relation (ONE driver scalar, never the rows)."""
+    import ray.data
+
+    from ..stages.dimjoin import attach_dim_adaptive
+    from ..stages.exact_agg import grouped_aggregate
+
+    eu = pa.array(_nations_of_region(sf_dir, region), pa.int64())
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "value_cents": _cents(t.column("l_extendedprice"))})
+        return (tt.group_by(["l_partkey", "l_suppkey"])
+                .aggregate([("value_cents", "sum")])
+                .rename_columns(["l_partkey", "l_suppkey", "value_cents"]))
+
+    pairs = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(li_prep, batch_format="pyarrow"))
+
+    supp_dim = (ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"])
+        .map_batches(lambda t: pa.table({
+            "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+            "s_nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
+            batch_format="pyarrow"))
+    pairs = attach_dim_adaptive(pairs, "l_suppkey", supp_dim, "s_suppkey",
+                                ["s_nationkey"], how="inner")
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("s_nationkey"), value_set=eu)),
+        batch_format="pyarrow")
+
+    v = grouped_aggregate(pairs, ["l_partkey"],
+                          [("value_cents", "sum", "value_cents")])
+    v = v.materialize()  # consumed twice: global sum + filter
+    total = v.sum("value_cents") or 0
+    thresh = int(total) // denom
+
+    return v.map_batches(
+        lambda t: pa.table({
+            "p_partkey": t.column("l_partkey"),
+            "value_cents": t.column("value_cents")}).filter(
+                pc.greater(t.column("value_cents"),
+                           pa.scalar(thresh, pa.int64()))),
+        batch_format="pyarrow")
+
+
+def q11_sql(region: str = "EUROPE", denom: int = 1000) -> str:
+    return f"""
+WITH eu AS (
+  SELECT n_nationkey FROM nation JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{region}'),
+v AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) AS value_cents
+  FROM lineitem JOIN supplier s ON s.s_suppkey = l_suppkey
+  JOIN eu e ON e.n_nationkey = s.s_nationkey
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, value_cents FROM v
+WHERE value_cents > (SELECT CAST(sum(value_cents) // {denom} AS BIGINT)
+                     FROM v)"""
+
+
+def q20_dominant_suppliers(sf_dir: str, name_word: str = "widget",
+                           year: int = 1997, region: str = "EUROPE"):
+    """TPC-H Q20-shaped potential promotion: region suppliers who
+    shipped MORE THAN HALF of a gated part's total volume in one year
+    — the nested-aggregate-subquery + IN-subquery shape (Q20's
+    ``ps_availqty > 0.5 * sum(l_quantity)`` dominance test, expressed
+    over the lineitem-derived offer relation).
+
+    Plan: year filter at the scan, part-name gate via a size-adaptive
+    attach, ONE pair-domain exact aggregate, a part-domain total
+    attached back (integer ``2*supp > total`` — no floats), then a
+    supplier-domain distinct and the dimension-scale region gate."""
+    import ray.data
+
+    from ..stages.dimjoin import attach_dim_adaptive
+    from ..stages.exact_agg import grouped_aggregate
+
+    eu = pa.array(_nations_of_region(sf_dir, region), pa.int64())
+    nmap = _nation_names(sf_dir)
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi)))
+        t = t.filter(m)
+        tt = pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64())})
+        return (tt.group_by(["l_partkey", "l_suppkey"])
+                .aggregate([("qty", "sum")])
+                .rename_columns(["l_partkey", "l_suppkey", "supp_qty"]))
+
+    pairs0 = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(li_prep, batch_format="pyarrow"))
+
+    part_dim = (ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+        .map_batches(_gate_dim(
+            lambda t: pc.match_substring(t.column("p_name"), name_word)),
+            batch_format="pyarrow"))
+    gated = attach_dim_adaptive(pairs0, "l_partkey", part_dim, "p_partkey",
+                                ["p_gate"], how="inner").drop_columns(
+                                    ["p_gate"])
+
+    pair = grouped_aggregate(gated, ["l_partkey", "l_suppkey"],
+                             [("supp_qty", "sum", "supp_qty")]).materialize()
+    tot = grouped_aggregate(pair, ["l_partkey"],
+                            [("supp_qty", "sum", "part_qty")])
+    dom = attach_dim_adaptive(pair, "l_partkey", tot, "l_partkey",
+                              ["part_qty"], how="inner")
+    dom = dom.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t.column("supp_qty"), pa.scalar(2, pa.int64())),
+            t.column("part_qty"))).select(["l_suppkey"]),
+        batch_format="pyarrow")
+    supp_ids = grouped_aggregate(dom, ["l_suppkey"],
+                                 [("l_suppkey", "count", "n")])
+
+    supp_dim = (ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"])
+        .map_batches(lambda t: pa.table({
+            "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+            "s_name": t.column("s_name"),
+            "s_nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
+            batch_format="pyarrow"))
+    out = attach_dim_adaptive(supp_ids, "l_suppkey", supp_dim, "s_suppkey",
+                              ["s_name", "s_nationkey"], how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column("s_nationkey"), value_set=eu))
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s_suppkey": t.column("l_suppkey"),
+            "s_name": t.column("s_name"),
+            "n_name": pa.array([nmap[int(k)] for k in nk], pa.string())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q20_sql(name_word: str = "widget", year: int = 1997,
+            region: str = "EUROPE") -> str:
+    return f"""
+WITH gated AS (
+  SELECT l_partkey, l_suppkey, CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+  WHERE p.p_name LIKE '%{name_word}%'
+    AND l_shipdate >= TIMESTAMP '{year}-01-01'
+    AND l_shipdate < TIMESTAMP '{year + 1}-01-01'),
+pair AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS supp_qty
+  FROM gated GROUP BY l_partkey, l_suppkey),
+tot AS (
+  SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+  FROM pair GROUP BY l_partkey),
+dom AS (
+  SELECT DISTINCT p.l_suppkey FROM pair p JOIN tot t USING (l_partkey)
+  WHERE 2 * p.supp_qty > t.part_qty)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM dom d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{region}'"""
