@@ -681,6 +681,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return trade_hits(sf_dir)
 
+    def q_trade_bfs_hops(sf_dir):
+        # multi-source BFS hop levels: bounded Bellman-Ford frontier
+        # expansion over the symmetrized trade graph — one coarse
+        # exchange + one node-keyed exact min per round, int64 only
+        from yj_schema_validator_ray.stages.pagerank import trade_bfs_hops
+
+        return trade_bfs_hops(sf_dir)
+
     def q_docs_ids_concat(sf_dir):
         # string_agg/array_agg: order-insensitive partial collects,
         # final per-group sort owns the order
@@ -1178,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_fingerprint": q_corpus_fingerprint,
         "part_fuzzy_clusters": q_part_fuzzy_clusters,
         "events_late_arrivals": q_events_late_arrivals,
+        "trade_bfs_hops": q_trade_bfs_hops,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1400,6 +1409,12 @@ def _trade_pagerank_sql() -> str:
     from yj_schema_validator_ray.stages.pagerank import trade_pagerank_sql
 
     return trade_pagerank_sql()
+
+
+def _trade_bfs_hops_sql() -> str:
+    from yj_schema_validator_ray.stages.pagerank import trade_bfs_hops_sql
+
+    return trade_bfs_hops_sql()
 
 
 def _term_cooccurrence_sql() -> str:
@@ -1950,6 +1965,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_fingerprint": _corpus_fingerprint_sql(),
         "part_fuzzy_clusters": _part_fuzzy_clusters_sql(),
         "events_late_arrivals": _events_late_arrivals_sql(),
+        "trade_bfs_hops": _trade_bfs_hops_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -416,6 +416,16 @@ def run_bench() -> dict:
             lambda: events_purchase_view_window(SF_DIR).count())
     best_of("orders_rfm", lambda: orders_rfm(SF_DIR).count())
 
+    # round-4 sixth wave: the 3-round Lloyd loop (per-round centroid
+    # reduce + broadcast argmin re-scan) and the offer-relation Q2
+    # (pair-domain min + groupwise-min equality join-back)
+    from yj_schema_validator_ray.pipelines.olap import embedding_kmeans
+
+    best_of("embedding_kmeans",
+            lambda: embedding_kmeans(SF_DIR, rounds=3).count())
+    best_of("q2_min_cost",
+            lambda: TX.q2_min_cost_supplier(SF_DIR).count())
+
     headline = timings["validate"]
     result = {
         "metric": ("validated files/sec end-to-end (rows validated + "

@@ -546,6 +546,44 @@ def test_trade_pagerank_mass_and_structure(ray_session):
     assert 0 <= SCALE - int(got["rank_q"].sum()) < 4 * n * len(edges)
 
 
+def test_trade_bfs_hops_chain(ray_session):
+    """BFS hop levels on a hand-built chain: supplier 1 (seed nation)
+    <- customers 1,2 <- supplier 2 <- customer 3; hop distances follow
+    the symmetrized chain, nodes beyond `hops` are absent."""
+    import os
+    import tempfile
+
+    from yj_schema_validator_ray.stages.pagerank import trade_bfs_hops
+
+    # chain: c1-s1, c2-s1, c2-s2, c3-s2 ; c4-s3 is a disconnected island
+    custs = [1, 2, 2, 3, 4]
+    supps = [1, 1, 2, 2, 3]
+    orders = pa.table({
+        "o_orderkey": pa.array(range(len(custs)), pa.int64()),
+        "o_custkey": pa.array(custs, pa.int64()),
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array(range(len(supps)), pa.int64()),
+        "l_suppkey": pa.array(supps, pa.int64()),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_nationkey": pa.array([3, 7, 7], pa.int64()),  # seed = nation 3
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(orders, os.path.join(d, "orders.parquet"))
+        pq.write_table(lineitem, os.path.join(d, "lineitem.parquet"))
+        pq.write_table(supplier, os.path.join(d, "supplier.parquet"))
+        got = trade_bfs_hops(d, seed_nation=3, hops=2).to_pandas()
+    hop = {(r["kind"], r["node_key"]): r["hop"] for _, r in got.iterrows()}
+    assert hop == {
+        ("supplier", 1): 0,
+        ("customer", 1): 1, ("customer", 2): 1,
+        ("supplier", 2): 2,
+        # customer 3 is 3 hops away -> absent; island (c4,s3) absent
+    }
+
+
 def test_path_trigrams_cross_block_user(ray_session):
     """A user's ordered stream split across blocks still yields the
     full trigram set (co-location repairs the split); users with < 3

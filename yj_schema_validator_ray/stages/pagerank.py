@@ -429,3 +429,174 @@ SELECT 'customer' AS kind, c AS node_key, h AS score_q FROM h{iters}
 UNION ALL
 SELECT 'supplier' AS kind, s AS node_key, a AS score_q FROM a{iters}""")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS hop levels — the frontier-expansion iterative pattern
+# ---------------------------------------------------------------------------
+
+def trade_bfs_hops(sf_dir: str, seed_nation: int = 3, hops: int = 3):
+    """Hop distance (<= ``hops``) from one nation's suppliers over the
+    symmetrized customer<->supplier trade graph — the k-hop
+    reachability / frontier-expansion shape, run as ``hops`` unrolled
+    Bellman-Ford relaxations so the whole trajectory stays exact:
+
+        h_0(v)   = 0 for the seed suppliers
+        h_r(v)   = min(h_{r-1}(v), 1 + min_{u->v} h_{r-1}(u))
+
+    (a node enters the level table the first round it is reached and
+    its hop can only stay; pure int64, no tie ambiguity — bit-identical
+    to the unrolled-CTE oracle).  Nodes unreached within ``hops``
+    rounds are absent on both sides.
+
+    Scale shape (the :func:`trade_pagerank` round discipline): the
+    symmetrized edge relation is keyed by ``coarse_mix(src)`` ONCE and
+    materialized; each round unions the (node, hop) level rows into the
+    same coarse exchange, relaxes within co-located groups with a
+    per-group pre-min, then one node-keyed exact min merges the
+    partials.  Level rows are int64 triples — vectors/text never move,
+    and the driver sees no per-node state.
+    """
+    import ray.data
+
+    from ..stages.dimjoin import colocate_join
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+    from .dedup import coarse_mix
+
+    nparts = shuffle_partitions()
+    COARSE = 1024
+
+    def bounded(ds):
+        m = ds.materialize()
+        if m.num_blocks() > 2 * nparts:
+            m = m.repartition(nparts).materialize()
+        return m
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    joined = colocate_join(
+        li.map_batches(lambda t: pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64())}),
+            batch_format="pyarrow"),
+        orders.map_batches(lambda t: pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64())}),
+            batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey")
+
+    pairs = grouped_aggregate(
+        joined.map_batches(lambda t: pa.table({
+            "c": t.column("o_custkey"), "s": t.column("l_suppkey")}),
+            batch_format="pyarrow"),
+        ["c", "s"], [("", "count", "__m")])
+
+    def symmetrize_key(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        cn, sn = c * 2, s * 2 + 1
+        src = np.concatenate([cn, sn])
+        return pa.table({
+            "src": pa.array(src),
+            "dst": pa.array(np.concatenate([sn, cn])),
+            "h": pa.array(np.full(len(src), -1, np.int64)),
+            "__coarse": pa.array(coarse_mix(src, COARSE - 1), pa.int64())})
+
+    adj = bounded(pairs.map_batches(symmetrize_key, batch_format="pyarrow"))
+
+    def seed_prep(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(pc.cast(t.column("s_nationkey"), pa.int64()),
+                              pa.scalar(seed_nation, pa.int64())))
+        node = (pc.cast(s.column("s_suppkey"), pa.int64()).to_numpy()
+                .astype(np.int64) * 2 + 1)
+        return pa.table({
+            "src": pa.array(node),
+            "dst": pa.array(np.full(len(node), -1, np.int64)),
+            "h": pa.array(np.zeros(len(node), np.int64)),
+            "__coarse": pa.array(coarse_mix(node, COARSE - 1), pa.int64())})
+
+    level = bounded(
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+        .map_batches(seed_prep, batch_format="pyarrow"))
+
+    def relax(g: pd.DataFrame) -> pd.DataFrame:
+        """One co-located group: current levels pass through, every
+        out-edge of a levelled node proposes h+1 for its destination,
+        and a per-group pre-min bounds what the node-keyed exchange
+        carries."""
+        is_lev = g["dst"] < 0
+        lev = g.loc[is_lev, ["src", "h"]]
+        ed = g.loc[~is_lev, ["src", "dst"]].merge(lev, on="src",
+                                                  how="inner")
+        out = pd.concat([
+            pd.DataFrame({"node": lev["src"].to_numpy(np.int64),
+                          "h": lev["h"].to_numpy(np.int64)}),
+            pd.DataFrame({"node": ed["dst"].to_numpy(np.int64),
+                          "h": ed["h"].to_numpy(np.int64) + 1})])
+        out = out.groupby("node", sort=False, as_index=False)["h"].min()
+        out["h"] = out["h"].astype("int64")
+        return out
+
+    for _ in range(hops):
+        contrib = (adj.union(level)
+                   .groupby("__coarse", num_partitions=nparts)
+                   .map_groups(relax, batch_format="pandas"))
+        agg = grouped_aggregate(contrib, ["node"], [("h", "min", "h")])
+
+        def next_level(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "src": pa.array(node),
+                "dst": pa.array(np.full(len(node), -1, np.int64)),
+                "h": pc.cast(t.column("h"), pa.int64()),
+                "__coarse": pa.array(coarse_mix(node, COARSE - 1),
+                                     pa.int64())})
+
+        level = bounded(agg.map_batches(next_level, batch_format="pyarrow"))
+
+    def present(t: pa.Table) -> pa.Table:
+        node = t.column("src").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "kind": pa.array(np.where(node % 2 == 0, "customer",
+                                      "supplier")),
+            "node_key": pa.array(node // 2),
+            "hop": pc.cast(t.column("h"), pa.int64())})
+
+    return level.map_batches(present, batch_format="pyarrow")
+
+
+def trade_bfs_hops_sql(seed_nation: int = 3, hops: int = 3) -> str:
+    """Unrolled-CTE oracle of the same bounded relaxation."""
+    parts = [f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                  CAST(l.l_suppkey AS BIGINT) AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+edges AS (
+  SELECT c*2 AS src, s*2+1 AS dst FROM pairs
+  UNION ALL
+  SELECT s*2+1 AS src, c*2 AS dst FROM pairs),
+h0 AS (
+  SELECT CAST(s_suppkey*2+1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS h
+  FROM supplier WHERE s_nationkey = {seed_nation})"""]
+    for r in range(1, hops + 1):
+        parts.append(f""",
+h{r} AS (
+  SELECT node, CAST(min(h) AS BIGINT) AS h FROM (
+    SELECT node, h FROM h{r-1}
+    UNION ALL
+    SELECT e.dst AS node, h{r-1}.h + 1 AS h
+    FROM edges e JOIN h{r-1} ON h{r-1}.node = e.src)
+  GROUP BY node)""")
+    parts.append(f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       CAST(node // 2 AS BIGINT) AS node_key, h AS hop
+FROM h{hops}""")
+    return "".join(parts)
