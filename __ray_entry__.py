@@ -689,6 +689,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return trade_bfs_hops(sf_dir)
 
+    def q_events_rolling_distinct(sf_dir):
+        # rolling COUNT(DISTINCT) over a trailing 7-day window: the
+        # per-user interval-union boundary sweep (one user-keyed
+        # exchange + one day-domain histogram; driver cumsum over the
+        # day DOMAIN only)
+        return OL.events_rolling_distinct(sf_dir)
+
+    def q_basket_pairs(sf_dir):
+        # market-basket pair support: within-group self-join with a
+        # vectorized grouped-arange pair expansion, basket-size
+        # hard-bound mirrored in the oracle
+        return OL.basket_pairs(sf_dir)
+
+    def q_events_unpivot(sf_dir):
+        # UNPIVOT/melt certificate: melt(pivot(x)) == groupby(x) over
+        # the pinned type list; the melt adds no exchange
+        return OL.events_unpivot(sf_dir)
+
     def q_docs_ids_concat(sf_dir):
         # string_agg/array_agg: order-insensitive partial collects,
         # final per-group sort owns the order
@@ -1187,6 +1205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_fuzzy_clusters": q_part_fuzzy_clusters,
         "events_late_arrivals": q_events_late_arrivals,
         "trade_bfs_hops": q_trade_bfs_hops,
+        "events_rolling_distinct": q_events_rolling_distinct,
+        "basket_pairs": q_basket_pairs,
+        "events_unpivot": q_events_unpivot,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1966,6 +1987,9 @@ def oracle_sql() -> dict[str, str]:
         "part_fuzzy_clusters": _part_fuzzy_clusters_sql(),
         "events_late_arrivals": _events_late_arrivals_sql(),
         "trade_bfs_hops": _trade_bfs_hops_sql(),
+        "events_rolling_distinct": _OL.events_rolling_distinct_sql(),
+        "basket_pairs": _OL.basket_pairs_sql(),
+        "events_unpivot": _OL.events_unpivot_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -1494,3 +1494,236 @@ SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
        CAST(CASE WHEN a.label <> e.label THEN 1 ELSE 0 END AS BIGINT)
          AS moved
 FROM embeddings e JOIN a{rounds} a USING (vec_id)"""
+
+
+# ---------------------------------------------------------------------------
+# trailing-window exact distinct (rolling COUNT(DISTINCT) OVER a day range)
+# ---------------------------------------------------------------------------
+
+def events_rolling_distinct(sf_dir: str, window_days: int = 7):
+    """Exact trailing-``window_days`` distinct active users per day
+    (the rolling COUNT(DISTINCT) the MA-of-DAU series approximates):
+    a user is active on day d if they had ANY event in
+    [d - window_days + 1, d].
+
+    Distributed shape — rolling distinct does NOT decompose as a
+    windowed sum of per-day distincts, but each user's activity
+    coverage is a union of equal-length intervals, so it becomes the
+    :func:`orders_open_per_day` boundary sweep run per user:
+
+    1. one user-keyed coarse exchange of deduped int64 (user, day)
+       pairs (per-batch dedup first; text never moves);
+    2. inside each co-located group, a vectorized chain scan merges
+       each user's overlapping coverage intervals and emits +-1
+       boundary rows (equal interval lengths make chain ends monotone,
+       so the scan is one shift-compare, no loop);
+    3. the day-domain boundary histogram is one exact aggregate and
+       the running sum over the day DOMAIN is driver math.
+
+    Days with zero active users inside [first, last] event day are
+    emitted with n_active = 0 (LEFT JOIN semantics in the oracle).
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow, shuffle_partitions
+
+    US_PER_DAY = 86_400_000_000
+    W = int(window_days)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("user_id"), pa.int64())
+        day = pc.cast(pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                                pa.scalar(US_PER_DAY, pa.int64())),
+                      pa.int64())
+        dd = (pa.table({"u": u, "day": day})
+              .group_by(["u", "day"]).aggregate([]))
+        un = dd.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        return dd.append_column(
+            "__coarse", pa.array(coarse_mix(un), pa.int64()))
+
+    def boundaries(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["u", "day"])
+             .sort_values(["u", "day"], kind="mergesort"))
+        u = g["u"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        # coverage of one event day is [day, day + W - 1]; within a
+        # user, a new chain starts when the gap leaves the coverage
+        brk = np.ones(len(u), bool)
+        if len(u) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | (day[1:] - day[:-1] >= W)
+        last = np.roll(brk, -1)
+        if len(u):
+            last[-1] = True
+        return pd.DataFrame({
+            "day": np.concatenate([day[brk], day[last] + W]),
+            "d": np.concatenate([
+                np.ones(int(brk.sum()), np.int64),
+                np.full(int(last.sum()), -1, np.int64)])})
+
+    hist = collect_small_arrow(grouped_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__coarse", num_partitions=shuffle_partitions())
+        .map_groups(boundaries, batch_format="pandas"),
+        ["day"], [("d", "sum", "delta")])).to_pandas()
+
+    hist = hist.sort_values("day").reset_index(drop=True)
+    lo = int(hist["day"].iloc[0])            # min start = first event day
+    hi = int(hist["day"].iloc[-1]) - W       # max end - W = last event day
+    full = pd.DataFrame({"day": np.arange(lo, hi + 1, dtype=np.int64)})
+    full = full.merge(hist, on="day", how="left")
+    full["n_active"] = (full["delta"].fillna(0).astype("int64")
+                        .cumsum().astype("int64"))
+    return full[["day", "n_active"]]
+
+
+def events_rolling_distinct_sql(window_days: int = 7) -> str:
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+days AS (
+  SELECT unnest(range((SELECT min(day) FROM ev),
+                      (SELECT max(day) + 1 FROM ev))) AS day)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(count(DISTINCT e.u) AS BIGINT) AS n_active
+FROM days d LEFT JOIN ev e
+  ON e.day BETWEEN d.day - {int(window_days) - 1} AND d.day
+GROUP BY d.day"""
+
+
+# ---------------------------------------------------------------------------
+# market-basket pair support (frequent co-purchased item pairs)
+# ---------------------------------------------------------------------------
+
+def basket_pairs(sf_dir: str, min_support: int = 2, max_basket: int = 32):
+    """Co-purchase pair mining (the Apriori/market-basket first pass):
+    for every unordered part pair {p1 < p2}, in how many orders do both
+    appear — keeping pairs with support >= ``min_support``.
+
+    Shape: the within-group self-join.  One order-keyed coarse exchange
+    of int64 (order, part) pairs co-locates each basket; pair expansion
+    is a fully-vectorized grouped-arange gather (no per-basket Python),
+    quadratic only in basket size, which is HARD-BOUNDED: baskets with
+    more than ``max_basket`` distinct parts are dropped, and the oracle
+    mirrors the drop — the documented guard against pathological
+    mega-baskets at scale (same discipline as the LSH bucket cap).
+    Pair-domain partial counts cross one exact aggregate; the support
+    gate is a post-aggregate filter.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        dd = (pa.table({
+            "o": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "p": pc.cast(t.column("l_partkey"), pa.int64())})
+            .group_by(["o", "p"]).aggregate([]))
+        on = dd.column("o").to_numpy(zero_copy_only=False).astype(np.int64)
+        return dd.append_column(
+            "__coarse", pa.array(coarse_mix(on), pa.int64()))
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["o", "p"])
+             .sort_values(["o", "p"], kind="mergesort"))
+        o = g["o"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        # basket sizes + within-basket positions, vectorized
+        brk = np.ones(len(o), bool)
+        brk[1:] = o[1:] != o[:-1]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, len(o)))
+        keep = sizes <= max_basket
+        size_per_row = np.repeat(sizes, sizes)
+        pos = np.arange(len(o)) - np.repeat(starts, sizes)
+        row_keep = np.repeat(keep, sizes)
+        rep = np.where(row_keep, size_per_row - 1 - pos, 0)
+        total = int(rep.sum())
+        if total == 0:
+            return pd.DataFrame({"p1": np.empty(0, np.int64),
+                                 "p2": np.empty(0, np.int64),
+                                 "support": np.empty(0, np.int64)})
+        ends = rep.cumsum()
+        inc = np.arange(total) - np.repeat(ends - rep, rep)
+        p1 = np.repeat(p, rep)
+        p2 = p[np.repeat(np.arange(len(p)) + 1, rep) + inc]
+        out = (pd.DataFrame({"p1": p1, "p2": p2})
+               .groupby(["p1", "p2"], sort=False).size()
+               .rename("support").reset_index())
+        out["support"] = out["support"].astype("int64")
+        return out
+
+    agg = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__coarse", num_partitions=shuffle_partitions())
+        .map_groups(expand, batch_format="pandas"),
+        ["p1", "p2"], [("support", "sum", "support")])
+
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t.column("support"), pa.scalar(min_support, pa.int64()))),
+        batch_format="pyarrow")
+
+
+def basket_pairs_sql(min_support: int = 2, max_basket: int = 32) -> str:
+    return f"""
+WITH basket AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+                  CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem),
+sized AS (
+  SELECT o FROM basket GROUP BY o HAVING count(*) <= {int(max_basket)})
+SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS support
+FROM basket a
+JOIN basket b ON a.o = b.o AND a.p < b.p
+JOIN sized s ON s.o = a.o
+GROUP BY a.p, b.p
+HAVING count(*) >= {int(min_support)}"""
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — the wide-to-long inverse of the type pivot
+# ---------------------------------------------------------------------------
+
+def events_unpivot(sf_dir: str):
+    """Melt the wide per-user type pivot back to long (user_id,
+    event_type, n) rows, dropping zero cells — the UNPIVOT reshape.
+    Composed as pivot -> melt so the oracle (a direct GROUP BY over
+    the pinned type list) certifies the round trip: melt(pivot(x)) ==
+    groupby(x).  The melt is a pure per-batch reshape (no exchange on
+    top of the pivot's)."""
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=["user_id"], value_vars=cols,
+                      var_name="event_type", value_name="n")
+        out = out[out["n"] > 0].reset_index(drop=True)
+        out["event_type"] = out["event_type"].str.slice(2)
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "event_type", "n"]]
+
+    return events_type_pivot(sf_dir).map_batches(
+        melt, batch_format="pandas")
+
+
+def events_unpivot_sql() -> str:
+    types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IN ({types})
+GROUP BY user_id, event_type"""
