@@ -707,6 +707,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the pinned type list; the melt adds no exchange
         return OL.events_unpivot(sf_dir)
 
+    def q_line_dedup(sf_dir):
+        # CCNet-style corpus-wide line dedup with document REWRITE
+        # (keep-first by global position): hash-keyed directory
+        # exchange, broadcast attach, zero-shuffle rewrite; the
+        # cleaned_md5 certifies the rewritten bytes vs the oracle's
+        # ordered string_agg reassembly
+        from yj_schema_validator_ray.pipelines.curation import line_dedup
+        return line_dedup(sf_dir)
+
     def q_docs_ids_concat(sf_dir):
         # string_agg/array_agg: order-insensitive partial collects,
         # final per-group sort owns the order
@@ -1208,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_distinct": q_events_rolling_distinct,
         "basket_pairs": q_basket_pairs,
         "events_unpivot": q_events_unpivot,
+        "line_dedup": q_line_dedup,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1430,6 +1440,12 @@ def _trade_pagerank_sql() -> str:
     from yj_schema_validator_ray.stages.pagerank import trade_pagerank_sql
 
     return trade_pagerank_sql()
+
+
+def _line_dedup_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import line_dedup_sql
+
+    return line_dedup_sql()
 
 
 def _trade_bfs_hops_sql() -> str:
@@ -1990,6 +2006,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_distinct": _OL.events_rolling_distinct_sql(),
         "basket_pairs": _OL.basket_pairs_sql(),
         "events_unpivot": _OL.events_unpivot_sql(),
+        "line_dedup": _line_dedup_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -1113,3 +1113,180 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
             AS BIGINT) AS content_xor,
        CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
 FROM documents GROUP BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line-level deduplication with document REWRITE (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_POS_BITS = 20  # position packing doc_id * 2^20 + line_no: < 1M lines/doc
+
+
+class _LineRewriter:
+    """Stateless-task rewrite stage: mask every line occurrence whose
+    corpus-wide count exceeds the threshold UNLESS it is the line's
+    globally-first occurrence, then reassemble each document from its
+    surviving lines.  Cheap state (two sorted int64 arrays) — task mode
+    via ``util.process_cached``, not an actor pool."""
+
+    def __init__(self, dir_ref):
+        import ray
+
+        self.lh, self.mp = ray.get(dir_ref)  # sorted hashes, first-pos
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, lens, flat, lh, pos = _corpus_line_rows(t)
+        if len(self.lh) and len(lh):
+            at = np.searchsorted(self.lh, lh)
+            at_c = np.minimum(at, len(self.lh) - 1)
+            dup_hit = self.lh[at_c] == lh
+            removed = dup_hit & (self.mp[at_c] != pos)
+        else:
+            removed = np.zeros(len(lh), dtype=bool)
+        keep = ~removed
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        rem_cs = np.concatenate(([0], np.cumsum(removed, dtype=np.int64)))
+        n_removed = rem_cs[starts[1:]] - rem_cs[starts[:-1]]
+        flat_py = flat.to_pylist()
+        md5s, clens = [], []
+        for k in range(len(ids)):
+            s, e = int(starts[k]), int(starts[k + 1])
+            txt = "\n".join(flat_py[j] for j in range(s, e) if keep[j])
+            md5s.append(hashlib.md5(txt.encode("utf-8")).hexdigest())
+            clens.append(len(txt))
+        return pa.table({
+            "i": pa.array(ids, pa.int64()),
+            "n_lines": pa.array(lens, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+            "cleaned_len": pa.array(clens, pa.int64()),
+            "cleaned_md5": pa.array(md5s, pa.string()),
+        })
+
+
+def _corpus_line_rows(t: pa.Table):
+    """documents(doc_id) batch -> (ids, lines-per-doc, flat line array,
+    line hash, packed global position), fully vectorized: the corpus is
+    synthesized per batch, split on newlines with the Arrow kernel, and
+    hashed straight from the flat string buffers."""
+    from ..sources.corpus import synthesize_batch
+    from ..stages.exact_agg import _hash_string_array
+
+    ids = t.column("doc_id").to_numpy().astype(np.int64)
+    corp = synthesize_batch(t)
+    lists = pc.split_pattern(corp.column("content"), "\n")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    total = int(lens.sum())
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+    ln = (np.arange(total, dtype=np.int64)
+          - np.repeat(np.cumsum(lens) - lens, lens) + 1)
+    pos = ids[doc_idx] * (1 << _POS_BITS) + ln
+    lh = _hash_string_array(flat).view(np.int64)
+    return ids, lens, flat, lh, pos
+
+
+def line_dedup(sf_dir: str, max_count: int = 1,
+               max_dup_lines: int = 4_000_000):
+    """Corpus-wide LINE deduplication with document rewrite (the
+    CCNet/RefinedWeb curation step: boilerplate lines repeated across a
+    crawl are deleted, each keeping exactly its globally-FIRST
+    occurrence by (doc, line_no) position).  Output per document:
+    ``(i, n_lines, n_removed, cleaned_len, cleaned_md5)`` — the md5
+    certifies the rewritten text byte-for-byte against the SQL oracle's
+    ordered ``string_agg`` reassembly.
+
+    Shape: (1) per-batch vectorized explode (``pc.split_pattern`` +
+    Arrow-buffer FNV hash) pre-aggregates to (line-hash, count,
+    min-pos), so the hash-keyed coarse exchange moves 24 bytes per
+    distinct line per block and reduces to the duplicated-line
+    DIRECTORY — 16 bytes per distinct line with corpus count >
+    ``max_count``; text never moves.  (2) The directory is collected
+    driver-side (bounded by ``max_dup_lines``, ~64 MB of int64 pairs at
+    the default; past that route the attach through a doc-keyed
+    colocate join like ``stages/dedup.join_pairs_with_signatures``
+    instead of a broadcast) and shipped once via ``ray.put``.  (3) A
+    zero-shuffle rewrite scan masks removed occurrences via
+    ``searchsorted`` and reassembles each document locally.
+
+    Line identity is the 64-bit FNV-1a of the line bytes
+    (``exact_agg._hash_string_array``) — collision-free at oracle
+    scale; position packing assumes < 2^20 lines per document.
+    """
+    import ray
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow, process_cached, ref_key
+
+    def line_stats(t: pa.Table) -> pa.Table:
+        _, _, _, lh, pos = _corpus_line_rows(t)
+        import pandas as pd
+        g = (pd.DataFrame({"lh": lh, "pos": pos})
+             .groupby("lh", sort=False)["pos"]
+             .agg(c="size", mp="min").reset_index())
+        return pa.table({"lh": pa.array(g["lh"], pa.int64()),
+                         "c": pa.array(g["c"], pa.int64()),
+                         "mp": pa.array(g["mp"], pa.int64())})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    directory = grouped_aggregate(
+        docs.map_batches(line_stats, batch_format="pyarrow"),
+        ["lh"], [("c", "sum", "c"), ("mp", "min", "mp")])
+    dup_tbl = collect_small_arrow(directory.map_batches(
+        lambda t: t.filter(pc.greater(t.column("c"), max_count))
+                   .select(["lh", "mp"]),
+        batch_format="pyarrow"))
+    if dup_tbl.num_columns and dup_tbl.num_rows > max_dup_lines:
+        raise ValueError(
+            f"line_dedup: {dup_tbl.num_rows} duplicated lines exceeds "
+            f"max_dup_lines={max_dup_lines}; raise the bound or route the "
+            "attach through a doc-keyed colocate join "
+            "(stages/dedup.join_pairs_with_signatures shape)")
+    if dup_tbl.num_columns and dup_tbl.num_rows:
+        lh = dup_tbl.column("lh").to_numpy()
+        mp = dup_tbl.column("mp").to_numpy()
+        order = np.argsort(lh)
+        dir_ref = ray.put((lh[order], mp[order]))
+    else:
+        dir_ref = ray.put((np.zeros(0, np.int64), np.zeros(0, np.int64)))
+
+    return docs.map_batches(
+        process_cached(_LineRewriter, ("line_dedup", ref_key(dir_ref)),
+                       dir_ref),
+        batch_format="pyarrow")
+
+
+def line_dedup_sql(max_count: int = 1) -> str:
+    from ..sources.corpus import corpus_sql_cte
+
+    return f"""
+WITH {corpus_sql_cte()},
+ls AS (SELECT i, string_split(content, chr(10)) AS a FROM corpus),
+lines AS (
+  SELECT i, unnest(a) AS line, unnest(range(1, len(a) + 1)) AS ln
+  FROM ls
+),
+pos AS (SELECT i, ln, line, i * {1 << _POS_BITS} + ln AS p FROM lines),
+dup AS (
+  SELECT line, min(p) AS first_pos
+  FROM pos GROUP BY line HAVING count(*) > {max_count}
+),
+marked AS (
+  SELECT pos.i, pos.ln, pos.line,
+         (dup.line IS NOT NULL AND pos.p <> dup.first_pos) AS removed
+  FROM pos LEFT JOIN dup USING (line)
+)
+SELECT i,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(length(coalesce(string_agg(
+             CASE WHEN NOT removed THEN line END, chr(10) ORDER BY ln),
+             '')) AS BIGINT) AS cleaned_len,
+       md5(coalesce(string_agg(
+             CASE WHEN NOT removed THEN line END, chr(10) ORDER BY ln),
+             '')) AS cleaned_md5
+FROM marked GROUP BY i"""
