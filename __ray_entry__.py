@@ -716,6 +716,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from yj_schema_validator_ray.pipelines.curation import line_dedup
         return line_dedup(sf_dir)
 
+    def q_cosine_pairs(sf_dir):
+        # EXACT count-vector cosine self-join: bounded discovered vocab
+        # in the closure, dense int64 rows, theta-join GRID exchange
+        # (each unordered pair scored in exactly one cell) — no
+        # broadcast matrix, no posting-list quadratic blowup
+        from yj_schema_validator_ray.stages.dedup import cosine_dup_pairs
+
+        return cosine_dup_pairs(ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
     def q_docs_ids_concat(sf_dir):
         # string_agg/array_agg: order-insensitive partial collects,
         # final per-group sort owns the order
@@ -1218,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": q_basket_pairs,
         "events_unpivot": q_events_unpivot,
         "line_dedup": q_line_dedup,
+        "cosine_pairs": q_cosine_pairs,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1440,6 +1451,12 @@ def _trade_pagerank_sql() -> str:
     from yj_schema_validator_ray.stages.pagerank import trade_pagerank_sql
 
     return trade_pagerank_sql()
+
+
+def _cosine_pairs_sql() -> str:
+    from yj_schema_validator_ray.stages.dedup import cosine_dup_pairs_sql
+
+    return cosine_dup_pairs_sql()
 
 
 def _line_dedup_sql() -> str:
@@ -2007,6 +2024,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_pairs": _OL.basket_pairs_sql(),
         "events_unpivot": _OL.events_unpivot_sql(),
         "line_dedup": _line_dedup_sql(),
+        "cosine_pairs": _cosine_pairs_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -1273,3 +1273,222 @@ SELECT d.doc_id,
        coalesce(h.contaminated_grams, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % {bench_mod} <> 0"""
+
+
+def cosine_dup_pairs(docs_ds, num: int = 4, den: int = 5, grid: int = 8,
+                     max_vocab: int = 4096, max_block: int = 4096):
+    """EXACT unigram count-vector cosine self-join: every unordered pair
+    (a < b) with ``cos(v_a, v_b) >= num/den`` over the documents' term
+    COUNT vectors, threshold tested in pure int64.
+
+    Why dense + grid rather than an inverted index: cosine over count
+    vectors has no exact prefix filter without an extra per-term
+    max-weight pass (Bayardo et al. WWW'07 needs it), and on
+    stopword-dense vocabularies the posting-list self-join costs
+    Theta(sum_t df_t^2) — on this corpus (31-term vocab, df ~ 0.8N)
+    that is 224M contribution rows at sf0.1 for ~125k surviving pairs.
+    Instead:
+
+    1. the vocabulary is DISCOVERED distributed (:func:`..stages.text.
+       vocab_top_terms` — one coarse exchange of per-batch partials) and
+       hard-bounded at ``max_vocab`` (wider vocabularies error, naming
+       :func:`ngram_jaccard_exact_pairs` / :func:`minhash_lsh_pairs` as
+       the sparse alternatives — same bound discipline as tfidf);
+    2. each document becomes one dense ``V`` int64 count row (KB-sized
+       vocab ships in the task closure; zero-norm docs drop, matching
+       the oracle's inner join against per-doc norms);
+    3. the all-pairs join runs as a THETA-JOIN GRID exchange (Okcan &
+       Riedewald, SIGMOD'11 "1-Bucket-Theta"): rows hash into ``grid``
+       groups, every group pair (g <= h) is one cell, each row
+       replicates to its ``grid`` cells, and each cell exactly scores
+       one (N/G x N/G) block cross via float64 BLAS matmuls in
+       ``max_block``-square tiles.  Replication factor G ~
+       sqrt(#workers) is the standard exact-quadratic-join trade; no
+       side is ever broadcast whole or collected on the driver, and
+       each unordered pair lands in EXACTLY one cell, so no global
+       pair-dedup exchange is needed afterwards.
+
+    Exactness of the float64 matmul: counts are non-negative ints, so
+    every partial sum is <= dot <= sqrt(na*nb); ``norm2 <= 6e8`` is
+    enforced per row, hence dot < 2^53 (f64-exact) and
+    ``den^2*dot^2 <= den^2*na*nb <= 9e18`` fits int64.
+
+    Output: ``a, b, dot, cosine`` with ``cosine`` the same half-away
+    6-decimal rounding as the Jaccard path.
+
+    Reference analogue: none (LLM-pipeline brief); the exact-similarity
+    template is :func:`ngram_jaccard_exact_pairs`.
+    """
+    import pandas as pd
+
+    from ..util import collect_small_arrow, shuffle_partitions
+    from .text import WORD_RE, vocab_top_terms
+
+    if grid & (grid - 1) or grid <= 0:
+        raise ValueError("grid must be a power of two")
+    if not (0 < num <= den):
+        raise ValueError("threshold num/den must lie in (0, 1]")
+
+    voc_t = collect_small_arrow(vocab_top_terms(docs_ds, k=max_vocab + 1))
+    if voc_t.num_rows > max_vocab:
+        raise ValueError(
+            f"cosine_dup_pairs: vocabulary exceeds max_vocab={max_vocab}; "
+            "a dense count matrix would not fit — use the sparse set "
+            "similarity paths (ngram_jaccard_exact_pairs / "
+            "minhash_lsh_pairs) or raise max_vocab")
+    vocab = sorted(voc_t.column("term").to_pylist())
+    idx = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+
+    def vectorize(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        n = len(batch)
+        M = np.zeros((n, V), dtype=np.int64)
+        if n and lens.sum():
+            flat = pd.Series(
+                np.concatenate([np.asarray(t, dtype=object) for t in toks]))
+            ti = flat.map(idx).to_numpy(np.int64)
+            np.add.at(M, (np.repeat(np.arange(n), lens), ti), 1)
+        norm2 = np.einsum("ij,ij->i", M, M)
+        if norm2.size and norm2.max() > 600_000_000:
+            raise ValueError(
+                "cosine_dup_pairs: a document's squared count norm "
+                "exceeds 6e8 — the int64 threshold test would overflow")
+        keep = np.flatnonzero(norm2 > 0)  # oracle inner-joins norms
+        M, norm2 = M[keep], norm2[keep]
+        offs = (np.arange(len(keep) + 1, dtype=np.int32) * (V * 8))
+        vec = pa.Array.from_buffers(
+            pa.binary(), len(keep),
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(M, dtype="<i8").tobytes())])
+        return pa.table({
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy()[keep].astype(np.int64)),
+            "vec": vec,
+            "norm2": pa.array(norm2, pa.int64()),
+        })
+
+    def grid_explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        n = len(ids)
+        grp = coarse_mix(ids, grid - 1)
+        h = np.tile(np.arange(grid, dtype=np.int64), n)
+        g_rep = np.repeat(grp, grid)
+        lo = np.minimum(g_rep, h)
+        hi = np.maximum(g_rep, h)
+        # cell (g, g) would be hit once per h in {g} only; dedupe the
+        # h == grp diagonal double-count is unnecessary: for h != grp the
+        # cell is (min, max) once; for h == grp it is (g, g) exactly once.
+        take = np.repeat(np.arange(n, dtype=np.int64), grid)
+        sub = t.take(pa.array(take))
+        return pa.table({
+            "cell": pa.array(lo * grid + hi, pa.int64()),
+            "side": pa.array(g_rep, pa.int64()),
+            "doc_id": sub.column("doc_id"),
+            "vec": sub.column("vec"),
+            "norm2": sub.column("norm2"),
+        })
+
+    num2 = np.int64(num * num)
+    den2 = np.int64(den * den)
+
+    def empty() -> pa.Table:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "dot": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+
+    def score_cell(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty()
+        cell = int(g.column("cell")[0].as_py())
+        lo, hi = cell // grid, cell % grid
+        side = g.column("side").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        norm2 = g.column("norm2").to_numpy()
+        vec = g.column("vec")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        M = _unpack_binary_matrix(vec).astype(np.float64)
+
+        def cross(ia, ib, triu: bool):
+            out_a, out_b, out_d, out_c = [], [], [], []
+            for bs in range(0, len(ia), max_block):
+                be = min(bs + max_block, len(ia))
+                c0 = bs if triu else 0
+                for cs in range(c0, len(ib), max_block):
+                    ce = min(cs + max_block, len(ib))
+                    dots = M[ia[bs:be]] @ M[ib[cs:ce]].T
+                    if triu and bs == cs:
+                        iu, ju = np.triu_indices(be - bs, k=1)
+                    else:
+                        iu, ju = np.unravel_index(
+                            np.arange(dots.size), dots.shape)
+                    d = np.rint(dots[iu, ju]).astype(np.int64)
+                    ra, rb = ia[bs + iu], ib[cs + ju]
+                    na, nb = norm2[ra], norm2[rb]
+                    keep = den2 * d * d >= num2 * na * nb
+                    keep &= d > 0
+                    ra, rb, d = ra[keep], rb[keep], d[keep]
+                    na, nb = na[keep], nb[keep]
+                    pa_, pb_ = ids[ra], ids[rb]
+                    out_a.append(np.minimum(pa_, pb_))
+                    out_b.append(np.maximum(pa_, pb_))
+                    out_d.append(d)
+                    out_c.append(np.floor(
+                        d / np.sqrt(na.astype(np.float64)
+                                    * nb.astype(np.float64)) * 1e6 + 0.5)
+                        / 1e6)
+            if not out_a:
+                return empty()
+            return pa.table({
+                "a": pa.array(np.concatenate(out_a), pa.int64()),
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "dot": pa.array(np.concatenate(out_d), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            })
+
+        if lo == hi:
+            return cross(np.arange(len(ids)), np.arange(len(ids)), True)
+        ia = np.flatnonzero(side == lo)
+        ib = np.flatnonzero(side == hi)
+        if not len(ia) or not len(ib):
+            return empty()
+        return cross(ia, ib, False)
+
+    cells = grid * (grid + 1) // 2
+    return (docs_ds.map_batches(vectorize, batch_format="pandas")
+            .map_batches(grid_explode, batch_format="pyarrow")
+            .groupby("cell", num_partitions=min(cells, shuffle_partitions()))
+            .map_groups(score_cell, batch_format="pyarrow"))
+
+
+def cosine_dup_pairs_sql(num: int = 4, den: int = 5) -> str:
+    """DuckDB oracle for :func:`cosine_dup_pairs`: term-string posting
+    self-join (fine at oracle scale), the SAME int64 threshold test and
+    half-away 6-decimal cosine rounding."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+  FROM documents
+),
+cnts AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+),
+norms AS (
+  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM cnts GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM cnts a JOIN cnts b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.a, d.b, d.dot,
+       floor(d.dot / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.a
+JOIN norms nb ON nb.doc_id = d.b
+WHERE {den * den} * d.dot * d.dot >= {num * num} * na.n2 * nb.n2
+ORDER BY d.a, d.b"""
