@@ -726,6 +726,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cosine_dup_pairs(ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
 
+    def q_events_user_streaks(sf_dir):
+        # gaps-and-islands: per-batch (user, day) dedup partials, one
+        # user-keyed exchange, vectorized break-scan run lengths
+        return OL.events_user_streaks(sf_dir)
+
+    def q_lineitem_zorder(sf_dir):
+        # Z-order layout clustering: Morton mask-cascade on raw Arrow
+        # buffers + one bucket-keyed stats exchange; the per-bucket
+        # bbox output is the multi-dim scan-pruning index
+        return OL.lineitem_zorder_stats(sf_dir)
+
+    def q_expectations_report(sf_dir):
+        # Great-Expectations-style composite suite: row-level checks
+        # fused into ONE Arrow scan; unique/FK via the exact exchange
+        # shapes (customer is never broadcast)
+        from yj_schema_validator_ray.pipelines.constraints import (
+            expectations_report,
+        )
+        return expectations_report(sf_dir)
+
     def q_docs_ids_concat(sf_dir):
         # string_agg/array_agg: order-insensitive partial collects,
         # final per-group sort owns the order
@@ -1229,6 +1249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot": q_events_unpivot,
         "line_dedup": q_line_dedup,
         "cosine_pairs": q_cosine_pairs,
+        "events_user_streaks": q_events_user_streaks,
+        "lineitem_zorder": q_lineitem_zorder,
+        "expectations_report": q_expectations_report,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1451,6 +1474,14 @@ def _trade_pagerank_sql() -> str:
     from yj_schema_validator_ray.stages.pagerank import trade_pagerank_sql
 
     return trade_pagerank_sql()
+
+
+def _expectations_report_sql() -> str:
+    from yj_schema_validator_ray.pipelines.constraints import (
+        expectations_report_sql,
+    )
+
+    return expectations_report_sql()
 
 
 def _cosine_pairs_sql() -> str:
@@ -2025,6 +2056,9 @@ def oracle_sql() -> dict[str, str]:
         "events_unpivot": _OL.events_unpivot_sql(),
         "line_dedup": _line_dedup_sql(),
         "cosine_pairs": _cosine_pairs_sql(),
+        "events_user_streaks": _OL.events_user_streaks_sql(),
+        "lineitem_zorder": _OL.lineitem_zorder_stats_sql(),
+        "expectations_report": _expectations_report_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -499,3 +499,178 @@ def grouped_distinct_sketch(ds, group_col: str, value_col: str, p: int = 12):
             .groupby(group_col,
                      num_partitions=min(8, shuffle_partitions()))
             .map_groups(merge, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# composite expectation suite (Great-Expectations-style report)
+# ---------------------------------------------------------------------------
+
+def expectations_report(sf_dir: str, price_max_cents: int = 60_000_000):
+    """One-shot data-quality EXPECTATION SUITE over ``orders`` — the
+    composite report a validation engine ships as its contract surface
+    (Great-Expectations-style): each row is one expectation with the
+    observed row count, the violation count, and a pass flag.
+
+    Expectations and their distributed shapes:
+
+    * row-level checks (``not_null``, ``accepted_values``, ``regex``,
+      ``range``) fuse into ONE zero-copy Arrow scan emitting a single
+      int64 partial-counter row per batch — adding expectations adds
+      columns, not passes;
+    * ``unique:o_orderkey`` is the two-phase exact shape: per-batch key
+      dedup partials -> one coarse exchange -> violations =
+      rows - distinct (never a driver-side key set);
+    * ``fk:o_custkey->customer`` uses the side-tagged deduped-key
+      exchange (the :func:`..pipelines.relational.relational_integrity`
+      plan) — customer scales with the fact tables, so it is never
+      broadcast here.
+
+    The final 7-row table is assembled from scalar partials on the
+    driver.  Money thresholds compare in integer cents.
+
+    Reference analogue: the dataset-level constraint family of SURVEY
+    §2 NR1-NR4, composed into the user-facing report shape.
+    """
+    import pandas as pd
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_totalprice"]
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def row_partials(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+
+        def nviol(mask) -> int:  # nulls count as violations
+            ok = pc.sum(pc.cast(pc.fill_null(mask, False), pa.int64()))
+            return n - (ok.as_py() or 0)
+
+        cust_nulls = t.column("o_custkey").null_count
+        bad_status = nviol(pc.is_in(
+            t.column("o_orderstatus"),
+            value_set=pa.array(["O", "F", "P"])))
+        bad_prio = nviol(pc.match_substring_regex(
+            t.column("o_orderpriority"), "^[1-5]-"))
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column("o_totalprice"), pa.float64()), 100.0)),
+            pa.int64())
+        bad_price = nviol(pc.and_(
+            pc.greater_equal(cents, 0),
+            pc.less_equal(cents, price_max_cents)))
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in [
+            ("n", n), ("null_cust", cust_nulls), ("bad_status", bad_status),
+            ("bad_prio", bad_prio), ("bad_price", bad_price)]})
+
+    scan = ds.map_batches(row_partials, batch_format="pyarrow") \
+        .to_pandas().sum()
+    n_rows = int(scan["n"])
+
+    # unique:o_orderkey — distinct count via one exchange
+    n_keys = grouped_aggregate(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"k": pc.cast(t.column("o_orderkey"), pa.int64())}),
+            batch_format="pyarrow"),
+        ["k"], [("k", "count", "n")]).count()
+
+    # fk:o_custkey->customer — side-tagged deduped-key exchange
+    def refing(t: pa.Table) -> pa.Table:
+        g = (pa.table({"k": pc.cast(t.column("o_custkey"), pa.int64())})
+             .group_by(["k"]).aggregate([([], "count_all")])
+             .rename_columns(["k", "n_ref"]))
+        return pa.table({
+            "k": g.column("k"),
+            "n_ref": pc.cast(g.column("n_ref"), pa.int64()),
+            "present": pa.array(np.zeros(g.num_rows, np.int64)),
+            "__coarse": pa.array(
+                coarse_mix(g.column("k").to_numpy(), 1023), pa.int64())})
+
+    def refed(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("c_custkey"), pa.int64())
+        return pa.table({
+            "k": keys,
+            "n_ref": pa.array(np.zeros(t.num_rows, np.int64)),
+            "present": pa.array(np.ones(t.num_rows, np.int64)),
+            "__coarse": pa.array(
+                coarse_mix(keys.to_numpy(), 1023), pa.int64())})
+
+    def orphan_group(g):
+        agg = g.groupby("k", sort=False).agg(
+            n_ref=("n_ref", "sum"), present=("present", "max"))
+        return pd.DataFrame({
+            "orphans": [int(agg.loc[agg["present"] == 0, "n_ref"].sum())]})
+
+    orders_keys = ds.map_batches(refing, batch_format="pyarrow")
+    cust_keys = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"]).map_batches(refed, batch_format="pyarrow")
+    orphans = int(orders_keys.union(cust_keys)
+                  .groupby("__coarse", num_partitions=shuffle_partitions())
+                  .map_groups(orphan_group, batch_format="pandas")
+                  .to_pandas()["orphans"].sum())
+
+    rows = [
+        ("row_count_at_least_1", n_rows, 0 if n_rows >= 1 else 1),
+        ("not_null:o_custkey", n_rows, int(scan["null_cust"])),
+        ("accepted_values:o_orderstatus", n_rows, int(scan["bad_status"])),
+        ("regex:o_orderpriority", n_rows, int(scan["bad_prio"])),
+        ("range:o_totalprice", n_rows, int(scan["bad_price"])),
+        ("unique:o_orderkey", n_rows, n_rows - int(n_keys)),
+        ("fk:o_custkey->customer", n_rows, orphans),
+    ]
+    return pd.DataFrame({
+        "expectation": [r[0] for r in rows],
+        "observed": pd.Series([r[1] for r in rows], dtype="int64"),
+        "violations": pd.Series([r[2] for r in rows], dtype="int64"),
+        "passed": [r[2] == 0 for r in rows],
+    })
+
+
+def expectations_report_sql(price_max_cents: int = 60_000_000) -> str:
+    return f"""
+WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+v AS (
+  SELECT 'row_count_at_least_1' AS expectation,
+         (SELECT n FROM base) AS observed,
+         CAST(CASE WHEN (SELECT n FROM base) >= 1 THEN 0 ELSE 1 END
+              AS BIGINT) AS violations
+  UNION ALL
+  SELECT 'not_null:o_custkey', (SELECT n FROM base),
+         CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values:o_orderstatus', (SELECT n FROM base),
+         CAST(count(*) FILTER (
+           WHERE o_orderstatus IS NULL
+              OR o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'regex:o_orderpriority', (SELECT n FROM base),
+         CAST(count(*) FILTER (
+           WHERE o_orderpriority IS NULL
+              OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+           AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'range:o_totalprice', (SELECT n FROM base),
+         CAST(count(*) FILTER (
+           WHERE o_totalprice IS NULL
+              OR CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+                      AS BIGINT) NOT BETWEEN 0 AND {price_max_cents})
+           AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'unique:o_orderkey', (SELECT n FROM base),
+         (SELECT n FROM base)
+           - CAST(count(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'fk:o_custkey->customer', (SELECT n FROM base),
+         CAST(count(*) FILTER (
+           WHERE c.c_custkey IS NULL) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT expectation, observed, violations, violations = 0 AS passed
+FROM v"""

@@ -1727,3 +1727,194 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM events
 WHERE event_type IN ({types})
 GROUP BY user_id, event_type"""
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: per-user consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+def events_user_streaks(sf_dir: str):
+    """Per-user consecutive-day activity streaks (the classic
+    gaps-and-islands shape): longest streak, total active days, and
+    number of distinct streaks.
+
+    Distributed shape: per-batch (user, day) dedup prunes the exchange
+    to at most one int64 pair per user-day, ONE user-keyed coarse
+    exchange co-locates each user, and inside each group a single
+    sorted shift-compare marks island breaks (``diff != 1``) — run
+    lengths fall out of the break positions with no Python loop.  The
+    output is user-domain sized; nothing collects on the driver.
+
+    Reference analogue: none (warehouse canon; same family as
+    :func:`events_rolling_distinct`'s interval sweep).
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..util import shuffle_partitions
+
+    US_PER_DAY = 86_400_000_000
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("user_id"), pa.int64())
+        day = pc.cast(pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                                pa.scalar(US_PER_DAY, pa.int64())),
+                      pa.int64())
+        dd = (pa.table({"user_id": u, "day": day})
+              .group_by(["user_id", "day"]).aggregate([]))
+        un = dd.column("user_id").to_numpy(zero_copy_only=False)
+        return dd.append_column(
+            "__coarse",
+            pa.array(coarse_mix(un.astype(np.int64)), pa.int64()))
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        u = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "longest_streak": pd.Series(dtype="int64"),
+                "n_active_days": pd.Series(dtype="int64"),
+                "n_streaks": pd.Series(dtype="int64")})
+        brk = np.ones(n, bool)
+        brk[1:] = (u[1:] != u[:-1]) | (day[1:] - day[:-1] != 1)
+        starts = np.flatnonzero(brk)
+        run_len = np.diff(np.concatenate((starts, [n])))
+        run_user = u[starts]
+        df = pd.DataFrame({"user_id": run_user, "len": run_len})
+        out = (df.groupby("user_id", sort=False)
+               .agg(longest_streak=("len", "max"),
+                    n_active_days=("len", "sum"),
+                    n_streaks=("len", "size"))
+               .reset_index())
+        for c in ("longest_streak", "n_active_days", "n_streaks"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(streaks, batch_format="pandas"))
+
+
+def events_user_streaks_sql() -> str:
+    return """
+WITH days AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+isl AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days),
+runs AS (
+  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout clustering over two int dimensions
+# ---------------------------------------------------------------------------
+
+_MORTON_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(x: np.ndarray) -> np.ndarray:
+    """Interleave-ready 31-bit spread (uint64, bits land on even
+    positions) — the standard mask cascade, fully vectorized."""
+    x = x.astype(np.uint64)
+    for sh, mask in _MORTON_MASKS:
+        x = (x | (x << np.uint64(sh))) & np.uint64(mask)
+    return x
+
+
+def lineitem_zorder_stats(sf_dir: str, shift: int = 16):
+    """Z-ORDER layout clustering certificate: Morton-interleave
+    ``(l_partkey, l_suppkey)``, bucket rows by the top Morton bits
+    (``morton >> shift``), and report each bucket's row count and
+    bounding box over BOTH dimensions.
+
+    This is the data-layout primitive behind multi-dimensional scan
+    pruning at 100 TB (Delta/Iceberg ``ZORDER BY``): writing files in
+    Morton-bucket order makes per-file min/max stats tight on EVERY
+    interleaved column at once, so predicates on either key prune
+    files.  The per-bucket bbox output IS the pruning index a writer
+    would persist.  Engine shape: the Morton code is five mask-shift
+    steps on the raw int64 Arrow buffers (zero Python per row), bucket
+    stats are one :func:`~..stages.exact_agg.grouped_aggregate`
+    exchange of 5-column int64 partials; nothing driver-side.  Keys are
+    guarded to [0, 2^31) — wider keys need a wider-spread variant.
+
+    Reference analogue: none (lakehouse layout canon; Morton 1966).
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        x = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(x) and (x.min() < 0 or y.min() < 0
+                       or max(x.max(), y.max()) >= (1 << 31)):
+            raise ValueError(
+                "lineitem_zorder_stats: keys outside [0, 2^31) — widen "
+                "the Morton spread before bucketing")
+        morton = (_spread_bits(x) | (_spread_bits(y) << np.uint64(1)))
+        return pa.table({
+            "bucket": pa.array((morton >> np.uint64(shift)).astype(np.int64),
+                               pa.int64()),
+            "part": pa.array(x, pa.int64()),
+            "supp": pa.array(y, pa.int64()),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        ["bucket"],
+        [("part", "count", "n_rows"),
+         ("part", "min", "min_part"), ("part", "max", "max_part"),
+         ("supp", "min", "min_supp"), ("supp", "max", "max_supp")])
+
+
+def lineitem_zorder_stats_sql(shift: int = 16) -> str:
+    """Oracle: the identical mask cascade in BIGINT bit ops."""
+    def spread(col: str) -> str:
+        e = col
+        for sh, mask in _MORTON_MASKS:
+            e = f"(({e} | ({e} << {sh})) & {mask})"
+        return e
+
+    return f"""
+WITH src AS (
+  SELECT CAST(l_partkey AS BIGINT) AS part,
+         CAST(l_suppkey AS BIGINT) AS supp
+  FROM lineitem),
+m AS (
+  SELECT part, supp,
+         ({spread('part')} | ({spread('supp')} << 1)) >> {shift} AS bucket
+  FROM src)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(part) AS BIGINT) AS min_part,
+       CAST(max(part) AS BIGINT) AS max_part,
+       CAST(min(supp) AS BIGINT) AS min_supp,
+       CAST(max(supp) AS BIGINT) AS max_supp
+FROM m GROUP BY bucket"""
