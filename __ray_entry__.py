@@ -746,6 +746,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return expectations_report(sf_dir)
 
+    def q_semdedup(sf_dir):
+        # SemDeDup: fixed-point Lloyd clustering (shared unrolled-CTE
+        # contract) -> one cluster-keyed exchange -> per-cluster
+        # ascending-id tile matmuls OR-ing a "has an earlier twin"
+        # flag; no pair list ever materializes
+        return OL.semdedup(sf_dir)
+
     def q_docs_ids_concat(sf_dir):
         # string_agg/array_agg: order-insensitive partial collects,
         # final per-group sort owns the order
@@ -1252,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_streaks": q_events_user_streaks,
         "lineitem_zorder": q_lineitem_zorder,
         "expectations_report": q_expectations_report,
+        "semdedup": q_semdedup,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2059,6 +2067,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_streaks": _OL.events_user_streaks_sql(),
         "lineitem_zorder": _OL.lineitem_zorder_stats_sql(),
         "expectations_report": _expectations_report_sql(),
+        "semdedup": _OL.semdedup_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -98,3 +98,35 @@ def test_expectations_report_all_pass_on_corpus(ray_session):
          "accepted_values:o_orderstatus", "regex:o_orderpriority",
          "range:o_totalprice", "unique:o_orderkey"])]
     assert row_level.passed.all()
+
+
+def test_semdedup_keep_lowest_id(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.pipelines.olap import semdedup
+
+    # vecs 1,2,5 are identical twins; 3 is orthogonal; 4 is the twin's
+    # negative (cosine -1, never pruned)
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = {
+        "vec_id": [1, 2, 3, 4, 5],
+        "embedding": [v, v, [0.0, 1.0, 0.0, 0.0],
+                      [-1.0, 0.0, 0.0, 0.0], v],
+        "label": [0, 0, 0, 0, 0],
+    }
+    tbl = pa.table({
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "embedding": pa.array(rows["embedding"], pa.list_(pa.float32())),
+        "label": pa.array(rows["label"], pa.int32()),
+    })
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(tbl, os.path.join(td, "embeddings.parquet"))
+        out = (semdedup(td, rounds=1, threshold=0.9).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+    assert list(out.vec_id) == [1, 2, 3, 4, 5]
+    # keep-lowest-id: 1 survives, 2 and 5 prune; 3 and 4 survive
+    assert list(out.pruned) == [False, True, False, False, True]

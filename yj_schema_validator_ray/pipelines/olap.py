@@ -1383,6 +1383,24 @@ def embedding_kmeans(sf_dir: str, rounds: int = 3):
 
     Output per vector: (vec_id, label_init, label_final, moved).
     """
+    cur = _kmeans_assign_ds(sf_dir, rounds)
+
+    def finish(t: pa.Table) -> pa.Table:
+        init = t.column("label_init")
+        fin = t.column("label")
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "label_init": init,
+            "label_final": fin,
+            "moved": pc.cast(pc.not_equal(fin, init), pa.int64())})
+
+    return cur.map_batches(finish, batch_format="pyarrow")
+
+
+def _kmeans_assign_ds(sf_dir: str, rounds: int):
+    """Shared Lloyd driver: returns the post-``rounds`` assignment
+    Dataset (vec_id, embedding, label_init, label) — the engine half of
+    the unrolled-CTE oracle contract (:func:`_kmeans_cte_parts`)."""
     import ray
     import ray.data
 
@@ -1450,22 +1468,27 @@ def embedding_kmeans(sf_dir: str, rounds: int = 3):
             process_cached(Assign, ref_key(ref), ref),
             batch_format="pyarrow", batch_size=1024).materialize()
 
-    def finish(t: pa.Table) -> pa.Table:
-        init = t.column("label_init")
-        fin = t.column("label")
-        return pa.table({
-            "vec_id": t.column("vec_id"),
-            "label_init": init,
-            "label_final": fin,
-            "moved": pc.cast(pc.not_equal(fin, init), pa.int64())})
-
-    return cur.map_batches(finish, batch_format="pyarrow")
+    return cur
 
 
 def embedding_kmeans_sql(rounds: int = 3) -> str:
     """Oracle: the same ``rounds``-step Lloyd chain unrolled as CTEs
     (the :func:`..stages.pagerank.trade_pagerank` unrolled-oracle
     technique applied to k-means)."""
+    parts = _kmeans_cte_parts(rounds)
+    return f"""
+WITH {", ".join(parts)}
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       CAST(e.label AS BIGINT) AS label_init,
+       a.label AS label_final,
+       CAST(CASE WHEN a.label <> e.label THEN 1 ELSE 0 END AS BIGINT)
+         AS moved
+FROM embeddings e JOIN a{rounds} a USING (vec_id)"""
+
+
+def _kmeans_cte_parts(rounds: int) -> list:
+    """The unrolled Lloyd CTE chain (a0 .. a{rounds}) shared by the
+    k-means and SemDeDup oracles."""
     parts = ["""el AS (
   SELECT vec_id, unnest(range(len(embedding))) AS dim,
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
@@ -1486,14 +1509,7 @@ a{r} AS (
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY d2, cand) AS rk
     FROM d{r}) WHERE rk = 1)""")
-    return f"""
-WITH {", ".join(parts)}
-SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
-       CAST(e.label AS BIGINT) AS label_init,
-       a.label AS label_final,
-       CAST(CASE WHEN a.label <> e.label THEN 1 ELSE 0 END AS BIGINT)
-         AS moved
-FROM embeddings e JOIN a{rounds} a USING (vec_id)"""
+    return parts
 
 
 # ---------------------------------------------------------------------------
@@ -1918,3 +1934,94 @@ SELECT bucket,
        CAST(min(supp) AS BIGINT) AS min_supp,
        CAST(max(supp) AS BIGINT) AS max_supp
 FROM m GROUP BY bucket"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = k-means clusters -> within-cluster cosine prune
+# ---------------------------------------------------------------------------
+
+def semdedup(sf_dir: str, rounds: int = 2, threshold: float = 0.4):
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by
+    clustering the embedding space with k-means and pruning, WITHIN
+    each cluster, every vector that has a higher-similarity twin —
+    keep-lowest-``vec_id`` is the deterministic representative rule.
+    The quadratic pair scan is confined to one cluster (the paper's
+    entire point: k scales the within-cluster work down as the corpus
+    grows), so the global shape is linear + per-cluster tiles.
+
+    Shape: ``rounds`` exact fixed-point Lloyd iterations (the shared
+    :func:`_kmeans_assign_ds` driver — zero-shuffle int64 centroid
+    partials, broadcast argmin scans) -> ONE cluster-keyed exchange of
+    (vec_id, embedding) -> per-cluster ascending-``vec_id`` tile
+    matmuls that OR a "has an earlier twin" flag per vector; vectors
+    never reach the driver and no pair list materializes (the flag is
+    the output).  ``sim`` uses f64 cosine with the same >= threshold
+    test as :func:`..stages.ann.embedding_dup_pairs` (driver-green
+    precedent for cross-engine f64 determinism at this rounding).
+
+    Output per vector: (vec_id, cluster, pruned).  The default
+    threshold is tuned to this corpus (synthetic 16-dim embeddings are
+    near-random: max within-cluster cosine ~0.47, so the paper's ~0.99
+    web-dedup setting would prune nothing); production corpora with
+    real semantic twins use the high setting.
+    """
+    from ..stages.ann import _list_f64_matrix, _normalize
+    from ..util import shuffle_partitions
+
+    cur = _kmeans_assign_ds(sf_dir, rounds)
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster": t.column("label"),
+            "vec_id": t.column("vec_id"),
+            "embedding": t.column("embedding")})
+
+    def prune_cluster(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "pruned": pa.array([], pa.bool_())})
+        ids = g.column("vec_id").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        cluster = g.column("cluster").to_numpy()[order]
+        M = _normalize(_list_f64_matrix(g.column("embedding"))[order])
+        pruned = np.zeros(n, bool)
+        B = 4096
+        for cs in range(0, n, B):          # column tile = candidate j
+            ce = min(cs + B, n)
+            for rs in range(0, ce, B):     # row tile = earlier i (i < j)
+                re_ = min(rs + B, ce)
+                sims = M[rs:re_] @ M[cs:ce].T
+                if rs == cs:
+                    sims[np.tril_indices(re_ - rs, k=0, m=ce - cs)] = -2.0
+                hit = (sims >= threshold).any(axis=0)
+                pruned[cs:ce] |= hit
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(cluster, pa.int64()),
+                         "pruned": pa.array(pruned)})
+
+    return (cur.map_batches(strip, batch_format="pyarrow")
+            .groupby("cluster",
+                     num_partitions=min(64, shuffle_partitions()))
+            .map_groups(prune_cluster, batch_format="pyarrow"))
+
+
+def semdedup_sql(rounds: int = 2, threshold: float = 0.4) -> str:
+    parts = _kmeans_cte_parts(rounds)
+    return f"""
+WITH {", ".join(parts)},
+asg AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS vec_id, a.label AS cluster,
+         e.embedding
+  FROM embeddings e JOIN a{rounds} a USING (vec_id)),
+twins AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+        >= {threshold})
+SELECT asg.vec_id, asg.cluster, (t.vec_id IS NOT NULL) AS pruned
+FROM asg LEFT JOIN twins t USING (vec_id)"""
