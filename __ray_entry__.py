@@ -758,6 +758,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # final per-group sort owns the order
         return OL.docs_ids_concat(sf_dir)
 
+    def q_dsir_select(sf_dir):
+        # DSIR importance resampling: fixed-width (256-bucket) hashed
+        # unigram stats -> integer add-one target/raw weights -> top-k
+        # raw docs; weight table is a 256-int inline constant
+        from yj_schema_validator_ray.stages.sampling import dsir_select
+        return dsir_select(docs3(sf_dir))
+
+    def q_blocklist_filter(sf_dir):
+        # C4-style whole-word blocklist hits + survivor flag; one RE2
+        # alternation scan, zero shuffle
+        from yj_schema_validator_ray.stages.text import blocklist_filter
+        return blocklist_filter(docs(sf_dir))
+
+    def q_lexical_diversity(sf_dir):
+        # exact per-doc type/token/collision counts (Simpson-index
+        # numerators); per-row only, no shuffle
+        from yj_schema_validator_ray.stages.text import lexical_diversity
+        return lexical_diversity(docs(sf_dir))
+
+    def q_source_similarity(sf_dir):
+        # corpus-mixture analysis: 256-bucket hashed signatures per
+        # source -> domain-sized driver matmul of exact integer dots
+        from yj_schema_validator_ray.stages.text import source_similarity
+        return source_similarity(docs3(sf_dir))
+
     def q_events_conversion_window(sf_dir):
         # windowed funnel step: first-view anchor + click within W; one
         # user-keyed exchange of pruned int64 pairs, window-domain out
@@ -1141,9 +1166,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q16_supplier_variety, supplier_triangles, part_fuzzy_pairs,
         # charlm_scores, events_type_pivot, orders_rfm,
         # docs_exact_split, events_purchase_view_window,
-        # orders_yoy_growth, knn_classify) — all local-harness +
-        # sf0.01 driver-mimic green; rotate these into the window next
-        # round, then the stalest r02 pool.
+        # orders_yoy_growth, knn_classify) and the wave-10 additions
+        # (dsir_select, blocklist_filter, lexical_diversity,
+        # source_similarity) — all local-harness + sf0.01 driver-mimic
+        # green; rotate these into the window next round, then the
+        # stalest r02 pool.
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "accuracy_fingerprints": q_accuracy_fingerprints,
@@ -1260,6 +1287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_zorder": q_lineitem_zorder,
         "expectations_report": q_expectations_report,
         "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
+        "blocklist_filter": q_blocklist_filter,
+        "lexical_diversity": q_lexical_diversity,
+        "source_similarity": q_source_similarity,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1502,6 +1533,12 @@ def _line_dedup_sql() -> str:
     from yj_schema_validator_ray.pipelines.curation import line_dedup_sql
 
     return line_dedup_sql()
+
+
+def _dsir_select_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import dsir_select_sql
+
+    return dsir_select_sql()
 
 
 def _trade_bfs_hops_sql() -> str:
@@ -1981,6 +2018,7 @@ def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
     from yj_schema_validator_ray.pipelines import olap as _OL
     from yj_schema_validator_ray.pipelines import tpch_ext as _TX
+    from yj_schema_validator_ray.stages import text as _T
 
     return {
         "verdicts": oracles.verdicts_sql(),
@@ -2068,6 +2106,10 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_zorder": _OL.lineitem_zorder_stats_sql(),
         "expectations_report": _expectations_report_sql(),
         "semdedup": _OL.semdedup_sql(),
+        "dsir_select": _dsir_select_sql(),
+        "blocklist_filter": _T.blocklist_filter_sql(),
+        "lexical_diversity": _T.lexical_diversity_sql(),
+        "source_similarity": _T.source_similarity_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

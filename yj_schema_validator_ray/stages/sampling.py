@@ -472,3 +472,111 @@ SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
               THEN 'val'
             ELSE 'test' END AS split
 FROM r"""
+
+
+# --- DSIR importance resampling --------------------------------------
+
+_DSIR_BUCKET_CACHE: dict[str, int] = {}
+
+
+def _gram_buckets(tokens) -> np.ndarray:
+    """md5-first-byte bucket (0-255) per token, cached per worker
+    process so md5 runs once per DISTINCT token, not per occurrence.
+    Bounded: vocabularies are heavy-tailed, so the hot head repopulates
+    instantly after the rare reset."""
+    cache = _DSIR_BUCKET_CACHE
+    if len(cache) > 2_000_000:
+        cache.clear()
+    out = np.empty(len(tokens), np.int64)
+    for i, t in enumerate(tokens):
+        b = cache.get(t)
+        if b is None:
+            b = cache[t] = int(hashlib.md5(t.encode()).hexdigest()[:2], 16)
+        out[i] = b
+    return out
+
+
+def dsir_select(docs_ds, target_source: str = "src0", k: int = 100,
+                scale: int = 1_000_000):
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    rank every RAW document by a hashed-unigram importance score
+    against a TARGET domain and keep the top-``k``.
+
+    Importance weights are exact integers so the DuckDB oracle matches
+    bit-for-bit: per bucket ``b`` (first md5 byte of the token),
+    ``w_b = (scale * (ct_b + 1)) // (cr_b + 1)`` — the add-one-smoothed
+    target/raw ratio under floor division.  A doc's score sums ``w_b``
+    over its token OCCURRENCES: the same per-bucket-monotone ranking as
+    the paper's sum of log-ratios, with no fp summation-order hazard.
+
+    Scale shape: bucket statistics are FIXED-width (256 rows) — cheap
+    per-batch partials -> one tiny :func:`~.exact_agg.grouped_aggregate`
+    -> driver; the weight table ships to the scorers as a 256-int
+    constant (nation-style inline broadcast, never per-batch).  Two
+    streaming passes over the corpus, nothing corpus-sized anywhere.
+    Docs with zero tokens score nothing and drop, like the SQL join.
+    """
+    from ..util import collect_small_arrow
+    from .exact_agg import grouped_aggregate
+    from .text import WORD_RE
+
+    def bucket_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        is_t = (batch["source"] == target_source).to_numpy()
+        ct = np.zeros(256, np.int64)
+        cr = np.zeros(256, np.int64)
+        for tgt, ts in zip(is_t, toks):
+            if ts:
+                np.add.at(ct if tgt else cr, _gram_buckets(ts), 1)
+        return pd.DataFrame({"b": np.arange(256, dtype=np.int64),
+                             "ct": ct, "cr": cr})
+
+    stats = collect_small_arrow(grouped_aggregate(
+        docs_ds.map_batches(bucket_partials, batch_format="pandas"),
+        ["b"], [("ct", "sum", "ct"), ("cr", "sum", "cr")]))
+    ct = np.zeros(256, np.int64)
+    cr = np.zeros(256, np.int64)
+    bi = stats.column("b").to_numpy()
+    ct[bi] = stats.column("ct").to_numpy()
+    cr[bi] = stats.column("cr").to_numpy()
+    # positive int64 floor division == Python // == DuckDB // exactly
+    w = (int(scale) * (ct + 1)) // (cr + 1)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["source"] != target_source]
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        ids: list[int] = []
+        scores: list[int] = []
+        for did, ts in zip(batch["doc_id"].to_numpy(), toks):
+            if ts:
+                ids.append(int(did))
+                scores.append(int(w[_gram_buckets(ts)].sum()))
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "dsir_score": pd.Series(scores,
+                                                     dtype="int64")})
+
+    return (docs_ds.map_batches(score, batch_format="pandas")
+            .sort(["dsir_score", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
+def dsir_select_sql(target_source: str = "src0", k: int = 100,
+                    scale: int = 1_000_000) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '[0-9A-Za-z_]+')) AS g
+  FROM documents),
+bt AS (
+  SELECT substr(md5(g), 1, 2) AS b,
+         SUM(CASE WHEN source = '{target_source}' THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN source <> '{target_source}' THEN 1 ELSE 0 END) AS cr
+  FROM toks GROUP BY 1),
+w AS (SELECT b, ({scale} * (ct + 1)) // (cr + 1) AS w FROM bt),
+scored AS (
+  SELECT t.doc_id, SUM(w.w) AS dsir_score
+  FROM toks t JOIN w ON substr(md5(t.g), 1, 2) = w.b
+  WHERE t.source <> '{target_source}'
+  GROUP BY t.doc_id)
+SELECT doc_id, CAST(dsir_score AS BIGINT) AS dsir_score
+FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {k}"""

@@ -1348,3 +1348,166 @@ ranked AS (
   FROM counts
 )
 SELECT lang, term, tf, rnk FROM ranked WHERE rnk <= {k}"""
+
+
+# --- C4-style blocklist filter ----------------------------------------
+
+BLOCKLIST_TERMS = ("dup", "spam", "lorem")
+
+
+def blocklist_filter(docs_ds, terms: tuple[str, ...] = BLOCKLIST_TERMS):
+    """C4-style blocklist filtering: count whole-word blocklist hits per
+    doc and mark survivors (C4 drops any doc with >= 1 hit; the counts
+    are the audit trail).  One RE2 alternation with ``\\b`` anchors —
+    under the ASCII ``\\w`` class both Arrow and DuckDB draw identical
+    word boundaries.  Pure per-row scan, zero shuffle."""
+    pat = r"\b(" + "|".join(terms) + r")\b"
+
+    def f(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch.column("text"))
+        n = pc.cast(pc.count_substring_regex(low, pat), pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_blocked": n,
+            "kept": pc.equal(n, 0),
+        })
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
+def blocklist_filter_sql(terms: tuple[str, ...] = BLOCKLIST_TERMS) -> str:
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    return rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT)
+         AS n_blocked,
+       len(regexp_extract_all(lower(text), '{pat}')) = 0 AS kept
+FROM documents"""
+
+
+# --- Lexical diversity (type/token/collision counts) ------------------
+
+
+def lexical_diversity(docs_ds):
+    """Per-doc lexical-diversity counts, all exact integers: total token
+    occurrences, distinct types, and the collision sum ``sum(c_i^2)``
+    (the Simpson-index numerator — the ratio stays downstream where fp
+    is allowed).  Docs whose text has no tokens drop, like the SQL
+    GROUP BY over an empty extract.  Per-row computation only: a doc
+    never spans batches, so there is no shuffle."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        ex = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy().repeat(toks.str.len()),
+            "g": np.concatenate([np.asarray(t, object) for t in toks])
+                 if len(batch) else np.array([], object),
+        })
+        if ex.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "n_types": pd.Series(dtype="int64"),
+                                 "sum_c2": pd.Series(dtype="int64")})
+        tc = (ex.groupby(["doc_id", "g"], sort=False).size()
+                .rename("c").reset_index())
+        out = tc.groupby("doc_id", sort=False).agg(
+            n_tokens=("c", "sum"), n_types=("c", "size"))
+        out["sum_c2"] = tc.assign(c2=tc["c"] ** 2).groupby(
+            "doc_id", sort=False)["c2"].sum()
+        return out.reset_index().astype("int64")
+
+    return docs_ds.map_batches(f, batch_format="pandas")
+
+
+def lexical_diversity_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS g
+  FROM documents),
+tc AS (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2
+FROM tc GROUP BY doc_id"""
+
+
+# --- Source-pair similarity over hashed unigram signatures ------------
+
+
+def source_similarity(docs_ds):
+    """Corpus-mixture analysis: every source gets a FIXED-width 256-
+    bucket hashed-unigram signature (first md5 byte, the
+    :func:`~.sampling.dsir_select` feature space); output is the exact
+    integer dot product between every source pair plus each side's
+    total token count — the inputs to any downstream cosine/overlap
+    ratio, kept integral so the oracle hashes bit-for-bit.
+
+    Scale shape: per-batch (source, bucket) partials -> one
+    grouped_aggregate over a sources x 256 domain -> a domain-sized
+    driver matmul.  Nothing corpus-sized leaves the scan.
+    """
+    from ..util import collect_small_arrow
+    from .exact_agg import grouped_aggregate
+    from .sampling import _gram_buckets
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        srcs = batch["source"].to_numpy()
+        acc: dict[str, np.ndarray] = {}
+        for src, ts in zip(srcs, toks):
+            if ts:
+                vec = acc.get(src)
+                if vec is None:
+                    vec = acc[src] = np.zeros(256, np.int64)
+                np.add.at(vec, _gram_buckets(ts), 1)
+        if not acc:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "source": np.repeat(list(acc), 256),
+            "b": np.tile(np.arange(256, dtype=np.int64), len(acc)),
+            "c": np.concatenate(list(acc.values())),
+        })
+
+    sig = collect_small_arrow(grouped_aggregate(
+        docs_ds.map_batches(partials, batch_format="pandas"),
+        ["source", "b"], [("c", "sum", "c")]))
+    srcs = sorted(set(sig.column("source").to_pylist()))
+    mat = np.zeros((len(srcs), 256), np.int64)
+    idx = {s: i for i, s in enumerate(srcs)}
+    mat[[idx[s] for s in sig.column("source").to_pylist()],
+        sig.column("b").to_numpy()] = sig.column("c").to_numpy()
+    dots = mat @ mat.T  # int64 exact; bucket counts are corpus-bounded
+    tot = mat.sum(axis=1)
+    # dot == 0 <=> no shared bucket <=> the pair is absent from the SQL
+    # inner join on bucket id — drop it here too
+    rows = [(srcs[i], srcs[j], int(dots[i, j]), int(tot[i]), int(tot[j]))
+            for i in range(len(srcs)) for j in range(i + 1, len(srcs))
+            if dots[i, j] > 0]
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "dot": pa.array([r[2] for r in rows], pa.int64()),
+        "n_a": pa.array([r[3] for r in rows], pa.int64()),
+        "n_b": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def source_similarity_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS g
+  FROM documents),
+sb AS (SELECT source, substr(md5(g), 1, 2) AS b, count(*) AS c
+       FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, SUM(c) AS n FROM sb GROUP BY source)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+       CAST(ANY_VALUE(ta.n) AS BIGINT) AS n_a,
+       CAST(ANY_VALUE(tb.n) AS BIGINT) AS n_b
+FROM sb a
+JOIN sb b ON a.b = b.b AND a.source < b.source
+JOIN tot ta ON ta.source = a.source
+JOIN tot tb ON tb.source = b.source
+GROUP BY 1, 2"""
