@@ -783,6 +783,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from yj_schema_validator_ray.stages.text import source_similarity
         return source_similarity(docs3(sf_dir))
 
+    def q_docs_orc_roundtrip(sf_dir):
+        # ORC sink/source via pyarrow.orc inside map_batches (the
+        # recipe for formats Ray lacks); per-lang account certificate
+        from yj_schema_validator_ray.pipelines.curation import (
+            docs_orc_roundtrip,
+        )
+        return docs_orc_roundtrip(sf_dir)
+
+    def q_events_daily_gapfill(sf_dir):
+        # calendar-spine resample: one day-keyed count exchange + a
+        # domain-sized driver spine join, zeros on quiet days
+        return R.events_daily_gapfill(sf_dir)
+
     def q_events_conversion_window(sf_dir):
         # windowed funnel step: first-view anchor + click within W; one
         # user-keyed exchange of pruned int64 pairs, window-domain out
@@ -1291,6 +1304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": q_blocklist_filter,
         "lexical_diversity": q_lexical_diversity,
         "source_similarity": q_source_similarity,
+        "docs_orc_roundtrip": q_docs_orc_roundtrip,
+        "events_daily_gapfill": q_events_daily_gapfill,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1539,6 +1554,14 @@ def _dsir_select_sql() -> str:
     from yj_schema_validator_ray.stages.sampling import dsir_select_sql
 
     return dsir_select_sql()
+
+
+def _docs_orc_roundtrip_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        docs_orc_roundtrip_sql,
+    )
+
+    return docs_orc_roundtrip_sql()
 
 
 def _trade_bfs_hops_sql() -> str:
@@ -2110,6 +2133,8 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": _T.blocklist_filter_sql(),
         "lexical_diversity": _T.lexical_diversity_sql(),
         "source_similarity": _T.source_similarity_sql(),
+        "docs_orc_roundtrip": _docs_orc_roundtrip_sql(),
+        "events_daily_gapfill": R.events_daily_gapfill_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

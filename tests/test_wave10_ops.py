@@ -68,3 +68,71 @@ def test_lexical_diversity_counts(ray_session):
     assert out.n_tokens.tolist() == [4, 1]
     assert out.n_types.tolist() == [2, 1]
     assert out.sum_c2.tolist() == [10, 1]  # 9 + 1; 1
+
+
+def test_orc_roundtrip_checksum_matches_parquet_source(ray_session):
+    # engine-vs-engine: per-lang XOR content checksum after the ORC
+    # write->read cycle equals the same checksum over the parquet
+    # source (ORC is binary-safe, so unicode/newlines must survive)
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.pipelines.curation import (
+        docs_orc_roundtrip)
+    from yj_schema_validator_ray.stages.text import _fnv1a_rolling
+
+    texts = ["plain words", "has,comma", 'has "quotes" inside',
+             "line\nbreak", "trailing space ", "ünïcode ok", ""]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "lang": pa.array(["en", "en", "de", "de", "en", "de", "en"]),
+        "text": pa.array(texts),
+    })
+    with tempfile.TemporaryDirectory() as sf:
+        pq.write_table(tbl, os.path.join(sf, "documents.parquet"))
+        got = (docs_orc_roundtrip(sf, checksum=True)
+               .sort_values("lang").reset_index(drop=True))
+        src = pd.DataFrame({
+            "lang": tbl.column("lang").to_pandas(),
+            "x": _fnv1a_rolling(tbl.column("text").combine_chunks()),
+            "n": [len(t) for t in texts]})
+        want = (src.groupby("lang")
+                .agg(n_docs=("n", "size"), total_chars=("n", "sum"),
+                     text_xor=("x", lambda v: int(np.bitwise_xor.reduce(
+                         v.to_numpy(np.int64)))))
+                .reset_index().sort_values("lang").reset_index(drop=True))
+        for c in ("n_docs", "total_chars", "text_xor"):
+            assert got[c].astype("int64").tolist() == \
+                want[c].astype("int64").tolist(), c
+
+
+def test_daily_gapfill_fills_missing_days(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.pipelines.relational import (
+        events_daily_gapfill)
+
+    ts = pa.array([
+        pd.Timestamp("2024-01-01 10:00"),
+        pd.Timestamp("2024-01-01 11:00"),
+        pd.Timestamp("2024-01-04 00:00"),   # 2nd+3rd missing
+    ], pa.timestamp("us"))
+    tbl = pa.table({"event_id": pa.array([1, 2, 3], pa.int64()),
+                    "ts": ts,
+                    "user_id": pa.array([1, 1, 2], pa.int64()),
+                    "event_type": pa.array(["a", "b", "a"]),
+                    "value": pa.array([1.0, 2.0, 3.0]),
+                    "props": pa.array(["{}", "{}", "{}"])})
+    with tempfile.TemporaryDirectory() as sf:
+        pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+        out = (events_daily_gapfill(sf).to_pandas()
+               .sort_values("day").reset_index(drop=True))
+    assert out.day.tolist() == ["2024-01-01", "2024-01-02",
+                                "2024-01-03", "2024-01-04"]
+    assert out.n_events.tolist() == [2, 0, 0, 1]

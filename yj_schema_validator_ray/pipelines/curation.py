@@ -738,9 +738,6 @@ def docs_csv_roundtrip(sf_dir: str, out_dir: str | None = None,
 
     import ray.data
 
-    from ..stages.exact_agg import grouped_aggregate
-    from ..stages.text import _fnv1a_rolling
-
     cleanup = out_dir is None
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="yjsv_csv_")
@@ -750,49 +747,7 @@ def docs_csv_roundtrip(sf_dir: str, out_dir: str | None = None,
     try:
         docs.write_csv(out_dir)
         back = ray.data.read_csv(out_dir)
-
-        def partial(t: pa.Table) -> pa.Table:
-            # CSV cannot distinguish an unquoted empty field from NULL;
-            # normalize read-back nulls to "" (source texts are non-null)
-            text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
-            import numpy as np
-            sha = _fnv1a_rolling(text).astype(np.int64)
-            return pa.table({
-                "lang": pc.cast(t.column("lang"), pa.string()),
-                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
-                "text_xor": pa.array(sha),
-            })
-
-        def xor_merge(g):
-            import numpy as np
-            import pandas as pd
-
-            out = (g.groupby("lang", sort=False)
-                   .agg(n_docs=("n_chars", "size"),
-                        total_chars=("n_chars", "sum"),
-                        text_xor=("text_xor",
-                                  lambda v: np.bitwise_xor.reduce(
-                                      v.to_numpy(np.int64))))
-                   .reset_index())
-            out["n_docs"] = out["n_docs"].astype("int64")
-            out["total_chars"] = out["total_chars"].astype("int64")
-            out["text_xor"] = out["text_xor"].astype("int64")
-            return out
-
-        from ..util import shuffle_partitions
-        from ..stages.exact_agg import hash_columns
-
-        def add_coarse(t: pa.Table) -> pa.Table:
-            import numpy as np
-            kh = hash_columns(t.select(["lang"]))
-            return t.append_column(
-                "__coarse",
-                pa.array((kh & np.uint64(255)).astype(np.int64)))
-
-        out = (back.map_batches(partial, batch_format="pyarrow")
-               .map_batches(add_coarse, batch_format="pyarrow")
-               .groupby("__coarse", num_partitions=min(8, shuffle_partitions()))
-               .map_groups(xor_merge, batch_format="pandas")).to_pandas()
+        out = _lang_accounting(back)
         if not checksum:
             out = out.drop(columns=["text_xor"])
     finally:
@@ -801,11 +756,125 @@ def docs_csv_roundtrip(sf_dir: str, out_dir: str | None = None,
     return out
 
 
+def _lang_accounting(ds):
+    """Per-lang (n_docs, total_chars, text_xor) accounting shared by the
+    sink/source round-trip certificates: an XOR of per-doc FNV-1a
+    content hashes survives any aggregation order, so the result is
+    exchange-stable AND detects corruptions whose char sums cancel."""
+    from ..stages.exact_agg import hash_columns
+    from ..stages.text import _fnv1a_rolling
+    from ..util import shuffle_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        # CSV cannot distinguish an unquoted empty field from NULL;
+        # normalize read-back nulls to "" (source texts are non-null)
+        text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
+        import numpy as np
+        sha = _fnv1a_rolling(text).astype(np.int64)
+        return pa.table({
+            "lang": pc.cast(t.column("lang"), pa.string()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "text_xor": pa.array(sha),
+        })
+
+    def xor_merge(g):
+        import numpy as np
+
+        out = (g.groupby("lang", sort=False)
+               .agg(n_docs=("n_chars", "size"),
+                    total_chars=("n_chars", "sum"),
+                    text_xor=("text_xor",
+                              lambda v: np.bitwise_xor.reduce(
+                                  v.to_numpy(np.int64))))
+               .reset_index())
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_chars"] = out["total_chars"].astype("int64")
+        out["text_xor"] = out["text_xor"].astype("int64")
+        return out
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        import numpy as np
+        kh = hash_columns(t.select(["lang"]))
+        return t.append_column(
+            "__coarse",
+            pa.array((kh & np.uint64(255)).astype(np.int64)))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=min(8, shuffle_partitions()))
+            .map_groups(xor_merge, batch_format="pandas")).to_pandas()
+
+
 def docs_csv_roundtrip_sql() -> str:
     # the engine-side FNV-1a (text._fnv1a_rolling) has no SQL twin, so
     # the XOR checksum compares engine-vs-engine (parquet source vs CSV
     # round trip) inside the pytest (checksum=True); the ORACLE checks
     # the per-lang counts/char sums like the JSONL round trip.
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang"""
+
+
+def docs_orc_roundtrip(sf_dir: str, out_dir: str | None = None,
+                       checksum: bool = False):
+    """ORC sink/source coverage.  Ray ships no native ORC I/O, so this
+    exercises the general recipe for ANY Arrow-supported format Ray
+    lacks: the sink is a ``map_batches`` task writing one
+    ``pyarrow.orc`` shard per BLOCK (``batch_size=None`` — shard count
+    tracks block count, so the layout stays partitioned and resumable),
+    consumed only through its path/row manifest; the source is
+    ``read_binary_files`` + a per-file ORC decode in ``map_batches``.
+    Certificate: the same per-lang write -> read-back -> account
+    contract as the CSV/JSONL round trips (XOR checksum engine-vs-
+    engine under ``checksum=True``)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.orc as orc
+    import ray.data
+
+    cleanup = out_dir is None
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="yjsv_orc_")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+    try:
+        def write_shard(t: pa.Table) -> pa.Table:
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.orc")
+            orc.write_table(t, path)
+            return pa.table({"path": pa.array([path], pa.string()),
+                             "rows": pa.array([t.num_rows], pa.int64())})
+
+        # the manifest is shard-domain sized; collecting it IS the sink
+        # barrier (nothing reads the directory before every shard lands)
+        manifest = docs.map_batches(
+            write_shard, batch_size=None,
+            batch_format="pyarrow").to_pandas()
+        assert len(manifest) > 0
+
+        def decode(t: pa.Table) -> pa.Table:
+            tabs = [orc.ORCFile(pa.BufferReader(b.as_py())).read()
+                    for b in t.column("bytes")]
+            return pa.concat_tables(tabs)
+
+        back = (ray.data.read_binary_files(out_dir)
+                .map_batches(decode, batch_format="pyarrow"))
+        out = _lang_accounting(back)
+        if not checksum:
+            out = out.drop(columns=["text_xor"])
+    finally:
+        if cleanup:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+def docs_orc_roundtrip_sql() -> str:
+    # like the CSV round trip: the oracle checks per-lang counts/char
+    # sums; the XOR checksum is engine-vs-engine inside the pytest
     return """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS total_chars

@@ -2014,6 +2014,60 @@ SELECT day, n_users,
 FROM dau"""
 
 
+def events_daily_gapfill(sf_dir: str):
+    """Time-series resample with a calendar spine: per-day event counts
+    over the FULL [min_day, max_day] range, missing days filled with 0
+    — the gap-fill every charting/forecasting consumer needs before a
+    rolling window is honest about quiet days.
+
+    Shape: the distributed part is one day-keyed count exchange
+    (:func:`~..stages.exact_agg.grouped_aggregate`); the spine join
+    runs on the collected day series, calendar-bounded (years of days)
+    at any corpus scale — the standard post-exchange domain-sized
+    tail.  Day strings are 'YYYY-MM-DD' (the :func:`events_dau`
+    contract), so pandas ``date_range`` and DuckDB ``generate_series``
+    enumerate identical spines.
+    """
+    import pandas as pd
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t.column("ts"), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"day": day})
+
+    counts = (collect_small_arrow(grouped_aggregate(
+        ds.map_batches(day_rows, batch_format="pyarrow"),
+        ["day"], [("", "count", "n_events")])).to_pandas()
+        .set_index("day")["n_events"])
+    spine = pd.date_range(counts.index.min(), counts.index.max(),
+                          freq="D").strftime("%Y-%m-%d")
+    filled = counts.reindex(spine, fill_value=0).astype("int64")
+    return pa.table({"day": pa.array(list(spine), pa.string()),
+                     "n_events": pa.array(filled.to_numpy(), pa.int64())})
+
+
+def events_daily_gapfill_sql() -> str:
+    return """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events GROUP BY day),
+span AS (
+  SELECT strftime(unnest(generate_series(
+           CAST(min(day) AS DATE), CAST(max(day) AS DATE),
+           INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+  FROM d)
+SELECT span.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM span LEFT JOIN d USING (day)"""
+
+
 def events_props_stats(sf_dir: str):
     """Semi-structured extraction: parse the JSON ``props`` payload per
     event and aggregate the extracted measure per event type — the
