@@ -796,6 +796,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # domain-sized driver spine join, zeros on quiet days
         return R.events_daily_gapfill(sf_dir)
 
+    def q_oov_rate(sf_dir):
+        # tokenizer-prep OOV audit: k-bounded vocab (never the full
+        # vocabulary) broadcast into a zero-shuffle per-source scan
+        from yj_schema_validator_ray.stages.text import oov_rate
+        return oov_rate(docs3(sf_dir))
+
     def q_events_conversion_window(sf_dir):
         # windowed funnel step: first-view anchor + click within W; one
         # user-keyed exchange of pruned int64 pairs, window-domain out
@@ -1306,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity": q_source_similarity,
         "docs_orc_roundtrip": q_docs_orc_roundtrip,
         "events_daily_gapfill": q_events_daily_gapfill,
+        "oov_rate": q_oov_rate,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2135,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "source_similarity": _T.source_similarity_sql(),
         "docs_orc_roundtrip": _docs_orc_roundtrip_sql(),
         "events_daily_gapfill": R.events_daily_gapfill_sql(),
+        "oov_rate": _T.oov_rate_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -1511,3 +1511,61 @@ JOIN sb b ON a.b = b.b AND a.source < b.source
 JOIN tot ta ON ta.source = a.source
 JOIN tot tb ON tb.source = b.source
 GROUP BY 1, 2"""
+
+
+# --- OOV-rate audit against a bounded global vocabulary ---------------
+
+
+def oov_rate(docs_ds, k: int = 50):
+    """Tokenizer-prep OOV audit: build the top-``k`` global vocabulary
+    (tf desc, term asc — the :func:`vocab_top_terms` contract) and
+    count, per source, how many token OCCURRENCES fall outside it —
+    the coverage number that decides whether a fixed vocab/merge table
+    is big enough for a new feed.
+
+    Shape: the vocab is ``k``-bounded so it is driver-sized BY
+    CONSTRUCTION (the top-k never sees the full vocabulary —
+    vocab_top_terms' per-block top-k does the bounding); pass 2 is a
+    zero-shuffle scan with the vocab as an inline constant, feeding a
+    source-domain :func:`~.exact_agg.grouped_aggregate`."""
+    from ..util import collect_small_arrow
+    from .exact_agg import grouped_aggregate
+
+    vocab = frozenset(collect_small_arrow(
+        vocab_top_terms(docs_ds, k=k)).column("term").to_pylist())
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "n_oov": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        src_rep = np.repeat(batch["source"].to_numpy(), lens)
+        oov = (~pd.Series(flat, dtype=object).isin(vocab)).to_numpy()
+        g = (pd.DataFrame({"source": src_rep, "oov": oov.astype(np.int64)})
+             .groupby("source", sort=False)
+             .agg(n_tokens=("oov", "size"), n_oov=("oov", "sum"))
+             .reset_index())
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        g["n_oov"] = g["n_oov"].astype("int64")
+        return g
+
+    return grouped_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        ["source"], [("n_tokens", "sum", "n_tokens"),
+                     ("n_oov", "sum", "n_oov")])
+
+
+def oov_rate_sql(k: int = 50) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS g
+  FROM documents),
+tf AS (SELECT g, count(*) AS c FROM toks GROUP BY g),
+vocab AS (SELECT g FROM tf ORDER BY c DESC, g LIMIT {k})
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN g NOT IN (SELECT g FROM vocab)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM toks GROUP BY source"""
