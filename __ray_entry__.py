@@ -802,6 +802,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from yj_schema_validator_ray.stages.text import oov_rate
         return oov_rate(docs3(sf_dir))
 
+    def q_doc_top_terms(sf_dir):
+        # keyword extraction: per-doc argmax term, zero shuffle
+        from yj_schema_validator_ray.stages.text import doc_top_terms
+        return doc_top_terms(docs(sf_dir))
+
+    def q_hapax_per_source(sf_dir):
+        # Heaps'-law audit: one term-keyed exchange marks corpus-wide
+        # hapax terms; nothing term-shaped lands on the driver
+        from yj_schema_validator_ray.stages.text import hapax_per_source
+        return hapax_per_source(docs3(sf_dir))
+
+    def q_accuracy_hll_intersect(sf_dir):
+        # HLL set algebra: inclusion-exclusion intersection estimate
+        # pinned against the exact flag-exchange intersection
+        from yj_schema_validator_ray.pipelines.accuracy import (
+            hll_intersect_accuracy,
+        )
+        return hll_intersect_accuracy(sf_dir)
+
     def q_events_conversion_window(sf_dir):
         # windowed funnel step: first-view anchor + click within W; one
         # user-keyed exchange of pruned int64 pairs, window-domain out
@@ -1313,6 +1332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_orc_roundtrip": q_docs_orc_roundtrip,
         "events_daily_gapfill": q_events_daily_gapfill,
         "oov_rate": q_oov_rate,
+        "doc_top_terms": q_doc_top_terms,
+        "hapax_per_source": q_hapax_per_source,
+        "accuracy_hll_intersect": q_accuracy_hll_intersect,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1561,6 +1583,14 @@ def _dsir_select_sql() -> str:
     from yj_schema_validator_ray.stages.sampling import dsir_select_sql
 
     return dsir_select_sql()
+
+
+def _hll_intersect_sql() -> str:
+    from yj_schema_validator_ray.pipelines.accuracy import (
+        hll_intersect_accuracy_sql,
+    )
+
+    return hll_intersect_accuracy_sql()
 
 
 def _docs_orc_roundtrip_sql() -> str:
@@ -2143,6 +2173,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_orc_roundtrip": _docs_orc_roundtrip_sql(),
         "events_daily_gapfill": R.events_daily_gapfill_sql(),
         "oov_rate": _T.oov_rate_sql(),
+        "doc_top_terms": _T.doc_top_terms_sql(),
+        "hapax_per_source": _T.hapax_per_source_sql(),
+        "accuracy_hll_intersect": _hll_intersect_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -426,6 +426,14 @@ def run_bench() -> dict:
     best_of("q2_min_cost",
             lambda: TX.q2_min_cost_supplier(SF_DIR).count())
 
+    # round-4 seventh wave: DSIR (two text passes around a 256-bucket
+    # stats exchange) and the OOV audit (vocab top-k + broadcast scan)
+    from yj_schema_validator_ray.stages.sampling import dsir_select
+    from yj_schema_validator_ray.stages.text import oov_rate
+
+    best_of("dsir_select", lambda: dsir_select(docs3_ds()).count())
+    best_of("oov_rate", lambda: oov_rate(docs3_ds()).count())
+
     headline = timings["validate"]
     result = {
         "metric": ("validated files/sec end-to-end (rows validated + "

@@ -136,3 +136,33 @@ def test_daily_gapfill_fills_missing_days(ray_session):
     assert out.day.tolist() == ["2024-01-01", "2024-01-02",
                                 "2024-01-03", "2024-01-04"]
     assert out.n_events.tolist() == [2, 0, 0, 1]
+
+
+def test_hapax_and_top_terms_semantics(ray_session):
+    import ray.data
+
+    from yj_schema_validator_ray.stages.text import (
+        doc_top_terms, hapax_per_source)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "zebra zebra apple unique1",   # top: zebra(2); hapax: unique1
+            "apple banana banana",         # top tie at 2? banana(2)
+            "apple unique2 unique3",       # top tie at 1 -> 'apple'
+        ], pa.string()),
+        "source": pa.array(["s1", "s1", "s2"]),
+    }))
+    top = (doc_top_terms(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert top.term.tolist() == ["zebra", "banana", "apple"]
+    assert top.tf.tolist() == [2, 2, 1]
+
+    hx = (hapax_per_source(ds).to_pandas()
+          .sort_values("source").reset_index(drop=True))
+    # s1 distinct: zebra apple unique1 banana -> 4; hapax: unique1, zebra?
+    # zebra appears twice globally -> not hapax; banana twice -> no.
+    # s2 distinct: apple unique2 unique3 -> 3; hapax: unique2, unique3
+    assert hx.source.tolist() == ["s1", "s2"]
+    assert hx.n_terms.tolist() == [4, 3]
+    assert hx.n_hapax.tolist() == [1, 2]

@@ -682,3 +682,105 @@ SELECT term, CAST(count(*) AS BIGINT) AS tf,
        TRUE AS overestimate_ok, TRUE AS within_eps
 FROM toks GROUP BY term
 ORDER BY tf DESC, term LIMIT {k}"""
+
+
+def hll_intersect_accuracy(sf_dir: str, type_a: str = "click",
+                           type_b: str = "purchase", p: int = 12,
+                           rel_bound: float = 0.05):
+    """Sketch SET ALGEBRA certificate: estimate the distinct-user
+    INTERSECTION of two event types by HLL inclusion-exclusion
+    (est_A + est_B - est_AuB — union is a register-wise max merge,
+    the operation HLL is closed under) and pin it against the exact
+    intersection.  Output (n_a, n_b, n_intersect, within_bound):
+    exact counts SQL-oracled, the bound checked against the exact
+    UNION size (inclusion-exclusion compounds three estimate errors,
+    so the natural error scale is the union, not the intersection).
+
+    Exact side: per-batch (user, a, b) flag partials -> one user-keyed
+    :func:`~..stages.exact_agg.grouped_aggregate` (max flags) ->
+    per-block counts -> tiny sum.  Sketch side: 2^p-register blobs per
+    batch, driver merge — both sides mergeable, nothing user-shaped on
+    the driver."""
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate, hash_columns
+    from ..util import collect_small_arrow
+    from .constraints import HLLSketch
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy()
+        a, b = (et == type_a), (et == type_b)
+        keep = a | b
+        df = (pd.DataFrame({"user_id": uid[keep],
+                            "a": a[keep].astype(np.int64),
+                            "b": b[keep].astype(np.int64)})
+              .groupby("user_id", sort=False).max().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    flags = grouped_aggregate(
+        ev.map_batches(flag_partial, batch_format="pyarrow"),
+        ["user_id"], [("a", "max", "a"), ("b", "max", "b")])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        return pa.table({
+            "n_a": pa.array([int(a.sum())], pa.int64()),
+            "n_b": pa.array([int(b.sum())], pa.int64()),
+            "n_int": pa.array([int((a & b).sum())], pa.int64())})
+
+    cnt = collect_small_arrow(
+        flags.map_batches(count_partial,
+                          batch_format="pyarrow")).to_pandas().sum()
+    n_a, n_b, n_int = int(cnt.n_a), int(cnt.n_b), int(cnt.n_int)
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        h = hash_columns(t.select(["user_id"]))
+        names, blobs = [], []
+        for name, mask in (("a", et == type_a), ("b", et == type_b)):
+            sk = HLLSketch(p)
+            sk.add_hashed(h[mask])
+            names.append(name)
+            blobs.append(sk.registers.tobytes())
+        return pa.table({"which": pa.array(names, pa.string()),
+                         "registers": pa.array(blobs, pa.binary())})
+
+    merged = {"a": HLLSketch(p), "b": HLLSketch(p)}
+    for blk in (ev.map_batches(sketch_partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")):
+        for name, blob in zip(blk.column("which").to_pylist(),
+                              blk.column("registers").to_pylist()):
+            np.maximum(merged[name].registers,
+                       np.frombuffer(blob, dtype=np.uint8),
+                       out=merged[name].registers)
+    est_a = merged["a"].estimate()
+    est_b = merged["b"].estimate()
+    union = HLLSketch(p)
+    np.maximum(merged["a"].registers, merged["b"].registers,
+               out=union.registers)
+    est_int = est_a + est_b - union.estimate()
+    n_union = max(n_a + n_b - n_int, 1)
+    within = abs(est_int - n_int) <= rel_bound * n_union
+    return pd.DataFrame({"n_a": pd.Series([n_a], dtype="int64"),
+                         "n_b": pd.Series([n_b], dtype="int64"),
+                         "n_intersect": pd.Series([n_int], dtype="int64"),
+                         "within_bound": [bool(within)]})
+
+
+def hll_intersect_accuracy_sql(type_a: str = "click",
+                               type_b: str = "purchase") -> str:
+    return f"""
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = '{type_a}'),
+     b AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = '{type_b}')
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM a JOIN b USING (user_id)) AS n_intersect,
+       TRUE AS within_bound"""

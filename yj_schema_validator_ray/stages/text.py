@@ -1569,3 +1569,119 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN g NOT IN (SELECT g FROM vocab)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM toks GROUP BY source"""
+
+
+# --- Keyword extraction: per-doc argmax term ---------------------------
+
+
+def doc_top_terms(docs_ds):
+    """Keyword extraction, simplest honest form: per document the most
+    frequent token with its count (ties: lexicographically smallest
+    term — deterministic on both sides).  Purely per-row (a doc never
+    spans batches): tokenize, count, argmax inside the batch; zero
+    shuffle.  Token-free docs drop, like the SQL."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "term": pd.Series(dtype="object"),
+                                 "tf": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_rep = np.repeat(batch["doc_id"].to_numpy(), lens)
+        tc = (pd.DataFrame({"doc_id": doc_rep, "term": flat})
+              .groupby(["doc_id", "term"], sort=False).size()
+              .rename("tf").reset_index())
+        # (tf desc, term asc) winner per doc: sort once, take first
+        tc = tc.sort_values(["doc_id", "tf", "term"],
+                            ascending=[True, False, True])
+        out = tc.drop_duplicates("doc_id", keep="first").reset_index(
+            drop=True)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["tf"] = out["tf"].astype("int64")
+        return out[["doc_id", "term", "tf"]]
+
+    return docs_ds.map_batches(f, batch_format="pandas")
+
+
+def doc_top_terms_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS g
+  FROM documents),
+tc AS (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2),
+rk AS (SELECT doc_id, g, c,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, g ASC) AS rn
+       FROM tc)
+SELECT doc_id, g AS term, CAST(c AS BIGINT) AS tf
+FROM rk WHERE rn = 1"""
+
+
+# --- Hapax-legomena audit per source -----------------------------------
+
+
+def hapax_per_source(docs_ds):
+    """Vocabulary-growth (Heaps'-law) audit: per source, the number of
+    DISTINCT terms it contains and how many of those are corpus-wide
+    hapax legomena (global frequency exactly 1 — necessarily contained
+    in a single source).  The rising-hapax-share signal is the standard
+    tell for OCR noise / random-string spam in a new feed.
+
+    Shape: per-batch (term, source, c) pre-aggregation -> ONE
+    term-keyed coarse-hash exchange (global counts + flags computed
+    per group, nothing term-shaped on the driver) -> a source-domain
+    :func:`~.exact_agg.grouped_aggregate`."""
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate, hash_columns
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"g": pd.Series(dtype="object"),
+                                 "source": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64"),
+                                 "__coarse": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        src_rep = np.repeat(batch["source"].to_numpy(), lens)
+        df = (pd.DataFrame({"g": flat, "source": src_rep})
+              .groupby(["g", "source"], sort=False).size()
+              .rename("c").reset_index())
+        df["c"] = df["c"].astype("int64")
+        kh = hash_columns(pa.table({"g": pa.array(df["g"], pa.string())}))
+        df["__coarse"] = (kh & np.uint64(1023)).astype("int64")
+        return df
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        # re-aggregate cross-batch partials, then global-per-term stats
+        tsc = (g.groupby(["g", "source"], sort=False)["c"].sum()
+               .reset_index())
+        tot = tsc.groupby("g", sort=False)["c"].transform("sum")
+        return pd.DataFrame({
+            "source": tsc["source"],
+            "n_terms": np.ones(len(tsc), np.int64),
+            "n_hapax": (tot == 1).to_numpy().astype(np.int64),
+        })
+
+    marked = (docs_ds.map_batches(partials, batch_format="pandas")
+              .groupby("__coarse", num_partitions=shuffle_partitions())
+              .map_groups(mark, batch_format="pandas"))
+    return grouped_aggregate(
+        marked, ["source"],
+        [("n_terms", "sum", "n_terms"), ("n_hapax", "sum", "n_hapax")])
+
+
+def hapax_per_source_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS g
+  FROM documents),
+tsc AS (SELECT g, source, count(*) AS c FROM toks GROUP BY 1, 2),
+tg AS (SELECT g, SUM(c) AS tc FROM tsc GROUP BY g)
+SELECT tsc.source,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(CASE WHEN tg.tc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax
+FROM tsc JOIN tg USING (g)
+GROUP BY tsc.source"""
