@@ -821,6 +821,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hll_intersect_accuracy(sf_dir)
 
+    def q_lang_source_share(sf_dir):
+        # ratio-to-report window in integer basis points; one keyed
+        # count exchange + a domain-sized division
+        return OL.lang_source_share(sf_dir)
+
+    def q_events_burst_days(sf_dir):
+        # mean+z-sigma burst flags on the daily count series, the test
+        # in exact integers (Python ints vs HUGEINT)
+        return OL.events_burst_days(sf_dir)
+
     def q_events_conversion_window(sf_dir):
         # windowed funnel step: first-view anchor + click within W; one
         # user-keyed exchange of pruned int64 pairs, window-domain out
@@ -1335,6 +1345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q_doc_top_terms,
         "hapax_per_source": q_hapax_per_source,
         "accuracy_hll_intersect": q_accuracy_hll_intersect,
+        "lang_source_share": q_lang_source_share,
+        "events_burst_days": q_events_burst_days,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2176,6 +2188,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": _T.doc_top_terms_sql(),
         "hapax_per_source": _T.hapax_per_source_sql(),
         "accuracy_hll_intersect": _hll_intersect_sql(),
+        "lang_source_share": _OL.lang_source_share_sql(),
+        "events_burst_days": _OL.events_burst_days_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

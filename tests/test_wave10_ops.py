@@ -166,3 +166,38 @@ def test_hapax_and_top_terms_semantics(ray_session):
     assert hx.source.tolist() == ["s1", "s2"]
     assert hx.n_terms.tolist() == [4, 3]
     assert hx.n_hapax.tolist() == [1, 2]
+
+
+def test_burst_days_integer_test_matches_float_zscore(ray_session):
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.pipelines.olap import events_burst_days
+
+    # 9 quiet days of 10 events + one 50-event spike: the spike is the
+    # only day with n > mean + 2*sigma (float check mirrors the
+    # integer certificate)
+    days = [f"2024-01-{d:02d}" for d in range(1, 10)] + ["2024-01-10"]
+    counts = [10] * 9 + [50]
+    ts, eid = [], []
+    for day, n in zip(days, counts):
+        for i in range(n):
+            ts.append(pd.Timestamp(f"{day} 06:00") + pd.Timedelta(minutes=i))
+            eid.append(len(eid) + 1)
+    tbl = pa.table({"event_id": pa.array(eid, pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(eid), pa.int64()),
+                    "event_type": pa.array(["click"] * len(eid)),
+                    "value": pa.array([0.0] * len(eid)),
+                    "props": pa.array(["{}"] * len(eid))})
+    with tempfile.TemporaryDirectory() as sf:
+        pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+        out = (events_burst_days(sf).to_pandas()
+               .sort_values("day").reset_index(drop=True))
+    arr = np.array(counts, dtype=float)
+    float_flags = (arr > arr.mean() + 2 * arr.std()).tolist()
+    assert out.is_burst.tolist() == float_flags
+    assert out.is_burst.tolist() == [False] * 9 + [True]

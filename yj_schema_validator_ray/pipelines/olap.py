@@ -2025,3 +2025,94 @@ twins AS (
         >= {threshold})
 SELECT asg.vec_id, asg.cluster, (t.vec_id IS NOT NULL) AS pruned
 FROM asg LEFT JOIN twins t USING (vec_id)"""
+
+
+def lang_source_share(sf_dir: str):
+    """Ratio-to-report window: per (source, lang), the doc count and its
+    share of the source's total in integer BASIS POINTS
+    (``n * 10000 // source_total`` — floor division both sides, so the
+    value hash is fp-free).  The mixture-dashboard number every feed
+    report opens with.
+
+    Shape: one (source, lang)-keyed count exchange; the share division
+    runs on the collected domain-sized (sources x langs) table."""
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+    c = collect_small_arrow(grouped_aggregate(
+        ds, ["source", "lang"], [("", "count", "n_docs")])).to_pandas()
+    tot = c.groupby("source")["n_docs"].transform("sum").to_numpy()
+    c["share_bp"] = (c["n_docs"].to_numpy(np.int64) * 10000) // tot
+    c["share_bp"] = c["share_bp"].astype("int64")
+    return pa.Table.from_pandas(c, preserve_index=False)
+
+
+def lang_source_share_sql() -> str:
+    return """
+WITH c AS (SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY 1, 2)
+SELECT source, lang, CAST(n AS BIGINT) AS n_docs,
+       CAST((n * 10000) // SUM(n) OVER (PARTITION BY source) AS BIGINT)
+         AS share_bp
+FROM c"""
+
+
+def events_burst_days(sf_dir: str, z: int = 2):
+    """Burst detection on the aggregated daily series: per event type,
+    flag days whose count exceeds mean + ``z`` sigma of that type's
+    own daily distribution.  The test is evaluated in EXACT integers —
+    ``n*D - S > 0 and (n*D - S)^2 > z^2 * (D*Q - S^2)`` with D=#days,
+    S=sum, Q=sum of squares — Python ints on the engine side, HUGEINT
+    in the oracle, so no sqrt/fp enters the certificate (the
+    count-series companion to the value-level MAD gate in
+    ``events_mad_outliers``).
+
+    Shape: one (type, day)-keyed count exchange; the flagging runs on
+    the collected day-domain series (calendar-bounded at any scale)."""
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t.column("ts"), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": day})
+
+    d = collect_small_arrow(grouped_aggregate(
+        ds.map_batches(day_rows, batch_format="pyarrow"),
+        ["event_type", "day"], [("", "count", "n_events")])).to_pandas()
+    flags = []
+    for _, g in d.groupby("event_type", sort=False):
+        n = [int(v) for v in g["n_events"]]   # Python ints: no overflow
+        D, S, Q = len(n), sum(n), sum(v * v for v in n)
+        var_term = D * Q - S * S
+        flags.append(pd.Series(
+            [(v * D - S) > 0 and (v * D - S) ** 2 > z * z * var_term
+             for v in n], index=g.index))
+    d["is_burst"] = pd.concat(flags).sort_index()
+    d["n_events"] = d["n_events"].astype("int64")
+    return pa.Table.from_pandas(d, preserve_index=False)
+
+
+def events_burst_days_sql(z: int = 2) -> str:
+    return f"""
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, COUNT(*) AS nd, SUM(n) AS sn, SUM(n * n) AS qn
+      FROM d GROUP BY event_type)
+SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events,
+       (d.n * s.nd - s.sn > 0 AND
+        (d.n * s.nd - s.sn) * (d.n * s.nd - s.sn)
+          > {z * z} * (s.nd * s.qn - s.sn * s.sn)) AS is_burst
+FROM d JOIN s USING (event_type)"""
