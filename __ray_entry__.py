@@ -831,6 +831,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in exact integers (Python ints vs HUGEINT)
         return OL.events_burst_days(sf_dir)
 
+    def q_embedding_dim_stats(sf_dir):
+        # list-column analytics: per-dimension quantized sum/min/max
+        # through a constant-width (model-dim) exchange
+        from yj_schema_validator_ray.stages.ann import embedding_dim_stats
+        return embedding_dim_stats(emb(sf_dir))
+
+    def q_pushdown_filter_scan(sf_dir):
+        # predicate pushdown INTO read_parquet (row-group pruning):
+        # the prune-at-the-read rule as an oracled certificate
+        return R.pushdown_filter_scan(sf_dir)
+
     def q_events_conversion_window(sf_dir):
         # windowed funnel step: first-view anchor + click within W; one
         # user-keyed exchange of pruned int64 pairs, window-domain out
@@ -1347,6 +1358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accuracy_hll_intersect": q_accuracy_hll_intersect,
         "lang_source_share": q_lang_source_share,
         "events_burst_days": q_events_burst_days,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "pushdown_filter_scan": q_pushdown_filter_scan,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1595,6 +1608,12 @@ def _dsir_select_sql() -> str:
     from yj_schema_validator_ray.stages.sampling import dsir_select_sql
 
     return dsir_select_sql()
+
+
+def _embedding_dim_stats_sql() -> str:
+    from yj_schema_validator_ray.stages.ann import embedding_dim_stats_sql
+
+    return embedding_dim_stats_sql()
 
 
 def _hll_intersect_sql() -> str:
@@ -2190,6 +2209,8 @@ def oracle_sql() -> dict[str, str]:
         "accuracy_hll_intersect": _hll_intersect_sql(),
         "lang_source_share": _OL.lang_source_share_sql(),
         "events_burst_days": _OL.events_burst_days_sql(),
+        "embedding_dim_stats": _embedding_dim_stats_sql(),
+        "pushdown_filter_scan": R.pushdown_filter_scan_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

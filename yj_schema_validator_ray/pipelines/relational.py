@@ -2068,6 +2068,52 @@ SELECT span.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
 FROM span LEFT JOIN d USING (day)"""
 
 
+def pushdown_filter_scan(sf_dir: str, max_qty: int = 5,
+                         returnflag: str = "R"):
+    """Predicate-pushdown certificate — the 'prune at the read' rule as
+    a first-class, oracled query: the filter ships INTO
+    ``read_parquet`` as a pyarrow dataset expression, so row groups
+    whose statistics exclude the predicate never leave storage and
+    non-matching rows never enter the object store (q6 filters
+    per-batch AFTER the read; this is the earlier, cheaper layer the
+    100-TB read path leans on).  Output is one audit row
+    (n_rows, sum_qty_c) in exact integer cents."""
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..util import collect_small_arrow
+
+    expr = ((pds.field("l_quantity") < float(max_qty))
+            & (pds.field("l_returnflag") == returnflag))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag"], filter=expr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty_c = pc.cast(pc.round(pc.multiply(t.column("l_quantity"),
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "sum_qty_c": pa.array([pc.sum(qty_c).as_py() or 0],
+                                  pa.int64())})
+
+    s = collect_small_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")).to_pandas().sum()
+    return pd.DataFrame({"n_rows": pd.Series([int(s.n_rows)], dtype="int64"),
+                         "sum_qty_c": pd.Series([int(s.sum_qty_c)],
+                                                dtype="int64")})
+
+
+def pushdown_filter_scan_sql(max_qty: int = 5,
+                             returnflag: str = "R") -> str:
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CAST(round(l_quantity * 100) AS BIGINT)), 0)
+            AS BIGINT) AS sum_qty_c
+FROM lineitem
+WHERE l_quantity < {max_qty} AND l_returnflag = '{returnflag}'"""
+
+
 def events_props_stats(sf_dir: str):
     """Semi-structured extraction: parse the JSON ``props`` payload per
     event and aggregate the extracted measure per event type — the

@@ -706,3 +706,59 @@ SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, p.cand AS pred_label,
        CAST(CASE WHEN p.cand = e.label THEN 1 ELSE 0 END AS BIGINT)
          AS correct
 FROM embeddings e JOIN pred p ON p.ia = e.vec_id AND p.pr = 1"""
+
+
+def embedding_dim_stats(emb_ds):
+    """Per-DIMENSION embedding distribution audit (the list-column
+    analytics shape): for every dimension index 1..d, the element
+    count plus exact-integer quantized sum/min/max
+    (``floor(1e6 * x)`` per element — one IEEE multiply + exact floor,
+    the :func:`embedding_norm_stats` contract), the columns a feature-
+    drift monitor tracks per embedding model version.
+
+    Shape: per-batch flatten -> position index by offset subtraction ->
+    d-row partials -> one dimension-keyed
+    :func:`~..stages.exact_agg.grouped_aggregate` (d is model-fixed,
+    so the exchange is constant-width at any corpus scale)."""
+    import pyarrow.compute as pc
+
+    from .exact_agg import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat_arr = col.flatten()
+        if flat_arr.null_count:
+            flat_arr = flat_arr.fill_null(0.0)  # mirror SQL coalesce(x,0)
+        flat = flat_arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * 1e6).astype(np.int64)
+        lens = pc.list_value_length(col).fill_null(0).to_numpy()
+        offs = np.cumsum(lens, dtype=np.int64)
+        idx = np.arange(len(q), dtype=np.int64) \
+            - np.repeat(offs - lens, lens) + 1  # 1-based like SQL lists
+        df = pd.DataFrame({"dim_idx": idx, "q": q})
+        g = df.groupby("dim_idx", sort=False).agg(
+            n=("q", "size"), q_sum=("q", "sum"),
+            q_min=("q", "min"), q_max=("q", "max")).reset_index()
+        for c in ("n", "q_sum", "q_min", "q_max"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim_idx"], [("n", "sum", "n"), ("q_sum", "sum", "q_sum"),
+                      ("q_min", "min", "q_min"), ("q_max", "max", "q_max")])
+
+
+def embedding_dim_stats_sql() -> str:
+    return """
+WITH ex AS (
+  SELECT i, CAST(coalesce(embedding[i], 0) AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+SELECT CAST(i AS BIGINT) AS dim_idx,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS q_sum,
+       CAST(min(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS q_min,
+       CAST(max(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS q_max
+FROM ex GROUP BY i"""
