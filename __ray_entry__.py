@@ -842,6 +842,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the prune-at-the-read rule as an oracled certificate
         return R.pushdown_filter_scan(sf_dir)
 
+    def q_events_active_coverage(sf_dir):
+        # interval-union coverage: user-keyed exchange + vectorized
+        # segment sweep (per-user cummax islands), integer-us outputs
+        return OL.events_active_coverage(sf_dir)
+
     def q_events_conversion_window(sf_dir):
         # windowed funnel step: first-view anchor + click within W; one
         # user-keyed exchange of pruned int64 pairs, window-domain out
@@ -1360,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burst_days": q_events_burst_days,
         "embedding_dim_stats": q_embedding_dim_stats,
         "pushdown_filter_scan": q_pushdown_filter_scan,
+        "events_active_coverage": q_events_active_coverage,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2211,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "events_burst_days": _OL.events_burst_days_sql(),
         "embedding_dim_stats": _embedding_dim_stats_sql(),
         "pushdown_filter_scan": R.pushdown_filter_scan_sql(),
+        "events_active_coverage": _OL.events_active_coverage_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

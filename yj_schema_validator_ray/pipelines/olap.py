@@ -2116,3 +2116,88 @@ SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events,
         (d.n * s.nd - s.sn) * (d.n * s.nd - s.sn)
           > {z * z} * (s.nd * s.qn - s.sn * s.sn)) AS is_burst
 FROM d JOIN s USING (event_type)"""
+
+
+def events_active_coverage(sf_dir: str, window_s: int = 300):
+    """Interval-UNION coverage per user: pad every event to a
+    [ts, ts+window) activity interval and report how much wall-clock
+    each user's union of intervals covers (plus how many disjoint
+    merged intervals it falls into) — total-active-time accounting,
+    where naive SUM double-counts every overlap.
+
+    Distributed shape: one user-keyed coarse exchange of (user, ts)
+    int64 pairs; inside each group the merge is the classic sweep done
+    with vectorized pandas segment ops (per-user cummax of interval
+    ends -> island breaks where the next start clears the running max
+    -> per-island max(end) - min(start)).  Outputs are exact integer
+    MICROSECONDS (epoch_us both sides), so no fp enters the hash."""
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..util import shuffle_partitions
+
+    w_us = window_s * 1_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("user_id"), pa.int64())
+        ts = pc.cast(t.column("ts"), pa.int64())
+        un = u.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": u, "ts": ts,
+            "__coarse": pa.array(coarse_mix(un.astype(np.int64)),
+                                 pa.int64())})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_intervals": pd.Series(dtype="int64"),
+                                 "covered_us": pd.Series(dtype="int64")})
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].to_numpy(np.int64)
+        te = ts + w_us
+        u = g["user_id"]
+        prev_max = pd.Series(te).groupby(u.to_numpy()).cummax() \
+            .groupby(u.to_numpy()).shift(1)
+        new_island = (~(ts <= prev_max.to_numpy())) \
+            | prev_max.isna().to_numpy()
+        island = np.cumsum(new_island)
+        df = pd.DataFrame({"user_id": u.to_numpy(np.int64),
+                           "island": island, "ts": ts, "te": te})
+        per_isl = df.groupby(["user_id", "island"], sort=False).agg(
+            s=("ts", "min"), t=("te", "max"))
+        out = (per_isl.assign(c=per_isl["t"] - per_isl["s"])
+               .groupby("user_id", sort=False)
+               .agg(n_intervals=("c", "size"), covered_us=("c", "sum"))
+               .reset_index())
+        out["n_intervals"] = out["n_intervals"].astype("int64")
+        out["covered_us"] = out["covered_us"].astype("int64")
+        return out
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(sweep, batch_format="pandas"))
+
+
+def events_active_coverage_sql(window_s: int = 300) -> str:
+    return f"""
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+         ts + INTERVAL {window_s} SECOND AS te
+  FROM events),
+m AS (
+  SELECT user_id, ts, te,
+         CASE WHEN ts <= max(te) OVER (PARTITION BY user_id
+                   ORDER BY ts, te
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS ni
+  FROM e),
+g AS (SELECT user_id, ts, te,
+             SUM(ni) OVER (PARTITION BY user_id ORDER BY ts, te) AS isl
+      FROM m),
+i AS (SELECT user_id, isl, min(ts) AS s, max(te) AS t
+      FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(epoch_us(t - s)) AS BIGINT) AS covered_us
+FROM i GROUP BY user_id"""
