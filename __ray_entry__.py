@@ -847,6 +847,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # segment sweep (per-user cummax islands), integer-us outputs
         return OL.events_active_coverage(sf_dir)
 
+    def q_events_benford(sf_dir):
+        # Benford first-digit audit on exact integer cents (log-free
+        # digit extraction); 9-row count exchange
+        return OL.events_benford(sf_dir)
+
+    def q_compact_shards(sf_dir):
+        # small-file compaction (repartition rewrite) certified by the
+        # per-lang account over the compacted layout
+        from yj_schema_validator_ray.pipelines.curation import (
+            compact_shards,
+        )
+        return compact_shards(sf_dir)
+
     def q_events_conversion_window(sf_dir):
         # windowed funnel step: first-view anchor + click within W; one
         # user-keyed exchange of pruned int64 pairs, window-domain out
@@ -1366,6 +1379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "pushdown_filter_scan": q_pushdown_filter_scan,
         "events_active_coverage": q_events_active_coverage,
+        "events_benford": q_events_benford,
+        "compact_shards": q_compact_shards,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1628,6 +1643,14 @@ def _hll_intersect_sql() -> str:
     )
 
     return hll_intersect_accuracy_sql()
+
+
+def _compact_shards_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        compact_shards_sql,
+    )
+
+    return compact_shards_sql()
 
 
 def _docs_orc_roundtrip_sql() -> str:
@@ -2218,6 +2241,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": _embedding_dim_stats_sql(),
         "pushdown_filter_scan": R.pushdown_filter_scan_sql(),
         "events_active_coverage": _OL.events_active_coverage_sql(),
+        "events_benford": _OL.events_benford_sql(),
+        "compact_shards": _compact_shards_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -201,3 +201,21 @@ def test_burst_days_integer_test_matches_float_zscore(ray_session):
     float_flags = (arr > arr.mean() + 2 * arr.std()).tolist()
     assert out.is_burst.tolist() == float_flags
     assert out.is_burst.tolist() == [False] * 9 + [True]
+
+
+def test_compact_shards_file_count_contract(ray_session):
+    # the oracle checks only the accounting; the file-count contract
+    # (64 fragments -> exactly 8 compacted files) is pinned here
+    import glob
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from yj_schema_validator_ray.pipelines.curation import compact_shards
+
+    out = compact_shards("/root/testdata/sf0.001",
+                         small_files=64, target_files=8)
+    assert out.attrs["n_files_before"] == 64
+    assert out.attrs["n_files_after"] == 8
+    assert int(out["n_docs"].sum()) == 500

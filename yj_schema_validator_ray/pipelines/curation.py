@@ -1359,3 +1359,53 @@ SELECT i,
              CASE WHEN NOT removed THEN line END, chr(10) ORDER BY ln),
              '')) AS cleaned_md5
 FROM marked GROUP BY i"""
+
+
+def compact_shards(sf_dir: str, small_files: int = 64,
+                   target_files: int = 8):
+    """Small-file COMPACTION — the table-maintenance pass every
+    long-lived lake table needs: a fragmented layout (``small_files``
+    tiny parquet files, the pathological many-small-writes state) is
+    rewritten by ``repartition(target_files)`` into few well-sized
+    files, and the per-lang account + XOR content checksum
+    (:func:`_lang_accounting`) certifies the rewrite lost and
+    duplicated nothing.  The oracle computes the same accounting over
+    the source table — only counts/sums are SQL-checked; the file-count
+    contract (exactly ``target_files`` after compaction) is pinned in
+    pytest.
+
+    Scale note: compaction IS a shuffle by design (that is the price of
+    re-clustering); the certificate's accounting stays streaming."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    frag_dir = tempfile.mkdtemp(prefix="yjsv_frag_")
+    comp_dir = tempfile.mkdtemp(prefix="yjsv_comp_")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+    try:
+        # fragment: force many tiny files (the "before" state)
+        docs.repartition(small_files).write_parquet(frag_dir)
+        n_before = len(_glob.glob(f"{frag_dir}/*.parquet"))
+        # compact
+        (ray.data.read_parquet(frag_dir)
+         .repartition(target_files).write_parquet(comp_dir))
+        n_after = len(_glob.glob(f"{comp_dir}/*.parquet"))
+        out = _lang_accounting(ray.data.read_parquet(comp_dir))
+        out = out.drop(columns=["text_xor"])
+        out.attrs["n_files_before"] = n_before
+        out.attrs["n_files_after"] = n_after
+    finally:
+        shutil.rmtree(frag_dir, ignore_errors=True)
+        shutil.rmtree(comp_dir, ignore_errors=True)
+    return out
+
+
+def compact_shards_sql() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang"""

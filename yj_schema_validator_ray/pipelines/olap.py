@@ -2201,3 +2201,49 @@ i AS (SELECT user_id, isl, min(ts) AS s, max(te) AS t
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
        CAST(SUM(epoch_us(t - s)) AS BIGINT) AS covered_us
 FROM i GROUP BY user_id"""
+
+
+def events_benford(sf_dir: str):
+    """Benford's-law first-digit audit over the value column — the
+    classic fabricated-numbers screen.  The digit is extracted from
+    the EXACT integer cents (``round(value*100)``), first character of
+    the int's decimal string — identical int-to-string on both sides,
+    no log10 (whose IEEE results at powers of ten differ between
+    libraries).  Non-positive amounts are excluded on both sides.
+    Output (digit, n) exact; the Benford deviation stat stays
+    downstream where fp is allowed.  One fixed-width (9-row) count
+    exchange."""
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def digits(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                         pa.scalar(100.0))), pa.int64())
+        c = c.to_numpy(zero_copy_only=False)
+        c = c[c > 0]
+        # first decimal digit: digit count via log-free integer divide
+        d = c.copy()
+        d[d >= 10**15] //= 10**15
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        return pa.table({"digit": pa.array(d, pa.int64())})
+
+    return grouped_aggregate(
+        ds.map_batches(digits, batch_format="pyarrow"),
+        ["digit"], [("", "count", "n")])
+
+
+def events_benford_sql() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+d AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE c > 0)
+SELECT digit, CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY digit"""
