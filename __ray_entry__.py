@@ -852,6 +852,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # digit extraction); 9-row count exchange
         return OL.events_benford(sf_dir)
 
+    def q_bloom_semijoin(sf_dir):
+        # bloom semi-join pushdown: bits-only membership of filtered
+        # orders pre-filters lineitem; exactness + FPR certified
+        from yj_schema_validator_ray.stages.bloom import bloom_semijoin
+        return bloom_semijoin(sf_dir)
+
     def q_compact_shards(sf_dir):
         # small-file compaction (repartition rewrite) certified by the
         # per-lang account over the compacted layout
@@ -1381,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_active_coverage": q_events_active_coverage,
         "events_benford": q_events_benford,
         "compact_shards": q_compact_shards,
+        "bloom_semijoin": q_bloom_semijoin,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1643,6 +1650,12 @@ def _hll_intersect_sql() -> str:
     )
 
     return hll_intersect_accuracy_sql()
+
+
+def _bloom_semijoin_sql() -> str:
+    from yj_schema_validator_ray.stages.bloom import bloom_semijoin_sql
+
+    return bloom_semijoin_sql()
 
 
 def _compact_shards_sql() -> str:
@@ -2243,6 +2256,7 @@ def oracle_sql() -> dict[str, str]:
         "events_active_coverage": _OL.events_active_coverage_sql(),
         "events_benford": _OL.events_benford_sql(),
         "compact_shards": _compact_shards_sql(),
+        "bloom_semijoin": _bloom_semijoin_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

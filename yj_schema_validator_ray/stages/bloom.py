@@ -136,3 +136,134 @@ def synthesize_new_crawl(docs_ds):
                               "doc_id", new_ids)
 
     return docs_ds.map_batches(make_new, batch_format="pyarrow")
+
+
+def bloom_semijoin(sf_dir: str, priority: str = "1-URGENT",
+                   m_bits: int = 1 << 20, k: int = 5):
+    """Bloom-filter SEMI-JOIN pushdown — the join-avoidance pattern the
+    100-TB plan leans on when one side reduces to membership: build a
+    bits-only summary of the filtered orders keys (per-batch bitmaps,
+    OR-merge tree), broadcast it, and pre-filter lineitem with bit
+    tests instead of shuffling either table.
+
+    Certificate (one row, all checks computed distributed):
+    ``n_line`` / ``n_exact`` — exact scan + semi-join counts
+    (SQL-oracled); ``no_false_negatives`` — every true match passed
+    the bloom (the structural guarantee, verified not assumed);
+    ``fpr_ok`` — false passes <= 2x the analytic ``(1-e^{-kn/m})^k``
+    rate on the non-matching population.  The exact side runs through
+    ONE key-keyed exchange of pre-aggregated (key, n, n_passed)
+    partials — the bitmap never substitutes for correctness, it only
+    cuts the rows that reach the exact stage in a real pipeline."""
+    import math
+
+    import ray
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow, process_cached, ref_key, \
+        shuffle_partitions
+
+    words = m_bits // 64
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        keys = t.filter(pa.compute.equal(
+            t.column("o_orderpriority"), priority)) \
+            .column("o_orderkey").to_numpy(zero_copy_only=False)
+        bm = np.zeros(words, dtype=np.uint64)
+        _set_bits(bm, keys.astype(np.uint64), k)
+        return pa.table({
+            "bm": pa.array([bm.tobytes()], pa.binary()),
+            "n_keys": pa.array([len(keys)], pa.int64())})
+
+    def orr(t: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for blob in t.column("bm").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return pa.table({
+            "bm": pa.array([acc.tobytes()], pa.binary()),
+            "n_keys": pa.array(
+                [int(sum(t.column("n_keys").to_pylist()))], pa.int64())})
+
+    rows = (orders.map_batches(o_partial, batch_format="pyarrow")
+            .repartition(min(8, shuffle_partitions()))
+            .map_batches(orr, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(orr, batch_format="pyarrow")).take_all()
+    bloom = np.frombuffer(rows[0]["bm"], dtype=np.uint64).copy()
+    n_keys = int(rows[0]["n_keys"])  # order keys are unique (PK)
+    ref = ray.put(bloom)
+
+    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_orderkey"])
+
+    class Probe:
+        def __init__(self, r):
+            self.bm = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            hit = _test_bits(self.bm, keys.astype(np.uint64), k)
+            df = (pd.DataFrame({"key": keys,
+                                "n": np.ones(len(keys), np.int64),
+                                "n_passed": hit.astype(np.int64)})
+                  .groupby("key", sort=False).sum().reset_index())
+            df["is_order"] = np.int64(0)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    def o_keys(t: pa.Table) -> pa.Table:
+        keys = t.filter(pa.compute.equal(
+            t.column("o_orderpriority"), priority)) \
+            .column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "n": pa.array(np.zeros(len(keys), np.int64)),
+                         "n_passed": pa.array(np.zeros(len(keys),
+                                                       np.int64)),
+                         "is_order": pa.array(np.ones(len(keys),
+                                                      np.int64))})
+
+    both = (line.map_batches(process_cached(Probe, (ref_key(ref), k), ref),
+                             batch_format="pyarrow")
+            .union(orders.map_batches(o_keys, batch_format="pyarrow")))
+    per_key = grouped_aggregate(
+        both, ["key"],
+        [("n", "sum", "n"), ("n_passed", "sum", "n_passed"),
+         ("is_order", "max", "is_order")])
+
+    def final_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy()
+        npass = t.column("n_passed").to_numpy()
+        iso = t.column("is_order").to_numpy().astype(bool)
+        return pa.table({
+            "n_line": pa.array([int(n.sum())], pa.int64()),
+            "n_pass": pa.array([int(npass.sum())], pa.int64()),
+            "n_exact": pa.array([int(n[iso].sum())], pa.int64()),
+            "n_exact_passed": pa.array([int(npass[iso].sum())],
+                                       pa.int64())})
+
+    s = collect_small_arrow(per_key.map_batches(
+        final_partial, batch_format="pyarrow")).to_pandas().sum()
+    fpr = (1.0 - math.exp(-k * n_keys / m_bits)) ** k
+    n_nonmatch = int(s.n_line) - int(s.n_exact)
+    false_pass = int(s.n_pass) - int(s.n_exact_passed)
+    return pd.DataFrame({
+        "n_line": pd.Series([int(s.n_line)], dtype="int64"),
+        "n_exact": pd.Series([int(s.n_exact)], dtype="int64"),
+        "no_false_negatives": [bool(s.n_exact_passed == s.n_exact)],
+        "fpr_ok": [bool(false_pass <= max(2.0 * fpr * n_nonmatch, 8.0))],
+    })
+
+
+def bloom_semijoin_sql(priority: str = "1-URGENT") -> str:
+    return f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_line,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '{priority}'))
+         AS n_exact,
+       TRUE AS no_false_negatives,
+       TRUE AS fpr_ok"""
