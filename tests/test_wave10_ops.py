@@ -219,3 +219,27 @@ def test_compact_shards_file_count_contract(ray_session):
     assert out.attrs["n_files_before"] == 64
     assert out.attrs["n_files_after"] == 8
     assert int(out["n_docs"].sum()) == 500
+
+
+def test_wave10_ops_are_repartition_invariant(ray_session):
+    # block boundaries must never change results: per-batch partials +
+    # keyed exchanges only (catches accidental batch-local semantics)
+    import ray.data
+
+    from yj_schema_validator_ray.stages.sampling import dsir_select
+    from yj_schema_validator_ray.stages.text import (
+        hapax_per_source, lexical_diversity, oov_rate)
+
+    def docs(nblocks=None):
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "source"])
+        return ds.repartition(nblocks) if nblocks else ds
+
+    for fn in (dsir_select, oov_rate, hapax_per_source,
+               lexical_diversity):
+        a = fn(docs()).to_pandas()
+        b = fn(docs(7)).to_pandas()
+        a = a.sort_values(list(a.columns)).reset_index(drop=True)
+        b = b.sort_values(list(b.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_like=True), fn.__name__
