@@ -852,6 +852,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # digit extraction); 9-row count exchange
         return OL.events_benford(sf_dir)
 
+    def q_embedding_rp_project(sf_dir):
+        # Rademacher random projection: quantize-first int64 matmul
+        # against a process-cached md5-derived sign matrix
+        from yj_schema_validator_ray.stages.ann import embedding_rp_project
+        return embedding_rp_project(emb(sf_dir))
+
     def q_bloom_semijoin(sf_dir):
         # bloom semi-join pushdown: bits-only membership of filtered
         # orders pre-filters lineitem; exactness + FPR certified
@@ -1388,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_benford": q_events_benford,
         "compact_shards": q_compact_shards,
         "bloom_semijoin": q_bloom_semijoin,
+        "embedding_rp_project": q_embedding_rp_project,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1636,6 +1643,12 @@ def _dsir_select_sql() -> str:
     from yj_schema_validator_ray.stages.sampling import dsir_select_sql
 
     return dsir_select_sql()
+
+
+def _embedding_rp_project_sql() -> str:
+    from yj_schema_validator_ray.stages.ann import embedding_rp_project_sql
+
+    return embedding_rp_project_sql()
 
 
 def _embedding_dim_stats_sql() -> str:
@@ -2257,6 +2270,7 @@ def oracle_sql() -> dict[str, str]:
         "events_benford": _OL.events_benford_sql(),
         "compact_shards": _compact_shards_sql(),
         "bloom_semijoin": _bloom_semijoin_sql(),
+        "embedding_rp_project": _embedding_rp_project_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -762,3 +762,89 @@ SELECT CAST(i AS BIGINT) AS dim_idx,
        CAST(min(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS q_min,
        CAST(max(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS q_max
 FROM ex GROUP BY i"""
+
+
+_RP_SIGN_CACHE: dict = {}
+
+
+def _rp_signs(d_in: int, d_out: int) -> np.ndarray:
+    """Deterministic Rademacher (+1/-1) projection matrix derived from
+    md5 — sign(i,j) = +1 iff the first hex char of md5('i:j') < '8',
+    the same SQL-mirrorable hash family the sampling operators use.
+    Cached per worker process (it is model-dimension sized)."""
+    import hashlib
+
+    key = (d_in, d_out)
+    if key not in _RP_SIGN_CACHE:
+        s = np.empty((d_in, d_out), np.int64)
+        for i in range(d_in):
+            for j in range(d_out):
+                h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0]
+                s[i, j] = 1 if h < "8" else -1
+        _RP_SIGN_CACHE[key] = s
+    return _RP_SIGN_CACHE[key]
+
+
+def embedding_rp_project(emb_ds, d_out: int = 16):
+    """Sparse/Rademacher RANDOM PROJECTION (Achlioptas 2003): reduce
+    each embedding to ``d_out`` dimensions with a deterministic +-1
+    matrix.  Arithmetic is exact end to end: elements quantize FIRST
+    (``floor(1e6 * x)``, one IEEE multiply + exact floor — the
+    :func:`embedding_norm_stats` contract), then an int64 matmul
+    against the sign matrix, so the projected values are integers the
+    SQL oracle reproduces term-for-term (sum order never matters).
+
+    Shape: zero-shuffle scan; the sign matrix is process-cached
+    (model-dim sized, never shipped per batch).  Output long-form
+    (vec_id, out_dim, q_val) to keep the schema narrow."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).fill_null(0).to_numpy()
+        if len(lens) == 0 or lens.max() == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "out_dim": pa.array([], pa.int64()),
+                             "q_val": pa.array([], pa.int64())})
+        d_in = int(lens.max())
+        flat_arr = col.flatten()
+        if flat_arr.null_count:
+            flat_arr = flat_arr.fill_null(0.0)
+        flat = flat_arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(flat * 1e6).astype(np.int64)
+        # ragged guard: this corpus is fixed-dim; assert instead of pad
+        assert (lens == d_in).all(), "mixed embedding dims"
+        mat = q.reshape(-1, d_in)
+        out = mat @ _rp_signs(d_in, d_out)          # int64 exact
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, d_out), pa.int64()),
+            "out_dim": pa.array(
+                np.tile(np.arange(1, d_out + 1, dtype=np.int64),
+                        len(vid)), pa.int64()),
+            "q_val": pa.array(out.reshape(-1), pa.int64())})
+
+    return emb_ds.map_batches(f, batch_format="pyarrow")
+
+
+def embedding_rp_project_sql(d_out: int = 16) -> str:
+    return f"""
+WITH ex AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(coalesce(embedding[i], 0) AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+s AS (
+  SELECT i, j,
+         CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR) || ':' ||
+                              CAST(j - 1 AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE -1 END AS sign
+  FROM unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1))
+         AS a(i),
+       unnest(range(1, {d_out} + 1)) AS b(j))
+SELECT ex.vec_id, CAST(s.j AS BIGINT) AS out_dim,
+       CAST(SUM(ex.q * s.sign) AS BIGINT) AS q_val
+FROM ex JOIN s USING (i)
+GROUP BY ex.vec_id, s.j"""
