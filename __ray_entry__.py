@@ -852,6 +852,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # digit extraction); 9-row count exchange
         return OL.events_benford(sf_dir)
 
+    def q_search_topk(sf_dir):
+        # keyword retrieval: query-sized df aggregate -> inline integer
+        # TF-IDF weights -> zero-shuffle scoring scan -> top-k
+        from yj_schema_validator_ray.stages.text import search_topk
+        return search_topk(docs(sf_dir))
+
     def q_embedding_rp_project(sf_dir):
         # Rademacher random projection: quantize-first int64 matmul
         # against a process-cached md5-derived sign matrix
@@ -1395,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_shards": q_compact_shards,
         "bloom_semijoin": q_bloom_semijoin,
         "embedding_rp_project": q_embedding_rp_project,
+        "search_topk": q_search_topk,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2271,6 +2278,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_shards": _compact_shards_sql(),
         "bloom_semijoin": _bloom_semijoin_sql(),
         "embedding_rp_project": _embedding_rp_project_sql(),
+        "search_topk": _T.search_topk_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -1685,3 +1685,81 @@ SELECT tsc.source,
          AS n_hapax
 FROM tsc JOIN tg USING (g)
 GROUP BY tsc.source"""
+
+
+# --- Keyword search: TF-IDF-weighted top-k retrieval -------------------
+
+
+def search_topk(docs_ds, query=("spark", "window", "hash"), k: int = 20,
+                scale: int = 1_000_000_000):
+    """Keyword-query retrieval baseline: score every document against a
+    small query term set with integer TF-IDF weights and return the
+    top-``k`` — the search primitive (the per-doc analytics cousin is
+    :func:`tfidf_top_terms`; this one ranks DOCS for a QUERY).
+
+    Exact-integer contract: per query term, ``w_t = scale // (df_t + 1)``
+    (floor division — the rare-term boost without fp logs); doc score =
+    sum over query terms of ``tf_dt * w_t``.  Ranking ties break to the
+    smaller doc_id.
+
+    Shape: pass 1 computes df for the QUERY TERMS ONLY (a query-sized
+    aggregate — per-batch membership counts, never the vocabulary);
+    pass 2 is a zero-shuffle scoring scan with the weights inline,
+    then a top-k sort over scored docs (docs matching no term drop)."""
+    from ..util import collect_small_arrow
+    from .exact_agg import grouped_aggregate
+
+    terms = list(query)
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        sets = toks.map(frozenset)
+        return pd.DataFrame({
+            "term": pd.Series(terms, dtype="object"),
+            "df": pd.Series([int(sets.map(lambda s: t in s).sum())
+                             for t in terms], dtype="int64")})
+
+    dfs = collect_small_arrow(grouped_aggregate(
+        docs_ds.map_batches(df_partial, batch_format="pandas"),
+        ["term"], [("df", "sum", "df")])).to_pandas()
+    w = {t: int(scale) // (int(d) + 1)
+         for t, d in zip(dfs["term"], dfs["df"])}
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        ids = batch["doc_id"].to_numpy()
+        out_ids, out_scores = [], []
+        for did, ts in zip(ids, toks):
+            s = 0
+            for t in terms:
+                tf = ts.count(t)
+                if tf:
+                    s += tf * w[t]
+            if s:
+                out_ids.append(int(did))
+                out_scores.append(s)
+        return pd.DataFrame({"doc_id": pd.Series(out_ids, dtype="int64"),
+                             "score": pd.Series(out_scores,
+                                                dtype="int64")})
+
+    return (docs_ds.map_batches(score, batch_format="pandas")
+            .sort(["score", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
+def search_topk_sql(query=("spark", "window", "hash"), k: int = 20,
+                    scale: int = 1_000_000_000) -> str:
+    qlist = ", ".join(f"'{t}'" for t in query)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS g
+  FROM documents),
+qt AS (SELECT doc_id, g, count(*) AS tf FROM toks
+       WHERE g IN ({qlist}) GROUP BY 1, 2),
+dfs AS (SELECT g, count(DISTINCT doc_id) AS df FROM toks
+        WHERE g IN ({qlist}) GROUP BY g),
+scored AS (
+  SELECT qt.doc_id, SUM(qt.tf * ({scale} // (dfs.df + 1))) AS score
+  FROM qt JOIN dfs USING (g) GROUP BY qt.doc_id)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
