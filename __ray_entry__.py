@@ -852,6 +852,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # digit extraction); 9-row count exchange
         return OL.events_benford(sf_dir)
 
+    def q_user_activity_gini(sf_dir):
+        # concentration audit: exact integer Gini numerator via the
+        # histogram-offset global rank (no global sort)
+        return OL.user_activity_gini(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1402,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": q_bloom_semijoin,
         "embedding_rp_project": q_embedding_rp_project,
         "search_topk": q_search_topk,
+        "user_activity_gini": q_user_activity_gini,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2279,6 +2285,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin": _bloom_semijoin_sql(),
         "embedding_rp_project": _embedding_rp_project_sql(),
         "search_topk": _T.search_topk_sql(),
+        "user_activity_gini": _OL.user_activity_gini_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -2247,3 +2247,63 @@ d AS (
   FROM c WHERE c > 0)
 SELECT digit, CAST(count(*) AS BIGINT) AS n
 FROM d GROUP BY digit"""
+
+
+def user_activity_gini(sf_dir: str):
+    """Concentration-of-activity audit: the exact integer Gini
+    numerator over per-user event counts — ``sum((2r - n - 1) * x_r)``
+    with rank ``r`` ascending by (count, user_id) — reported with
+    ``n_users`` and ``sum_events`` so the [0,1] Gini ratio stays
+    downstream where fp is allowed.  Ties don't matter: permuting
+    equal counts inside a tie block leaves the sum unchanged, so the
+    deterministic id tie-break is merely reproducibility.
+
+    Shape: per-user counts (one keyed exchange) ->
+    :func:`~..stages.rank.global_rank` (histogram-offset ranking, no
+    global sort) -> per-block (sum rx, sum x, n) partials -> one tiny
+    driver combine using Python ints (the r*x sum is the one term that
+    could outgrow int64 at extreme scale)."""
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.rank import global_rank
+    from ..util import collect_small_arrow
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    # alias "x" (not "n"): global_rank's internal histogram uses "n"
+    counts = grouped_aggregate(ev, ["user_id"], [("", "count", "x")])
+    ranked = global_rank(counts, key_col="x", id_col="user_id",
+                         descending=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy()
+        x = t.column("x").to_numpy()
+        return pa.table({
+            "n_users": pa.array([t.num_rows], pa.int64()),
+            "sum_x": pa.array([int(x.sum())], pa.int64()),
+            "sum_rx": pa.array([int((r * x).sum())], pa.int64())})
+
+    s = collect_small_arrow(ranked.map_batches(
+        partial, batch_format="pyarrow")).to_pandas().sum()
+    n, sx, srx = int(s.n_users), int(s.sum_x), int(s.sum_rx)
+    gini_num = 2 * srx - (n + 1) * sx
+    return pd.DataFrame({
+        "n_users": pd.Series([n], dtype="int64"),
+        "sum_events": pd.Series([sx], dtype="int64"),
+        "gini_num": pd.Series([gini_num], dtype="int64")})
+
+
+def user_activity_gini_sql() -> str:
+    return """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+r AS (SELECT n,
+             row_number() OVER (ORDER BY n ASC, user_id ASC) AS rk,
+             count(*) OVER () AS nu,
+             SUM(n) OVER () AS sx
+      FROM c)
+SELECT CAST(ANY_VALUE(nu) AS BIGINT) AS n_users,
+       CAST(ANY_VALUE(sx) AS BIGINT) AS sum_events,
+       CAST(2 * SUM(rk * n) - (ANY_VALUE(nu) + 1) * ANY_VALUE(sx)
+            AS BIGINT) AS gini_num
+FROM r"""
