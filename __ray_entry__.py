@@ -1266,9 +1266,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q16_supplier_variety, supplier_triangles, part_fuzzy_pairs,
         # charlm_scores, events_type_pivot, orders_rfm,
         # docs_exact_split, events_purchase_view_window,
-        # orders_yoy_growth, knn_classify) and the wave-10 additions
-        # (dsir_select, blocklist_filter, lexical_diversity,
-        # source_similarity) — all local-harness + sf0.01 driver-mimic
+        # orders_yoy_growth, knn_classify) and the wave-10/seventh-wave
+        # additions (dsir_select, blocklist_filter, lexical_diversity,
+        # source_similarity, docs_orc_roundtrip, events_daily_gapfill,
+        # oov_rate, doc_top_terms, hapax_per_source,
+        # accuracy_hll_intersect, lang_source_share, events_burst_days,
+        # embedding_dim_stats, pushdown_filter_scan,
+        # events_active_coverage, events_benford, compact_shards,
+        # bloom_semijoin, embedding_rp_project, search_topk,
+        # user_activity_gini) — all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
         "docs_union_evolved": q_docs_union_evolved,
