@@ -852,6 +852,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # digit extraction); 9-row count exchange
         return OL.events_benford(sf_dir)
 
+    def q_dedup_normalized(sf_dir):
+        # canon-form dedup: messy twins (case/punct variants) must
+        # collapse into their originals' groups; text never shuffles
+        return D.dedup_normalized(docs(sf_dir))
+
     def q_user_activity_gini(sf_dir):
         # concentration audit: exact integer Gini numerator via the
         # histogram-offset global rank (no global sort)
@@ -1274,7 +1279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding_dim_stats, pushdown_filter_scan,
         # events_active_coverage, events_benford, compact_shards,
         # bloom_semijoin, embedding_rp_project, search_topk,
-        # user_activity_gini) — all local-harness + sf0.01 driver-mimic
+        # user_activity_gini, dedup_normalized) — all local-harness +
+        # sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
         "docs_union_evolved": q_docs_union_evolved,
@@ -1414,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_rp_project": q_embedding_rp_project,
         "search_topk": q_search_topk,
         "user_activity_gini": q_user_activity_gini,
+        "dedup_normalized": q_dedup_normalized,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1682,6 +1689,12 @@ def _hll_intersect_sql() -> str:
     )
 
     return hll_intersect_accuracy_sql()
+
+
+def _dedup_normalized_sql() -> str:
+    from yj_schema_validator_ray.stages.dedup import dedup_normalized_sql
+
+    return dedup_normalized_sql()
 
 
 def _bloom_semijoin_sql() -> str:
@@ -2292,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_rp_project": _embedding_rp_project_sql(),
         "search_topk": _T.search_topk_sql(),
         "user_activity_gini": _OL.user_activity_gini_sql(),
+        "dedup_normalized": _dedup_normalized_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -1492,3 +1492,67 @@ JOIN norms na ON na.doc_id = d.a
 JOIN norms nb ON nb.doc_id = d.b
 WHERE {den * den} * d.dot * d.dot >= {num * num} * na.n2 * nb.n2
 ORDER BY d.a, d.b"""
+
+
+def dedup_normalized(docs_ds):
+    """Normalization-canonical dedup: documents that differ only in
+    case/punctuation/whitespace collapse to one canonical form
+    (lowercase, non-word runs -> single space, trimmed) — the cheap
+    canon pass that catches re-encoded boilerplate exact-sha dedup
+    misses.  To certify exactly that, a deterministic MESSY TWIN is
+    synthesized for ids % 100 < 5 (``upper(text) || ' !!'``, ids
+    shifted +2e6, mirrored in the SQL oracle): every twin must land in
+    its original's group despite a different sha256.
+
+    Same scale shape as :func:`exact_dup_groups`: md5 of the canon
+    form per batch, (key, min_id, n) partials, one keyed exchange of
+    partials — raw text never shuffles."""
+    import hashlib
+
+    from .exact_agg import grouped_aggregate
+
+    def messy(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sel = t.filter(pa.array(ids % 100 < 5))
+        up = pc.binary_join_element_wise(
+            pc.utf8_upper(sel.column("text")), " !!", "")
+        return pa.table({
+            "doc_id": pa.array(sel.column("doc_id").to_numpy() + 2_000_000,
+                               pa.int64()),
+            "text": up})
+
+    aug = docs_ds.union(docs_ds.map_batches(messy, batch_format="pyarrow"))
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(t.column("text")),
+                                       "[^0-9a-z_]+", " "),
+            characters=" ")
+        keys = [hashlib.md5(s.encode()).hexdigest()
+                for s in norm.to_pylist()]
+        return pa.table({"norm_md5": pa.array(keys, pa.string()),
+                         "keep_doc_id": pc.cast(t.column("doc_id"),
+                                                pa.int64())})
+
+    rows = aug.map_batches(key_rows, batch_format="pyarrow")
+    return grouped_aggregate(rows, ["norm_md5"],
+                             [("keep_doc_id", "min", "keep_doc_id"),
+                              ("", "count", "n_copies")]) \
+        .filter(expr="n_copies > 1")
+
+
+def dedup_normalized_sql() -> str:
+    return r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, upper(text) || ' !!' AS text
+  FROM documents WHERE doc_id % 100 < 5),
+n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^0-9a-z_]+', ' ', 'g'),
+                  ' ')) AS k
+  FROM aug)
+SELECT k AS norm_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM n GROUP BY k HAVING count(*) > 1"""
