@@ -862,6 +862,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # histogram-offset global rank (no global sort)
         return OL.user_activity_gini(sf_dir)
 
+    def q_cascade_delete_audit(sf_dir):
+        # GDPR delete propagation: md5-rule delete set cascades
+        # customer -> orders (rule is key-local, zero joins) ->
+        # lineitem (one orderkey-keyed coarse exchange)
+        from yj_schema_validator_ray.pipelines.governance import (
+            cascade_delete_audit)
+        return cascade_delete_audit(sf_dir)
+
+    def q_orders_price_reconciliation(sf_dir):
+        # financial reconciliation: quantize-first exact-integer
+        # recompute of each order's total vs stated, one keyed exchange
+        from yj_schema_validator_ray.pipelines.governance import (
+            orders_price_reconciliation)
+        return orders_price_reconciliation(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1279,7 +1294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding_dim_stats, pushdown_filter_scan,
         # events_active_coverage, events_benford, compact_shards,
         # bloom_semijoin, embedding_rp_project, search_topk,
-        # user_activity_gini, dedup_normalized) — all local-harness +
+        # user_activity_gini, dedup_normalized, cascade_delete_audit,
+        # orders_price_reconciliation) — all local-harness +
         # sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1421,6 +1437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk": q_search_topk,
         "user_activity_gini": q_user_activity_gini,
         "dedup_normalized": q_dedup_normalized,
+        "cascade_delete_audit": q_cascade_delete_audit,
+        "orders_price_reconciliation": q_orders_price_reconciliation,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2196,6 +2214,7 @@ def oracle_sql() -> dict[str, str]:
     from yj_schema_validator_ray.pipelines import relational as R
     from yj_schema_validator_ray.pipelines import olap as _OL
     from yj_schema_validator_ray.pipelines import tpch_ext as _TX
+    from yj_schema_validator_ray.pipelines import governance as _GOV
     from yj_schema_validator_ray.stages import text as _T
 
     return {
@@ -2306,6 +2325,8 @@ def oracle_sql() -> dict[str, str]:
         "search_topk": _T.search_topk_sql(),
         "user_activity_gini": _OL.user_activity_gini_sql(),
         "dedup_normalized": _dedup_normalized_sql(),
+        "cascade_delete_audit": _GOV.cascade_delete_audit_sql(),
+        "orders_price_reconciliation": _GOV.orders_price_reconciliation_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -1,0 +1,274 @@
+"""Data-governance pipelines: deletion propagation, financial
+reconciliation, slowly-changing-dimension maintenance, incremental
+aggregate certification.
+
+These are the bookkeeping operators a production lake needs around the
+analytic canon (reference analogue: none — the reference validates
+documents; these validate the LAKE).  Every operator keeps the repo's
+scale discipline: per-batch Arrow partials, coarse-hash keyed
+exchanges (``stages.dedup.coarse_mix``), domain-sized outputs, no
+driver-side loops over row-scale data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DELETE_RATE = 0.03
+
+
+def _hex_threshold(rate: float) -> str:
+    return format(int(rate * 16 ** 8), "08x")
+
+
+def _rule_mask(keys: pa.Array, thr: str) -> pa.Array:
+    """The sampling-convention deletion rule: md5(str(key))[:8] < thr.
+    Same md5-hex trick as ``stages.sampling`` so DuckDB mirrors it
+    exactly (md5(CAST(k AS VARCHAR)))."""
+    hx = [hashlib.md5(str(i).encode()).hexdigest()[:8]
+          for i in keys.to_pylist()]
+    return pa.array([h < thr for h in hx], pa.bool_())
+
+
+def cascade_delete_audit(sf_dir: str, rate: float = DELETE_RATE,
+                         coarse: int = 1024):
+    """GDPR-style right-to-be-forgotten audit: a deterministic delete
+    set of customers (md5-rule on c_custkey, ~3%) cascades to their
+    orders and to those orders' lineitems; report per-entity
+    deleted/retained row counts.
+
+    Scale shape: the rule is a pure function of the customer key, so
+    customer AND orders classify per batch with ZERO joins (o_custkey
+    is on the order row).  Only lineitem needs its parent order's
+    custkey — a genuine large-large join, done as one coarse-hash
+    exchange on orderkey where the orders side ships only DELETED
+    orderkeys (rate-bounded) and the lineitem side ships per-batch
+    (orderkey, n_rows) partials.  Output is 3 rows.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    thr = _hex_threshold(rate)
+
+    def count_rule(t: pa.Table, key: str, entity: str) -> pa.Table:
+        m = _rule_mask(pc.cast(t.column(key), pa.int64()), thr)
+        nd = int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)
+        return pa.table({"entity": pa.array([entity], pa.string()),
+                         "n_deleted": pa.array([nd], pa.int64()),
+                         "n_retained": pa.array([t.num_rows - nd],
+                                                pa.int64())})
+
+    cust = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey"])
+            .map_batches(lambda t: count_rule(t, "c_custkey", "customer"),
+                         batch_format="pyarrow"))
+    orders_counts = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                           columns=["o_custkey"])
+                     .map_batches(lambda t: count_rule(t, "o_custkey",
+                                                       "orders"),
+                                  batch_format="pyarrow"))
+
+    # lineitem: one keyed exchange on orderkey against deleted orders
+    def deleted_orders(t: pa.Table) -> pa.Table:
+        m = _rule_mask(pc.cast(t.column("o_custkey"), pa.int64()), thr)
+        keys = pc.cast(t.filter(m).column("o_orderkey"), pa.int64())
+        n = len(keys)
+        return pa.table({
+            "okey": keys,
+            "n_rows": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def lineitem_partials(t: pa.Table) -> pa.Table:
+        g = (pa.table({"okey": pc.cast(t.column("l_orderkey"), pa.int64())})
+             .group_by(["okey"]).aggregate([([], "count_all")])
+             .rename_columns(["okey", "n_rows"]))
+        keys = g.column("okey")
+        return pa.table({
+            "okey": keys,
+            "n_rows": pc.cast(g.column("n_rows"), pa.int64()),
+            "side": pa.array(np.ones(g.num_rows, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"entity": pd.Series(dtype="object"),
+                                 "n_deleted": pd.Series(dtype="int64"),
+                                 "n_retained": pd.Series(dtype="int64")})
+        dead = set(g.loc[g["side"] == 0, "okey"].to_numpy())
+        li = g[g["side"] == 1]
+        is_dead = li["okey"].isin(dead).to_numpy()
+        nd = int(li.loc[is_dead, "n_rows"].sum())
+        nr = int(li.loc[~is_dead, "n_rows"].sum())
+        return pd.DataFrame({"entity": ["lineitem"],
+                             "n_deleted": [nd], "n_retained": [nr]})
+
+    do = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+          .map_batches(deleted_orders, batch_format="pyarrow"))
+    li = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey"])
+          .map_batches(lineitem_partials, batch_format="pyarrow"))
+    li_counts = (do.union(li)
+                 .groupby("__coarse", num_partitions=shuffle_partitions())
+                 .map_groups(classify, batch_format="pandas"))
+
+    merged = cust.union(orders_counts).union(li_counts)
+    return grouped_aggregate(merged, ["entity"],
+                             [("n_deleted", "sum", "n_deleted"),
+                              ("n_retained", "sum", "n_retained")])
+
+
+def cascade_delete_audit_sql(rate: float = DELETE_RATE) -> str:
+    thr = _hex_threshold(rate)
+    return f"""
+WITH rule AS (SELECT '{thr}' AS thr)
+SELECT 'customer' AS entity,
+       CAST(count(*) FILTER (WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) < thr) AS BIGINT) AS n_deleted,
+       CAST(count(*) FILTER (WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) >= thr) AS BIGINT) AS n_retained
+FROM customer, rule
+UNION ALL
+SELECT 'orders',
+       CAST(count(*) FILTER (WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) < thr) AS BIGINT),
+       CAST(count(*) FILTER (WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) >= thr) AS BIGINT)
+FROM orders, rule
+UNION ALL
+SELECT 'lineitem',
+       CAST(count(*) FILTER (WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) < thr) AS BIGINT),
+       CAST(count(*) FILTER (WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8) >= thr) AS BIGINT)
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey, rule"""
+
+
+def orders_price_reconciliation(sf_dir: str, coarse: int = 1024):
+    """Financial reconciliation audit: recompute each order's total from
+    its lineitems as sum(extended * (1-discount) * (1+tax)) and compare
+    to the stated o_totalprice, reporting per-priority mismatch counts
+    and the total absolute drift.
+
+    EXACT INTEGER arithmetic end-to-end: each 2-decimal factor is
+    quantized once (cents / basis points — exact for 2-dec doubles),
+    then the product stays in int64 units of 1e-4 cents; no float sum
+    ordering can diverge from the SQL oracle.
+
+    Shape: lineitem pre-aggregates per batch to (orderkey, recomputed)
+    partials; one coarse-hash exchange joins them to the orders side
+    (orderkey, stated, priority); per-bucket vectorized compare emits
+    priority-grain partials; a tiny grouped_aggregate finishes.
+    Orders with no lineitems count as mismatched with drift = stated.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    def li_side(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        tax = pc.cast(pc.round(pc.multiply(
+            t.column("l_tax"), pa.scalar(100.0))), pa.int64())
+        v = (cents.to_numpy() * (100 - disc.to_numpy())
+             * (100 + tax.to_numpy()))
+        g = (pa.table({"okey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                       "recomputed": pa.array(v, pa.int64())})
+             .group_by(["okey"]).aggregate([("recomputed", "sum")])
+             .rename_columns(["okey", "recomputed"]))
+        keys = g.column("okey")
+        n = g.num_rows
+        return pa.table({
+            "okey": keys,
+            "recomputed": g.column("recomputed"),
+            "stated": pa.array(np.zeros(n, np.int64)),
+            "o_orderpriority": pa.array([None] * n, pa.string()),
+            "side": pa.array(np.ones(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def order_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("o_orderkey"), pa.int64())
+        stated = pc.multiply(
+            pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                         pa.scalar(100.0))), pa.int64()),
+            pa.scalar(10000, pa.int64()))
+        n = t.num_rows
+        return pa.table({
+            "okey": keys,
+            "recomputed": pa.array(np.zeros(n, np.int64)),
+            "stated": stated,
+            "o_orderpriority": t.column("o_orderpriority"),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def reconcile(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderpriority": pd.Series(dtype="object"),
+                "n_orders": pd.Series(dtype="int64"),
+                "n_mismatched": pd.Series(dtype="int64"),
+                "abs_drift": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        o = g[g["side"] == 0]
+        li = (g.loc[g["side"] == 1, ["okey", "recomputed"]]
+              .groupby("okey", as_index=False).sum())
+        j = o.merge(li, on="okey", how="left", suffixes=("_o", ""))
+        rec = j["recomputed"].fillna(0).astype("int64")
+        drift = (rec - j["stated"]).abs()
+        out = pd.DataFrame({"o_orderpriority": j["o_orderpriority"],
+                            "mis": (drift > 0).astype("int64"),
+                            "abs_drift": drift.astype("int64")})
+        r = out.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("mis", "size"), n_mismatched=("mis", "sum"),
+            abs_drift=("abs_drift", "sum"))
+        r["n_orders"] = r["n_orders"].astype("int64")
+        return r[["o_orderpriority", "n_orders", "n_mismatched",
+                  "abs_drift"]]
+
+    li = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+        .map_batches(li_side, batch_format="pyarrow"))
+    o = (ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+        .map_batches(order_side, batch_format="pyarrow"))
+    parts = (li.union(o)
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(reconcile, batch_format="pandas"))
+    return grouped_aggregate(parts, ["o_orderpriority"],
+                             [("n_orders", "sum", "n_orders"),
+                              ("n_mismatched", "sum", "n_mismatched"),
+                              ("abs_drift", "sum", "abs_drift")])
+
+
+def orders_price_reconciliation_sql() -> str:
+    return """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100.0) AS BIGINT))
+                  * (100 + CAST(round(l_tax * 100.0) AS BIGINT)))
+              AS BIGINT) AS recomputed
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT o.o_orderpriority,
+         coalesce(li.recomputed, 0) AS recomputed,
+         CAST(round(o.o_totalprice * 100.0) AS BIGINT) * 10000 AS stated
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE recomputed <> stated) AS BIGINT)
+         AS n_mismatched,
+       CAST(sum(abs(recomputed - stated)) AS BIGINT) AS abs_drift
+FROM j GROUP BY o_orderpriority"""
