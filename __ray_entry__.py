@@ -877,6 +877,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             orders_price_reconciliation)
         return orders_price_reconciliation(sf_dir)
 
+    def q_dedup_keep_best(sf_dir):
+        # canonical selection: packed-int64 argmax by (source trust,
+        # -doc_id) over re-attributed mirror-crawl twins; same
+        # sha-keyed partial shape as exact dedup
+        return D.dedup_keep_best(docs3(sf_dir))
+
+    def q_customer_scd2(sf_dir):
+        # SCD Type-2 build: base dim + order-derived update stream ->
+        # validity intervals via one custkey-keyed coarse exchange
+        from yj_schema_validator_ray.pipelines.governance import (
+            customer_scd2)
+        return customer_scd2(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1295,7 +1308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_active_coverage, events_benford, compact_shards,
         # bloom_semijoin, embedding_rp_project, search_topk,
         # user_activity_gini, dedup_normalized, cascade_delete_audit,
-        # orders_price_reconciliation) — all local-harness +
+        # orders_price_reconciliation, dedup_keep_best,
+        # customer_scd2) — all local-harness +
         # sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1439,6 +1453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": q_dedup_normalized,
         "cascade_delete_audit": q_cascade_delete_audit,
         "orders_price_reconciliation": q_orders_price_reconciliation,
+        "dedup_keep_best": q_dedup_keep_best,
+        "customer_scd2": q_customer_scd2,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1713,6 +1729,12 @@ def _dedup_normalized_sql() -> str:
     from yj_schema_validator_ray.stages.dedup import dedup_normalized_sql
 
     return dedup_normalized_sql()
+
+
+def _dedup_keep_best_sql() -> str:
+    from yj_schema_validator_ray.stages.dedup import dedup_keep_best_sql
+
+    return dedup_keep_best_sql()
 
 
 def _bloom_semijoin_sql() -> str:
@@ -2327,6 +2349,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": _dedup_normalized_sql(),
         "cascade_delete_audit": _GOV.cascade_delete_audit_sql(),
         "orders_price_reconciliation": _GOV.orders_price_reconciliation_sql(),
+        "dedup_keep_best": _dedup_keep_best_sql(),
+        "customer_scd2": _GOV.customer_scd2_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

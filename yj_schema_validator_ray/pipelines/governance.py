@@ -272,3 +272,114 @@ SELECT o_orderpriority,
          AS n_mismatched,
        CAST(sum(abs(recomputed - stated)) AS BIGINT) AS abs_drift
 FROM j GROUP BY o_orderpriority"""
+
+
+def customer_scd2(sf_dir: str, coarse: int = 1024):
+    """Slowly-changing-dimension (Type 2) build: merge the customer
+    base rows (version 0) with a segment-update stream derived from
+    orders — one update per (custkey, order year) setting segment to
+    'SEG-' || (year's order count % 5) — into validity-interval rows
+    (valid_from, valid_to, is_current).  Customers sighted only in the
+    update stream (FK orphans) enter history at their first update,
+    like a real CDC merge.
+
+    Shape: orders pre-aggregate per batch to (custkey, year, n)
+    partials; base + update partials co-locate through one coarse-hash
+    exchange on custkey; the per-bucket merge is one vectorized pandas
+    sort + shift per bucket (NOT per customer).  Output is
+    history-sized (|customer| + |distinct cust-years|).
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..util import shuffle_partitions
+
+    def base_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("c_custkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "c_custkey": keys,
+            "version": pa.array(np.zeros(n, np.int64)),
+            "segment": t.column("c_mktsegment"),
+            "n": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def update_side(t: pa.Table) -> pa.Table:
+        g = (pa.table({
+                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "version": pc.cast(pc.year(t.column("o_orderdate")),
+                                   pa.int64())})
+             .group_by(["c_custkey", "version"])
+             .aggregate([([], "count_all")])
+             .rename_columns(["c_custkey", "version", "n"]))
+        keys = g.column("c_custkey")
+        return pa.table({
+            "c_custkey": keys,
+            "version": g.column("version"),
+            "segment": pa.array([None] * g.num_rows, pa.string()),
+            "n": pc.cast(g.column("n"), pa.int64()),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"c_custkey": pd.Series(dtype="int64"),
+                "valid_from": pd.Series(dtype="int64"),
+                "valid_to": pd.Series(dtype="int64"),
+                "segment": pd.Series(dtype="object"),
+                "is_current": pd.Series(dtype="bool")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        # merge same-(cust,year) partials from different batches, then
+        # finish the update segments; base rows (version 0) pass through
+        upd = (g[g["version"] > 0]
+               .groupby(["c_custkey", "version"], as_index=False)["n"]
+               .sum())
+        upd["segment"] = "SEG-" + (upd["n"] % 5).astype(str)
+        base = g.loc[g["version"] == 0,
+                     ["c_custkey", "version", "segment"]]
+        h = pd.concat([base, upd[["c_custkey", "version", "segment"]]],
+                      ignore_index=True)
+        h = h.sort_values(["c_custkey", "version"], kind="mergesort")
+        nxt = h["version"].shift(-1)
+        last = h["c_custkey"].ne(h["c_custkey"].shift(-1))
+        return pd.DataFrame({
+            "c_custkey": h["c_custkey"].astype("int64"),
+            "valid_from": h["version"].astype("int64"),
+            "valid_to": np.where(last, 9999,
+                                 nxt.fillna(9999) - 1).astype("int64"),
+            "segment": h["segment"],
+            "is_current": last.to_numpy()})
+
+    base = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey", "c_mktsegment"])
+            .map_batches(base_side, batch_format="pyarrow"))
+    upd = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey", "o_orderdate"])
+           .map_batches(update_side, batch_format="pyarrow"))
+    return (base.union(upd)
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(build, batch_format="pandas"))
+
+
+def customer_scd2_sql() -> str:
+    return """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(year(o_orderdate) AS BIGINT) AS version,
+         'SEG-' || CAST(count(*) % 5 AS VARCHAR) AS segment
+  FROM orders GROUP BY o_custkey, year(o_orderdate)),
+hist AS (
+  SELECT c_custkey, CAST(0 AS BIGINT) AS version,
+         c_mktsegment AS segment
+  FROM customer
+  UNION ALL SELECT * FROM upd),
+s AS (
+  SELECT c_custkey, version, segment,
+         lead(version) OVER (PARTITION BY c_custkey
+                             ORDER BY version) AS nxt
+  FROM hist)
+SELECT c_custkey, version AS valid_from,
+       CAST(coalesce(nxt - 1, 9999) AS BIGINT) AS valid_to, segment,
+       (nxt IS NULL) AS is_current
+FROM s"""

@@ -1556,3 +1556,96 @@ n AS (
 SELECT k AS norm_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM n GROUP BY k HAVING count(*) > 1"""
+
+
+_PACK = 1 << 40  # doc_id packing radix for argmax-by-(prio, -id)
+
+
+def dedup_keep_best(docs_ds):
+    """Canonical selection with a precedence rule: within each
+    exact-duplicate group keep the copy from the most-trusted source
+    (lowest srcN suffix), ties broken by lowest doc_id — the curation
+    policy step after plain exact dedup (keep the authoritative copy,
+    not just the first-seen one).
+
+    Duplicates are synthesized as a RE-ATTRIBUTED mirror crawl (ids %
+    100 < 5, id + 1e6, source rotated srcN -> src((N+7)%20), same
+    text) so the precedence rule is exercised in both directions: some
+    twins out-rank their original, some don't.  Mirrored in the SQL
+    oracle.
+
+    The argmax is a PACKED-INT64 max — prio * 2^40 + (2^40-1 - doc_id)
+    — so it rides the same associative (sha-keyed partial -> one keyed
+    exchange) shape as :func:`exact_dup_groups`; raw text never moves
+    and no per-group Python runs.  The SQL oracle mirrors the packing
+    arithmetic exactly.
+    """
+    from .exact_agg import grouped_aggregate
+
+    def mirror(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sel = t.filter(pa.array(ids % 100 < 5))
+        sfx = pc.cast(pc.utf8_slice_codeunits(sel.column("source"), 3),
+                      pa.int64()).to_numpy()
+        rot = (sfx + 7) % 20
+        return pa.table({
+            "doc_id": pa.array(sel.column("doc_id").to_numpy() + 1_000_000,
+                               pa.int64()),
+            "text": sel.column("text"),
+            "source": pa.array(["src" + str(s) for s in rot], pa.string())})
+
+    docs_ds = docs_ds.union(
+        docs_ds.map_batches(mirror, batch_format="pyarrow"))
+
+    def sha_rows(batch: pa.Table) -> pa.Table:
+        b = add_text_sha(batch.select(["doc_id", "text", "source"]))
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy()
+        sfx = pc.cast(pc.utf8_slice_codeunits(b.column("source"), 3),
+                      pa.int64()).to_numpy()
+        packed = (19 - sfx) * _PACK + (_PACK - 1 - ids)
+        return pa.table({"text_sha": b.column("text_sha"),
+                         "packed": pa.array(packed, pa.int64())})
+
+    rows = docs_ds.map_batches(sha_rows, batch_format="pyarrow")
+    agg = grouped_aggregate(rows, ["text_sha"],
+                            [("packed", "max", "packed"),
+                             ("", "count", "n_copies")]) \
+        .filter(expr="n_copies > 1")
+
+    def decode(t: pa.Table) -> pa.Table:
+        packed = t.column("packed").to_numpy()
+        ids = (_PACK - 1) - (packed % _PACK)
+        sfx = 19 - (packed // _PACK)
+        src = pc.binary_join_element_wise(
+            "src", pa.array([str(s) for s in sfx], pa.string()), "")
+        return pa.table({"text_sha": t.column("text_sha"),
+                         "keep_doc_id": pa.array(ids, pa.int64()),
+                         "keep_source": src,
+                         "n_copies": t.column("n_copies")})
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def dedup_keep_best_sql() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text,
+         'src' || CAST((CAST(substr(source, 4) AS BIGINT) + 7) % 20
+                       AS VARCHAR) AS source
+  FROM documents WHERE doc_id % 100 < 5),
+k AS (
+  SELECT sha256(text) AS text_sha, doc_id,
+         CAST(substr(source, 4) AS BIGINT) AS sfx
+  FROM aug),
+p AS (
+  SELECT text_sha,
+         max((19 - sfx) * {_PACK} + ({_PACK - 1} - doc_id)) AS packed,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM k GROUP BY text_sha HAVING count(*) > 1)
+SELECT text_sha,
+       CAST({_PACK - 1} - (packed % {_PACK}) AS BIGINT) AS keep_doc_id,
+       'src' || CAST(19 - (packed // {_PACK}) AS VARCHAR) AS keep_source,
+       n_copies
+FROM p"""
