@@ -890,6 +890,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             customer_scd2)
         return customer_scd2(sf_dir)
 
+    def q_incremental_agg(sf_dir):
+        # IVM certificate: base + delta aggregate STATES merged
+        # (associative ops only) == full recompute oracle; both sides
+        # prune at the read via pushed timestamp predicates
+        from yj_schema_validator_ray.pipelines.governance import (
+            incremental_agg)
+        return incremental_agg(sf_dir)
+
+    def q_orders_allen_intervals(sf_dir):
+        # Allen interval algebra over ship-vs-fulfillment windows:
+        # int64 day triples through one orderkey-keyed exchange,
+        # vectorized 13-way np.select classify, <=13 rows out
+        return OL.orders_allen_intervals(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1309,8 +1323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom_semijoin, embedding_rp_project, search_topk,
         # user_activity_gini, dedup_normalized, cascade_delete_audit,
         # orders_price_reconciliation, dedup_keep_best,
-        # customer_scd2) — all local-harness +
-        # sf0.01 driver-mimic
+        # customer_scd2, incremental_agg, orders_allen_intervals) —
+        # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
         "docs_union_evolved": q_docs_union_evolved,
@@ -1455,6 +1469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_reconciliation": q_orders_price_reconciliation,
         "dedup_keep_best": q_dedup_keep_best,
         "customer_scd2": q_customer_scd2,
+        "incremental_agg": q_incremental_agg,
+        "orders_allen_intervals": q_orders_allen_intervals,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2351,6 +2367,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_reconciliation": _GOV.orders_price_reconciliation_sql(),
         "dedup_keep_best": _dedup_keep_best_sql(),
         "customer_scd2": _GOV.customer_scd2_sql(),
+        "incremental_agg": _GOV.incremental_agg_sql(),
+        "orders_allen_intervals": _OL.orders_allen_intervals_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

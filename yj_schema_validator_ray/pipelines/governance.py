@@ -383,3 +383,77 @@ SELECT c_custkey, version AS valid_from,
        CAST(coalesce(nxt - 1, 9999) AS BIGINT) AS valid_to, segment,
        (nxt IS NULL) AS is_current
 FROM s"""
+
+
+INCR_SPLIT_US = 1_705_708_800_000_000  # 2024-01-20T00:00:00Z in epoch us
+
+
+def incremental_agg(sf_dir: str):
+    """Incremental-view-maintenance certificate: the per-event-type
+    aggregate (count, sum/min/max of integer value-cents) is computed
+    as TWO independent partial-state sets — the "yesterday" base
+    (ts < 2024-01-20) and the "today" delta (ts >= split) — and the
+    final answer comes from MERGING the states (count+count, sum+sum,
+    min min, max max), never re-reading base rows.  The SQL oracle is
+    the full recompute over all rows: passing the value-hash check IS
+    the proof that the merge is lossless, i.e. the aggregate state is
+    genuinely mergeable and the pipeline can maintain it incrementally
+    at 100 TB (only the delta is scanned per refresh).
+
+    Shape: two predicate-pushdown scans (each side prunes at the read),
+    per-batch Arrow partials, one tiny type-domain exchange each, then
+    a 2x|types|-row merge — base rows never co-move with delta rows.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                             pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"event_type": t.column("event_type"),
+                       "sum_cents": cents, "min_cents": cents,
+                       "max_cents": cents})
+             .group_by(["event_type"])
+             .aggregate([("sum_cents", "sum"), ("min_cents", "min"),
+                         ("max_cents", "max"), ([], "count_all")])
+             .rename_columns(["event_type", "sum_cents", "min_cents",
+                              "max_cents", "n_events"]))
+        return g.select(["event_type", "n_events", "sum_cents",
+                         "min_cents", "max_cents"])
+
+    def state(read_filter):
+        ds = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                    columns=["ts", "event_type", "value"],
+                                    filter=read_filter)
+              .map_batches(partials, batch_format="pyarrow"))
+        return grouped_aggregate(ds, ["event_type"],
+                                 [("n_events", "sum", "n_events"),
+                                  ("sum_cents", "sum", "sum_cents"),
+                                  ("min_cents", "min", "min_cents"),
+                                  ("max_cents", "max", "max_cents")])
+
+    import pyarrow.dataset as pds
+
+    split = pa.scalar(INCR_SPLIT_US, pa.timestamp("us"))
+    base = state(pds.field("ts") < split)
+    delta = state(pds.field("ts") >= split)
+    # the IVM step: merge aggregate STATES (associative ops only)
+    return grouped_aggregate(base.union(delta), ["event_type"],
+                             [("n_events", "sum", "n_events"),
+                              ("sum_cents", "sum", "sum_cents"),
+                              ("min_cents", "min", "min_cents"),
+                              ("max_cents", "max", "max_cents")])
+
+
+def incremental_agg_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(min(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM events GROUP BY event_type"""

@@ -2307,3 +2307,126 @@ SELECT CAST(ANY_VALUE(nu) AS BIGINT) AS n_users,
        CAST(2 * SUM(rk * n) - (ANY_VALUE(nu) + 1) * ANY_VALUE(sx)
             AS BIGINT) AS gini_num
 FROM r"""
+
+
+def orders_allen_intervals(sf_dir: str, coarse: int = 1024):
+    """Allen's interval-algebra audit: classify every lineitem's ship
+    window against its parent order's fulfillment window into the 13
+    mutually-exclusive Allen relations and count each — the temporal
+    conformance profile (how shipping activity sits inside the promised
+    window) and the algebra layer under as-of / range joins.
+
+    Intervals in exact integer DAYS (timestamps are midnight-aligned):
+    order window a = [orderdate, orderdate + 30]; ship window
+    b = [shipdate, shipdate + (linenumber % 7) + 1] (the deterministic
+    width stands in for the absent receiptdate column).
+
+    Shape: the standard order-grain pattern — lineitem rows carry only
+    (orderkey, b1, b2) int64 triples through one coarse-hash exchange
+    to meet the orders side's (orderkey, a1) rows; the per-bucket
+    classify is pure vectorized numpy; output is <= 13 rows.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    DAY_US = 86_400_000_000
+
+    def order_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("o_orderkey"), pa.int64())
+        a1 = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                       pa.scalar(DAY_US, pa.int64()))
+        n = t.num_rows
+        return pa.table({
+            "okey": keys, "x1": a1,
+            "x2": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def li_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("l_orderkey"), pa.int64())
+        b1 = pc.divide(pc.cast(t.column("l_shipdate"), pa.int64()),
+                       pa.scalar(DAY_US, pa.int64())).to_numpy()
+        width = pc.cast(t.column("l_linenumber"), pa.int64()).to_numpy() % 7 + 1
+        return pa.table({
+            "okey": keys,
+            "x1": pa.array(b1, pa.int64()),
+            "x2": pa.array(b1 + width, pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    REL = ["equals", "before", "meets", "overlaps", "starts", "during",
+           "finishes", "after", "met_by", "overlapped_by", "started_by",
+           "contains", "finished_by"]
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or not (g["side"] == 1).any():
+            return pd.DataFrame({"relation": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        o = g.loc[g["side"] == 0, ["okey", "x1"]].rename(
+            columns={"x1": "a1"})
+        li = g.loc[g["side"] == 1, ["okey", "x1", "x2"]].rename(
+            columns={"x1": "b1", "x2": "b2"})
+        j = li.merge(o, on="okey", how="inner")
+        a1 = j["a1"].to_numpy()
+        a2 = a1 + 30
+        b1, b2 = j["b1"].to_numpy(), j["b2"].to_numpy()
+        code = np.select(
+            [(b1 == a1) & (b2 == a2), b2 < a1, b2 == a1,
+             (b1 < a1) & (b2 > a1) & (b2 < a2), (b1 == a1) & (b2 < a2),
+             (b1 > a1) & (b2 < a2), (b2 == a2) & (b1 > a1), b1 > a2,
+             b1 == a2, (b1 > a1) & (b1 < a2) & (b2 > a2),
+             (b1 == a1) & (b2 > a2), (b1 < a1) & (b2 > a2),
+             (b2 == a2) & (b1 < a1)],
+            np.arange(13), default=-1)
+        cnt = np.bincount(code, minlength=13)
+        keep = cnt > 0
+        return pd.DataFrame({
+            "relation": [r for r, k in zip(REL, keep) if k],
+            "n": cnt[keep].astype("int64")})
+
+    o = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_orderdate"])
+         .map_batches(order_side, batch_format="pyarrow"))
+    li = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey", "l_shipdate",
+                                         "l_linenumber"])
+          .map_batches(li_side, batch_format="pyarrow"))
+    parts = (o.union(li)
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(classify, batch_format="pandas"))
+    return grouped_aggregate(parts, ["relation"], [("n", "sum", "n")])
+
+
+def orders_allen_intervals_sql() -> str:
+    return """
+WITH iv AS (
+  SELECT CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS a1,
+         CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) + 30
+           AS a2,
+         CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT) AS b1,
+         CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT)
+           + (l.l_linenumber % 7) + 1 AS b2
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+lab AS (
+  SELECT CASE
+    WHEN b1 = a1 AND b2 = a2 THEN 'equals'
+    WHEN b2 < a1 THEN 'before'
+    WHEN b2 = a1 THEN 'meets'
+    WHEN b1 < a1 AND b2 > a1 AND b2 < a2 THEN 'overlaps'
+    WHEN b1 = a1 AND b2 < a2 THEN 'starts'
+    WHEN b1 > a1 AND b2 < a2 THEN 'during'
+    WHEN b2 = a2 AND b1 > a1 THEN 'finishes'
+    WHEN b1 > a2 THEN 'after'
+    WHEN b1 = a2 THEN 'met_by'
+    WHEN b1 > a1 AND b1 < a2 AND b2 > a2 THEN 'overlapped_by'
+    WHEN b1 = a1 AND b2 > a2 THEN 'started_by'
+    WHEN b1 < a1 AND b2 > a2 THEN 'contains'
+    WHEN b2 = a2 AND b1 < a1 THEN 'finished_by'
+  END AS relation FROM iv)
+SELECT relation, CAST(count(*) AS BIGINT) AS n
+FROM lab GROUP BY relation"""
