@@ -904,6 +904,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectorized 13-way np.select classify, <=13 rows out
         return OL.orders_allen_intervals(sf_dir)
 
+    def q_source_nucleus(sf_dir):
+        # grouped top-p gate: per-source cumulative-share keep rule in
+        # exact integers; only int triples cross the source-keyed wire
+        from yj_schema_validator_ray.stages.sampling import source_nucleus
+        return source_nucleus(docs3(sf_dir))
+
+    def q_fd_violations(sf_dir):
+        # functional-dependency profiling: one exchange builds the
+        # distinct pair table; both FD directions read off it
+        from yj_schema_validator_ray.pipelines.constraints import (
+            fd_violations)
+        return fd_violations(ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang"]))
+
+    def q_customer_orders_full_outer(sf_dir):
+        # FULL OUTER accounting with synthesized right orphans; one
+        # custkey-keyed exchange of order-count partials, 3 rows out
+        return R.customer_orders_full_outer(sf_dir)
+
+    def q_customer_order_degree_histogram(sf_dir):
+        # degree distribution incl. the zero class: left-outer merge ->
+        # histogram partials -> degree-domain exchange
+        return R.customer_order_degree_histogram(sf_dir)
+
+    def q_orders_abc_classification(sf_dir):
+        # Pareto/ABC classes at 80/95% cumulative revenue: two-phase
+        # histogram cumsum (no global sort), integer class gate
+        return R.orders_abc_classification(sf_dir)
+
+    def q_events_value_ma_range(sf_dir):
+        # RANGE BETWEEN INTERVAL frame: per-user trailing 10-min sum
+        # via one keyed exchange + segment prefix-sum searchsorted
+        return OL.events_value_ma_range(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1323,7 +1357,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bloom_semijoin, embedding_rp_project, search_topk,
         # user_activity_gini, dedup_normalized, cascade_delete_audit,
         # orders_price_reconciliation, dedup_keep_best,
-        # customer_scd2, incremental_agg, orders_allen_intervals) —
+        # customer_scd2, incremental_agg, orders_allen_intervals,
+        # source_nucleus, fd_violations, customer_orders_full_outer,
+        # customer_order_degree_histogram, orders_abc_classification,
+        # events_value_ma_range) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1471,6 +1508,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_scd2": q_customer_scd2,
         "incremental_agg": q_incremental_agg,
         "orders_allen_intervals": q_orders_allen_intervals,
+        "source_nucleus": q_source_nucleus,
+        "fd_violations": q_fd_violations,
+        "customer_orders_full_outer": q_customer_orders_full_outer,
+        "customer_order_degree_histogram": q_customer_order_degree_histogram,
+        "orders_abc_classification": q_orders_abc_classification,
+        "events_value_ma_range": q_events_value_ma_range,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1751,6 +1794,19 @@ def _dedup_keep_best_sql() -> str:
     from yj_schema_validator_ray.stages.dedup import dedup_keep_best_sql
 
     return dedup_keep_best_sql()
+
+
+def _source_nucleus_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import source_nucleus_sql
+
+    return source_nucleus_sql()
+
+
+def _fd_violations_sql() -> str:
+    from yj_schema_validator_ray.pipelines.constraints import (
+        fd_violations_sql)
+
+    return fd_violations_sql()
 
 
 def _bloom_semijoin_sql() -> str:
@@ -2369,6 +2425,13 @@ def oracle_sql() -> dict[str, str]:
         "customer_scd2": _GOV.customer_scd2_sql(),
         "incremental_agg": _GOV.incremental_agg_sql(),
         "orders_allen_intervals": _OL.orders_allen_intervals_sql(),
+        "source_nucleus": _source_nucleus_sql(),
+        "fd_violations": _fd_violations_sql(),
+        "customer_orders_full_outer": R.customer_orders_full_outer_sql(),
+        "customer_order_degree_histogram":
+            R.customer_order_degree_histogram_sql(),
+        "orders_abc_classification": R.orders_abc_classification_sql(),
+        "events_value_ma_range": _OL.events_value_ma_range_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

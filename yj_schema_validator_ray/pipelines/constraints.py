@@ -674,3 +674,67 @@ v AS (
   FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
 SELECT expectation, observed, violations, violations = 0 AS passed
 FROM v"""
+
+
+def fd_violations(docs_ds):
+    """Functional-dependency profiling: test the candidate FDs
+    source -> lang and lang -> source on the documents table, reporting
+    per direction the number of determinant groups, how many violate
+    (map to >1 distinct dependent) and the worst fan-out — the
+    dependency-discovery primitive under schema normalization and
+    data-quality rules ("is source supposed to determine language?").
+
+    Shape: ONE exchange builds the distinct (source, lang) pair table
+    (per-batch Arrow dedupe partials, pair-domain-sized); both FD
+    directions then aggregate off that same materialized pair set —
+    raw rows are scanned once, and nothing row-scale crosses the wire.
+    """
+    from ..stages.exact_agg import grouped_aggregate
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        return (t.select(["source", "lang"])
+                .group_by(["source", "lang"]).aggregate([])
+                .select(["source", "lang"]))
+
+    pairs = grouped_aggregate(
+        docs_ds.map_batches(pair_rows, batch_format="pyarrow"),
+        ["source", "lang"], [("", "count", "n")]).materialize()
+
+    def direction(det: str, fd_name: str):
+        per_det = grouped_aggregate(pairs, [det], [("", "count", "d")])
+
+        def audit(t: pa.Table) -> pa.Table:
+            d = t.column("d")
+            return pa.table({
+                "fd": pa.array([fd_name], pa.string()),
+                "n_groups": pa.array([t.num_rows], pa.int64()),
+                "n_violating": pa.array(
+                    [int(pc.sum(pc.cast(pc.greater(d, 1), pa.int64()))
+                         .as_py() or 0)], pa.int64()),
+                "max_distinct": pa.array(
+                    [int(pc.max(d).as_py() or 0)], pa.int64())})
+
+        return per_det.map_batches(audit, batch_format="pyarrow")
+
+    u = direction("source", "source->lang").union(
+        direction("lang", "lang->source"))
+    return grouped_aggregate(u, ["fd"],
+                             [("n_groups", "sum", "n_groups"),
+                              ("n_violating", "sum", "n_violating"),
+                              ("max_distinct", "max", "max_distinct")])
+
+
+def fd_violations_sql() -> str:
+    return """
+WITH pairs AS (SELECT DISTINCT source, lang FROM documents),
+a AS (SELECT source, count(*) AS d FROM pairs GROUP BY source),
+b AS (SELECT lang, count(*) AS d FROM pairs GROUP BY lang)
+SELECT 'source->lang' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE d > 1) AS BIGINT) AS n_violating,
+       CAST(max(d) AS BIGINT) AS max_distinct
+FROM a
+UNION ALL
+SELECT 'lang->source', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE d > 1) AS BIGINT),
+       CAST(max(d) AS BIGINT)
+FROM b"""

@@ -2430,3 +2430,77 @@ lab AS (
   END AS relation FROM iv)
 SELECT relation, CAST(count(*) AS BIGINT) AS n
 FROM lab GROUP BY relation"""
+
+
+def events_value_ma_range(sf_dir: str, window_min: int = 10,
+                          coarse: int = 1024):
+    """Time-RANGE window frame: per event, the trailing sum of the SAME
+    user's value-cents over [ts - 10 min, ts] — the RANGE BETWEEN
+    INTERVAL frame (sparse, irregular series), complementing the
+    rows-based events_dau_ma7.  RANGE semantics exactly: every peer row
+    with equal ts is included regardless of ordering.
+
+    Shape: one user-keyed coarse exchange of (user, ts_us, event_id,
+    cents) int64 rows; per bucket one lexsort + per-user-segment
+    prefix-sum with two vectorized searchsorted probes (no per-row
+    loop, no self-join).  Output is event-grain.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..util import shuffle_partitions
+
+    W_US = window_min * 60 * 1_000_000
+
+    def rows(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("user_id"), pa.int64())
+        return pa.table({
+            "user_id": keys,
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("value"), pa.scalar(100.0))), pa.int64()),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def trailing(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "trailing_cents": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        w = g["cents"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, w = u[order], ts[order], eid[order], w[order]
+        starts = np.concatenate(([0], np.flatnonzero(u[1:] != u[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(u)]))
+        cum = np.concatenate(([0], np.cumsum(w)))
+        out = np.empty(len(u), np.int64)
+        for s, e in zip(starts, ends):  # per USER segment (few, small)
+            seg = ts[s:e]
+            lo = s + np.searchsorted(seg, seg - W_US, side="left")
+            hi = s + np.searchsorted(seg, seg, side="right")
+            out[s:e] = cum[hi] - cum[lo]
+        return pd.DataFrame({"event_id": eid, "user_id": u,
+                             "trailing_cents": out})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "value"])
+    return (ev.map_batches(rows, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(trailing, batch_format="pandas"))
+
+
+def events_value_ma_range_sql(window_min: int = 10) -> str:
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL {window_min} MINUTE PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS trailing_cents
+FROM events"""

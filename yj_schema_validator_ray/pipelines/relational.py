@@ -2930,3 +2930,254 @@ WITH seq AS (
 SELECT event_type, next_event_type, CAST(count(*) AS BIGINT) AS n
 FROM seq WHERE next_event_type IS NOT NULL
 GROUP BY event_type, next_event_type"""
+
+
+def customer_orders_full_outer(sf_dir: str, coarse: int = 1024):
+    """FULL OUTER join accounting: classify every customer key into
+    'both' / 'customer_only' / 'order_only' with distinct-key and order
+    counts — the join-surface completer next to the inner (q3/q5) and
+    left-outer (customer_order_totals) members.  Right-side orphans are
+    synthesized deterministically (orders with o_orderkey % 50 < 2
+    re-homed at o_custkey + 1e6, mirrored in the SQL oracle) so the
+    'order_only' branch is actually exercised on this corpus.
+
+    Shape: orders pre-aggregate per batch to (custkey, n) partials;
+    both sides — customer-cardinality each — co-locate through one
+    coarse-hash exchange; the per-bucket classify is one vectorized
+    merge; output is 3 rows.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("c_custkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "k": keys, "n_orders": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def order_side(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t.column("o_custkey"), pa.int64()).to_numpy()
+        ok = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy()
+        keys = np.concatenate((ck, ck[ok % 50 < 2] + 1_000_000))
+        g = (pa.table({"k": pa.array(keys, pa.int64())})
+             .group_by(["k"]).aggregate([([], "count_all")])
+             .rename_columns(["k", "n_orders"]))
+        kk = g.column("k")
+        return pa.table({
+            "k": kk, "n_orders": pc.cast(g.column("n_orders"), pa.int64()),
+            "side": pa.array(np.ones(g.num_rows, np.int64)),
+            "__coarse": pa.array(coarse_mix(kk.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"match_status": pd.Series(dtype="object"),
+                "n_custkeys": pd.Series(dtype="int64"),
+                "n_orders": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        per = g.groupby("k", as_index=False).agg(
+            has_c=("side", lambda s: (s == 0).any()),
+            n_orders=("n_orders", "sum"))
+        status = np.where(per["has_c"] & (per["n_orders"] > 0), "both",
+                          np.where(per["has_c"], "customer_only",
+                                   "order_only"))
+        out = pd.DataFrame({"match_status": status,
+                            "n_orders": per["n_orders"].astype("int64")})
+        r = out.groupby("match_status", as_index=False).agg(
+            n_custkeys=("n_orders", "size"), n_orders=("n_orders", "sum"))
+        r["n_custkeys"] = r["n_custkeys"].astype("int64")
+        r["n_orders"] = r["n_orders"].astype("int64")
+        return r
+
+    c = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+         .map_batches(cust_side, batch_format="pyarrow"))
+    o = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+         .map_batches(order_side, batch_format="pyarrow"))
+    parts = (c.union(o)
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(classify, batch_format="pandas"))
+    return grouped_aggregate(parts, ["match_status"],
+                             [("n_custkeys", "sum", "n_custkeys"),
+                              ("n_orders", "sum", "n_orders")])
+
+
+def customer_orders_full_outer_sql() -> str:
+    return """
+WITH o_aug AS (
+  SELECT o_custkey FROM orders
+  UNION ALL
+  SELECT o_custkey + 1000000 FROM orders WHERE o_orderkey % 50 < 2),
+oc AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders
+       FROM o_aug GROUP BY o_custkey),
+f AS (
+  SELECT (c.c_custkey IS NOT NULL) AS has_c,
+         coalesce(oc.n_orders, 0) AS n_orders
+  FROM customer c FULL OUTER JOIN oc ON oc.k = c.c_custkey)
+SELECT CASE WHEN has_c AND n_orders > 0 THEN 'both'
+            WHEN has_c THEN 'customer_only'
+            ELSE 'order_only' END AS match_status,
+       CAST(count(*) AS BIGINT) AS n_custkeys,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders
+FROM f GROUP BY 1"""
+
+
+def customer_order_degree_histogram(sf_dir: str, coarse: int = 1024):
+    """Degree-distribution profile: how many customers placed exactly k
+    orders, INCLUDING k = 0 (the left-outer zero class) — the skew
+    report that sizes reducer hot spots before a custkey-keyed join.
+
+    Shape: the same one-exchange left-outer merge as
+    :func:`customer_order_totals`, but the per-bucket output is already
+    histogram partials (order_count, n) so the second exchange is
+    degree-domain-sized.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("c_custkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "k": keys, "n_orders": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def order_side(t: pa.Table) -> pa.Table:
+        g = (pa.table({"k": pc.cast(t.column("o_custkey"), pa.int64())})
+             .group_by(["k"]).aggregate([([], "count_all")])
+             .rename_columns(["k", "n_orders"]))
+        kk = g.column("k")
+        return pa.table({
+            "k": kk, "n_orders": pc.cast(g.column("n_orders"), pa.int64()),
+            "side": pa.array(np.ones(g.num_rows, np.int64)),
+            "__coarse": pa.array(coarse_mix(kk.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"order_count": pd.Series(dtype="int64"),
+                "n_customers": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        per = g.groupby("k", as_index=False).agg(
+            has_c=("side", lambda s: (s == 0).any()),
+            n_orders=("n_orders", "sum"))
+        per = per[per["has_c"]]  # customers only (orphan orders excluded)
+        r = (per.groupby("n_orders", as_index=False).size()
+             .rename(columns={"n_orders": "order_count",
+                              "size": "n_customers"}))
+        return r.astype({"order_count": "int64", "n_customers": "int64"})
+
+    c = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+         .map_batches(cust_side, batch_format="pyarrow"))
+    o = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey"])
+         .map_batches(order_side, batch_format="pyarrow"))
+    parts = (c.union(o)
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(hist, batch_format="pandas"))
+    return grouped_aggregate(parts, ["order_count"],
+                             [("n_customers", "sum", "n_customers")])
+
+
+def customer_order_degree_histogram_sql() -> str:
+    return """
+WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_custkey)
+SELECT CAST(coalesce(oc.n, 0) AS BIGINT) AS order_count,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+GROUP BY coalesce(oc.n, 0)"""
+
+
+def orders_abc_classification(sf_dir: str):
+    """ABC / Pareto inventory classification: parts ranked by revenue
+    (descending, ties by partkey) are split at cumulative-revenue
+    thresholds — class A covers the first 80% of revenue, B to 95%,
+    C the tail — with per-class part counts and exact e4-unit revenue.
+
+    Shape: per-part revenue partials (one partkey-keyed exchange) feed
+    :func:`~..stages.rank.budget_select`'s two-phase histogram cumsum
+    (global ORDER BY + running total WITHOUT a global sort; driver
+    state is distinct-revenue-sized and guarded); the class gate is a
+    vectorized integer compare against the broadcast total; output is
+    3 rows.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..stages.rank import budget_select
+    from ..util import collect_small_arrow
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                            pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "rev": pa.array(cents.to_numpy() * (100 - disc.to_numpy()),
+                            pa.int64())})
+
+    per_part = grouped_aggregate(li.map_batches(rev_rows,
+                                                batch_format="pyarrow"),
+                                 ["l_partkey"], [("rev", "sum", "rev")])
+    # part-domain-sized: materialize so the total and the class gate
+    # don't re-execute the exchange twice
+    cum = budget_select(per_part, key_col="rev", id_col="l_partkey",
+                        weight_col="rev", budget=(1 << 62)).materialize()
+    tot = int(collect_small_arrow(cum.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [int(pc.sum(t.column("rev")).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow")).to_pandas()["s"].sum())
+
+    def classify(t: pa.Table) -> pa.Table:
+        c = t.column("cum").to_numpy()
+        cls = np.where(c * 100 <= tot * 80, "A",
+                       np.where(c * 100 <= tot * 95, "B", "C"))
+        return pa.table({"abc_class": pa.array(cls, pa.string()),
+                         "n_parts": pa.array(np.ones(len(c), np.int64)),
+                         "revenue_e4": t.column("rev")})
+
+    return grouped_aggregate(
+        cum.map_batches(classify, batch_format="pyarrow"),
+        ["abc_class"], [("n_parts", "sum", "n_parts"),
+                        ("revenue_e4", "sum", "revenue_e4")])
+
+
+def orders_abc_classification_sql() -> str:
+    return """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey),
+c AS (
+  SELECT rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev) OVER () AS tot
+  FROM pr)
+SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS revenue_e4
+FROM c GROUP BY 1"""

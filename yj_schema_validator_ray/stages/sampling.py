@@ -580,3 +580,98 @@ scored AS (
   GROUP BY t.doc_id)
 SELECT doc_id, CAST(dsir_score AS BIGINT) AS dsir_score
 FROM scored ORDER BY dsir_score DESC, doc_id LIMIT {k}"""
+
+
+def source_nucleus(docs_ds, pct: int = 90):
+    """Top-p ("nucleus") selection per source: within each source keep
+    the highest-scoring docs (score = char length; ties by lower
+    doc_id) until the running score reaches pct% of the source's total
+    — the grouped variant of the global ``docs_token_budget`` gate
+    (per-mixture-component quality budgeting).  A doc is kept while
+    the running total BEFORE it is < pct% of the source total, in
+    EXACT integer arithmetic (cum_before * 100 < tot * pct).
+
+    Shape: per-batch (source, doc_id, score) int rows only — text
+    never moves — through one source-keyed coarse exchange; the
+    per-bucket gate is one vectorized lexsort + cumsum per source run.
+    Output is source-domain-sized (n_kept, kept_score, tot_score).
+    """
+    import ray.data  # noqa: F401
+
+    from .dedup import coarse_mix
+    from .exact_agg import _hash_string_array
+    from ..util import shuffle_partitions
+
+    def rows(t: pa.Table) -> pa.Table:
+        score = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        kh = _hash_string_array(src)
+        return pa.table({
+            "source": src,
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "score": score,
+            "__coarse": pa.array(
+                coarse_mix(kh.astype(np.int64), 1023), pa.int64())})
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source": pd.Series(dtype="object"),
+                "n_kept": pd.Series(dtype="int64"),
+                "kept_score": pd.Series(dtype="int64"),
+                "tot_score": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        src = g["source"].to_numpy()
+        order = np.lexsort((g["doc_id"].to_numpy(),
+                            -g["score"].to_numpy(), src))
+        src, score = src[order], g["score"].to_numpy()[order]
+        starts = np.concatenate(([0], np.flatnonzero(
+            src[1:] != src[:-1]) + 1))
+        cum = np.cumsum(score)
+        base = np.repeat(np.concatenate(([0], cum[starts[1:] - 1])),
+                         np.diff(np.concatenate((starts, [len(src)]))))
+        ends = np.concatenate((starts[1:], [len(src)]))
+        tot = np.repeat(cum[ends - 1] - np.concatenate(
+            ([0], cum[starts[1:] - 1])), ends - starts)
+        cum_before = cum - score - base
+        kept = cum_before * 100 < tot * pct
+        out = pd.DataFrame({"source": src, "score": score,
+                            "kept": kept, "tot": tot})
+        r = out.groupby("source", as_index=False).agg(
+            n_kept=("kept", "sum"),
+            kept_score=("score", lambda s: 0),  # replaced below
+            tot_score=("tot", "first"))
+        ks = (out[out["kept"]].groupby("source")["score"].sum()
+              .reindex(r["source"]).fillna(0).astype("int64"))
+        r["kept_score"] = ks.to_numpy()
+        r["n_kept"] = r["n_kept"].astype("int64")
+        r["tot_score"] = r["tot_score"].astype("int64")
+        return r[["source", "n_kept", "kept_score", "tot_score"]]
+
+    return (docs_ds.map_batches(rows, batch_format="pyarrow")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(gate, batch_format="pandas"))
+
+
+def source_nucleus_sql(pct: int = 90) -> str:
+    return f"""
+WITH s AS (
+  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS score
+  FROM documents),
+t AS (SELECT source, sum(score) AS tot FROM s GROUP BY source),
+c AS (
+  SELECT s.source, s.score, t.tot,
+         sum(s.score) OVER (PARTITION BY s.source
+                            ORDER BY s.score DESC, s.doc_id
+                            ROWS UNBOUNDED PRECEDING) - s.score
+           AS cum_before
+  FROM s JOIN t ON t.source = s.source)
+SELECT source,
+       CAST(count(*) FILTER (WHERE cum_before * 100 < tot * {pct})
+            AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(score) FILTER (WHERE cum_before * 100
+                                              < tot * {pct}), 0)
+            AS BIGINT) AS kept_score,
+       CAST(max(tot) AS BIGINT) AS tot_score
+FROM c GROUP BY source"""
