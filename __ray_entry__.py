@@ -938,6 +938,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via one keyed exchange + segment prefix-sum searchsorted
         return OL.events_value_ma_range(sf_dir)
 
+    def q_events_cusum_alarm(sf_dir):
+        # one-sided CUSUM changepoint via the closed-form running-min
+        # identity; day-domain sweep in Python ints vs HUGEINT
+        return OL.events_cusum_alarm(sf_dir)
+
+    def q_orders_backlog_age_buckets(sf_dir):
+        # backlog aging as of a snapshot: pushed read predicate +
+        # order-grain max-ship partials through one keyed exchange
+        return OL.orders_backlog_age_buckets(sf_dir)
+
+    def q_events_autocorr_lag1(sf_dir):
+        # lag-1 autocorrelation as exact integer Pearson numerators;
+        # day-domain lag pairing in Python ints vs HUGEINT
+        return OL.events_autocorr_lag1(sf_dir)
+
+    def q_docs_feather_roundtrip(sf_dir):
+        # Arrow-IPC (feather) sink/source: one shard per block via a
+        # map_batches task sink, read_binary_files + decode back
+        from yj_schema_validator_ray.pipelines.curation import (
+            docs_feather_roundtrip)
+        return docs_feather_roundtrip(sf_dir)
+
+    def q_session_path_match(sf_dir):
+        # funnel-as-regex over sessionized type paths: one user-keyed
+        # exchange, vectorized session cut, compiled regex per path
+        return OL.session_path_match(sf_dir)
+
+    def q_shuffle_certificate(sf_dir):
+        # Dataset.random_shuffle coverage: order-free fingerprint after
+        # the nondeterministic all-to-all equals the table's own
+        from yj_schema_validator_ray.pipelines.curation import (
+            shuffle_certificate)
+        return shuffle_certificate(sf_dir)
+
+    def q_orders_scd2_temporal_join(sf_dir):
+        # effective-dated dimension lookup: history build + packed-key
+        # searchsorted interval probe in ONE custkey exchange
+        from yj_schema_validator_ray.pipelines.governance import (
+            orders_scd2_temporal_join)
+        return orders_scd2_temporal_join(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1360,7 +1401,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # customer_scd2, incremental_agg, orders_allen_intervals,
         # source_nucleus, fd_violations, customer_orders_full_outer,
         # customer_order_degree_histogram, orders_abc_classification,
-        # events_value_ma_range) —
+        # events_value_ma_range, events_cusum_alarm,
+        # orders_backlog_age_buckets, events_autocorr_lag1,
+        # docs_feather_roundtrip, session_path_match,
+        # shuffle_certificate, orders_scd2_temporal_join) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1514,6 +1558,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_degree_histogram": q_customer_order_degree_histogram,
         "orders_abc_classification": q_orders_abc_classification,
         "events_value_ma_range": q_events_value_ma_range,
+        "events_cusum_alarm": q_events_cusum_alarm,
+        "orders_backlog_age_buckets": q_orders_backlog_age_buckets,
+        "events_autocorr_lag1": q_events_autocorr_lag1,
+        "docs_feather_roundtrip": q_docs_feather_roundtrip,
+        "session_path_match": q_session_path_match,
+        "shuffle_certificate": q_shuffle_certificate,
+        "orders_scd2_temporal_join": q_orders_scd2_temporal_join,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1807,6 +1858,20 @@ def _fd_violations_sql() -> str:
         fd_violations_sql)
 
     return fd_violations_sql()
+
+
+def _docs_feather_roundtrip_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        docs_feather_roundtrip_sql)
+
+    return docs_feather_roundtrip_sql()
+
+
+def _shuffle_certificate_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        shuffle_certificate_sql)
+
+    return shuffle_certificate_sql()
 
 
 def _bloom_semijoin_sql() -> str:
@@ -2432,6 +2497,13 @@ def oracle_sql() -> dict[str, str]:
             R.customer_order_degree_histogram_sql(),
         "orders_abc_classification": R.orders_abc_classification_sql(),
         "events_value_ma_range": _OL.events_value_ma_range_sql(),
+        "events_cusum_alarm": _OL.events_cusum_alarm_sql(),
+        "orders_backlog_age_buckets": _OL.orders_backlog_age_buckets_sql(),
+        "events_autocorr_lag1": _OL.events_autocorr_lag1_sql(),
+        "docs_feather_roundtrip": _docs_feather_roundtrip_sql(),
+        "session_path_match": _OL.session_path_match_sql(),
+        "shuffle_certificate": _shuffle_certificate_sql(),
+        "orders_scd2_temporal_join": _GOV.orders_scd2_temporal_join_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

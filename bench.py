@@ -434,6 +434,20 @@ def run_bench() -> dict:
     best_of("dsir_select", lambda: dsir_select(docs3_ds()).count())
     best_of("oov_rate", lambda: oov_rate(docs3_ds()).count())
 
+    # round-4 eighth wave (governance): the exact-integer order-grain
+    # reconciliation join, the SCD2 dimension build (base + update
+    # stream through one custkey exchange), and the RANGE-interval
+    # trailing window (per-user segment prefix sums)
+    from yj_schema_validator_ray.pipelines.governance import (
+        customer_scd2, orders_price_reconciliation)
+    from yj_schema_validator_ray.pipelines.olap import events_value_ma_range
+
+    best_of("price_reconciliation",
+            lambda: orders_price_reconciliation(SF_DIR).count())
+    best_of("customer_scd2", lambda: customer_scd2(SF_DIR).count())
+    best_of("events_ma_range",
+            lambda: events_value_ma_range(SF_DIR).count())
+
     headline = timings["validate"]
     result = {
         "metric": ("validated files/sec end-to-end (rows validated + "

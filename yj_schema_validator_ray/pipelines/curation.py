@@ -1409,3 +1409,117 @@ def compact_shards_sql() -> str:
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang"""
+
+
+def docs_feather_roundtrip(sf_dir: str, out_dir: str | None = None,
+                           checksum: bool = False):
+    """Feather / Arrow-IPC sink-source coverage — the zero-copy
+    interchange format (mmap-able, the on-disk twin of the in-flight
+    Arrow batches).  Same recipe as :func:`docs_orc_roundtrip`: one
+    IPC shard per BLOCK via a map_batches task sink consumed through a
+    path/row manifest, read back with read_binary_files + a per-file
+    decode, certified by the per-lang accounting contract."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.feather as feather
+    import ray.data
+
+    cleanup = out_dir is None
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="yjsv_feather_")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+    try:
+        def write_shard(t: pa.Table) -> pa.Table:
+            path = os.path.join(out_dir,
+                                f"part-{uuid.uuid4().hex}.feather")
+            feather.write_feather(t, path)
+            return pa.table({"path": pa.array([path], pa.string()),
+                             "rows": pa.array([t.num_rows], pa.int64())})
+
+        manifest = docs.map_batches(
+            write_shard, batch_size=None,
+            batch_format="pyarrow").to_pandas()
+        assert len(manifest) > 0
+
+        def decode(t: pa.Table) -> pa.Table:
+            tabs = [feather.read_table(pa.BufferReader(b.as_py()))
+                    for b in t.column("bytes")]
+            return pa.concat_tables(tabs)
+
+        back = (ray.data.read_binary_files(out_dir)
+                .map_batches(decode, batch_format="pyarrow"))
+        out = _lang_accounting(back)
+        if not checksum:
+            out = out.drop(columns=["text_xor"])
+    finally:
+        if cleanup:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+def docs_feather_roundtrip_sql() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang"""
+
+
+def shuffle_certificate(sf_dir: str):
+    """``Dataset.random_shuffle`` coverage with an exact oracle: the
+    global shuffle is inherently non-deterministic, so the certified
+    output is its ORDER-FREE fingerprint — per-lang counts, char sums,
+    and id XOR taken AFTER the all-to-all shuffle — which must equal
+    the unshuffled table's fingerprint (rows permuted, none lost,
+    duplicated, or mutated).  This is the repo's only use of Ray's
+    random_shuffle (training-epoch randomization); every deterministic
+    sampling need uses the md5-rule operators instead.
+
+    Shape: the shuffle IS the exchange; the fingerprint partials are
+    lang-domain per block and fold driver-side (XOR associativity),
+    exactly like :func:`corpus_fingerprint`.
+    """
+    import ray.data
+
+    from ..util import collect_small_arrow
+
+    docs = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "lang", "text"])
+            .random_shuffle())
+
+    def partial_pd(df):
+        import pandas as pd
+
+        g = (df.assign(n_docs=1,
+                       total_chars=df["text"].str.len().astype("int64"),
+                       id_xor=df["doc_id"].astype("int64"))
+             .groupby("lang", sort=False)
+             .agg(n_docs=("n_docs", "sum"),
+                  total_chars=("total_chars", "sum"),
+                  id_xor=("id_xor", lambda v: int(
+                      np.bitwise_xor.reduce(v.to_numpy(np.int64)))))
+             .reset_index())
+        return g
+
+    partials = collect_small_arrow(
+        docs.map_batches(partial_pd, batch_format="pandas")).to_pandas()
+    out = (partials.groupby("lang", as_index=False)
+           .agg(n_docs=("n_docs", "sum"),
+                total_chars=("total_chars", "sum"),
+                id_xor=("id_xor", lambda v: int(
+                    np.bitwise_xor.reduce(v.to_numpy(np.int64))))))
+    for c in ("n_docs", "total_chars", "id_xor"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def shuffle_certificate_sql() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+FROM documents GROUP BY lang"""

@@ -457,3 +457,156 @@ SELECT event_type,
        CAST(max(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
          AS max_cents
 FROM events GROUP BY event_type"""
+
+
+def orders_scd2_temporal_join(sf_dir: str, coarse: int = 1024):
+    """Effective-dated dimension lookup (the consumer side of
+    :func:`customer_scd2`): every order joins to the customer-segment
+    version in force the YEAR BEFORE its order date (eff = year - 1,
+    so lookups genuinely land mid-history instead of on their own
+    update), aggregating order counts and integer-cent revenue per
+    segment value — the temporal/point-in-interval join every SCD
+    warehouse query runs.
+
+    Shape: ONE custkey-keyed coarse exchange carries all three row
+    kinds (base dim rows, per-(cust, year) update partials, per-(cust,
+    eff-year) probe partials); inside each bucket the history build is
+    the scd2 sort/shift and the interval lookup is one vectorized
+    searchsorted over cust*2^20+year packed keys — no per-probe
+    Python, no second exchange.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    PK = 1 << 20  # year packing radix (years << 2^20)
+
+    def base_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("c_custkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "c_custkey": keys,
+            "year": pa.array(np.zeros(n, np.int64)),
+            "segment": t.column("c_mktsegment"),
+            "n": pa.array(np.zeros(n, np.int64)),
+            "cents": pa.array(np.zeros(n, np.int64)),
+            "kind": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def order_sides(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t.column("o_custkey"), pa.int64())
+        yr = pc.cast(pc.year(t.column("o_orderdate")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        upd = (pa.table({"c_custkey": ck, "year": yr})
+               .group_by(["c_custkey", "year"])
+               .aggregate([([], "count_all")])
+               .rename_columns(["c_custkey", "year", "n"]))
+        nu = upd.num_rows
+        probe = (pa.table({"c_custkey": ck,
+                           "year": pc.subtract(yr, pa.scalar(1, pa.int64())),
+                           "cents": cents})
+                 .group_by(["c_custkey", "year"])
+                 .aggregate([("cents", "sum"), ([], "count_all")])
+                 .rename_columns(["c_custkey", "year", "cents", "n"]))
+        np_ = probe.num_rows
+        both = pa.table({
+            "c_custkey": pa.concat_arrays([
+                upd.column("c_custkey").combine_chunks(),
+                probe.column("c_custkey").combine_chunks()]),
+            "year": pa.concat_arrays([
+                upd.column("year").combine_chunks(),
+                probe.column("year").combine_chunks()]),
+            "segment": pa.array([None] * (nu + np_), pa.string()),
+            "n": pa.concat_arrays([
+                pc.cast(upd.column("n"), pa.int64()).combine_chunks(),
+                pc.cast(probe.column("n"), pa.int64()).combine_chunks()]),
+            "cents": pa.concat_arrays([
+                pa.array(np.zeros(nu, np.int64)),
+                probe.column("cents").combine_chunks()]),
+            "kind": pa.array([1] * nu + [2] * (nu + np_ - nu), pa.int64()),
+        })
+        keys = both.column("c_custkey")
+        return both.append_column(
+            "__coarse", pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()))
+
+    def lookup(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"segment": pd.Series(dtype="object"),
+                "n_orders": pd.Series(dtype="int64"),
+                "revenue_cents": pd.Series(dtype="int64")}
+        if g.empty or not (g["kind"] == 2).any():
+            return pd.DataFrame(cols)
+        upd = (g[g["kind"] == 1]
+               .groupby(["c_custkey", "year"], as_index=False)["n"].sum())
+        upd["segment"] = "SEG-" + (upd["n"] % 5).astype(str)
+        base = g.loc[g["kind"] == 0, ["c_custkey", "year", "segment"]]
+        hist = pd.concat([base, upd[["c_custkey", "year", "segment"]]],
+                         ignore_index=True).sort_values(
+            ["c_custkey", "year"], kind="mergesort")
+        seg_key = (hist["c_custkey"].to_numpy() * PK
+                   + hist["year"].to_numpy())
+        seg_cust = hist["c_custkey"].to_numpy()
+        seg_val = hist["segment"].to_numpy()
+        pr = (g[g["kind"] == 2]
+              .groupby(["c_custkey", "year"], as_index=False)
+              .agg(n=("n", "sum"), cents=("cents", "sum")))
+        pk = pr["c_custkey"].to_numpy() * PK + pr["year"].to_numpy()
+        idx = np.searchsorted(seg_key, pk, side="right") - 1
+        ok = (idx >= 0) & (seg_cust[np.maximum(idx, 0)]
+                           == pr["c_custkey"].to_numpy())
+        out = pd.DataFrame({
+            "segment": seg_val[idx[ok]],
+            "n_orders": pr["n"].to_numpy()[ok],
+            "revenue_cents": pr["cents"].to_numpy()[ok]})
+        r = out.groupby("segment", as_index=False).sum()
+        r["n_orders"] = r["n_orders"].astype("int64")
+        r["revenue_cents"] = r["revenue_cents"].astype("int64")
+        return r
+
+    base = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey", "c_mktsegment"])
+            .map_batches(base_side, batch_format="pyarrow"))
+    osides = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                    columns=["o_custkey", "o_orderdate",
+                                             "o_totalprice"])
+              .map_batches(order_sides, batch_format="pyarrow"))
+    parts = (base.union(osides)
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(lookup, batch_format="pandas"))
+    return grouped_aggregate(parts, ["segment"],
+                             [("n_orders", "sum", "n_orders"),
+                              ("revenue_cents", "sum", "revenue_cents")])
+
+
+def orders_scd2_temporal_join_sql() -> str:
+    return """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(year(o_orderdate) AS BIGINT) AS version,
+         'SEG-' || CAST(count(*) % 5 AS VARCHAR) AS segment
+  FROM orders GROUP BY o_custkey, year(o_orderdate)),
+hist AS (
+  SELECT c_custkey, CAST(0 AS BIGINT) AS version,
+         c_mktsegment AS segment
+  FROM customer
+  UNION ALL SELECT * FROM upd),
+s AS (
+  SELECT c_custkey, version, segment,
+         coalesce(lead(version) OVER (PARTITION BY c_custkey
+                                      ORDER BY version) - 1, 9999)
+           AS valid_to
+  FROM hist),
+probe AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(year(o_orderdate) AS BIGINT) - 1 AS eff,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders)
+SELECT s.segment, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+FROM probe p JOIN s ON s.c_custkey = p.c_custkey
+                   AND p.eff BETWEEN s.version AND s.valid_to
+GROUP BY s.segment"""

@@ -2504,3 +2504,343 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
          RANGE BETWEEN INTERVAL {window_min} MINUTE PRECEDING
                AND CURRENT ROW) AS BIGINT) AS trailing_cents
 FROM events"""
+
+
+def events_cusum_alarm(sf_dir: str):
+    """Sequential change detection (one-sided CUSUM / SPC) on each
+    event type's daily count series: S_t = max(0, S_{t-1} + x_t - k)
+    with reference k = that type's floor-mean daily count, alarming
+    when the cumulative excess tops one average day (S_t > k).  The
+    recursion is evaluated CLOSED-FORM — S_t = C_t - min(0, running
+    min C_j) with C the cumsum of (x - k) — so both sides are pure
+    window algebra over exact integers (the sequential-detection
+    companion to the pointwise z-gate in :func:`events_burst_days`).
+
+    Shape: one (type, day)-keyed count exchange; the CUSUM sweep runs
+    on the collected day-domain series (calendar-bounded at any
+    scale), Python ints driver-side vs HUGEINT in the oracle.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t.column("ts"), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": day})
+
+    d = collect_small_arrow(grouped_aggregate(
+        ds.map_batches(day_rows, batch_format="pyarrow"),
+        ["event_type", "day"], [("", "count", "n_events")])).to_pandas()
+    d = d.sort_values(["event_type", "day"]).reset_index(drop=True)
+    s_out, alarm_out = [], []
+    for _, g in d.groupby("event_type", sort=False):
+        x = [int(v) for v in g["n_events"]]
+        k = sum(x) // len(x)
+        cum, run_min, s = 0, 0, []
+        for v in x:
+            cum += v - k
+            run_min = min(run_min, cum)
+            s.append(cum - min(0, run_min))
+        s_out.extend(s)
+        alarm_out.extend([v > k for v in s])
+    d["s_stat"] = pd.Series(s_out, dtype="int64")
+    d["alarm"] = pd.Series(alarm_out, dtype="bool")
+    d["n_events"] = d["n_events"].astype("int64")
+    return pa.Table.from_pandas(d, preserve_index=False)
+
+
+def events_cusum_alarm_sql() -> str:
+    return """
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS x
+  FROM events GROUP BY 1, 2),
+k AS (SELECT event_type, sum(x) // count(*) AS kk FROM d GROUP BY 1),
+c AS (
+  SELECT d.event_type, d.day, d.x, k.kk,
+         sum(d.x - k.kk) OVER (PARTITION BY d.event_type ORDER BY d.day
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d JOIN k USING (event_type)),
+m AS (
+  SELECT event_type, day, x, kk, cum,
+         least(0, min(cum) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING)) AS mn
+  FROM c)
+SELECT event_type, day, CAST(x AS BIGINT) AS n_events,
+       CAST(cum - mn AS BIGINT) AS s_stat,
+       (cum - mn) > kk AS alarm
+FROM m"""
+
+
+def orders_backlog_age_buckets(sf_dir: str, coarse: int = 1024):
+    """Backlog aging report as of a snapshot date (1998-01-01): orders
+    placed by then whose lineitems are not all shipped (or that have
+    no lineitems) are bucketed by age in days — the WIP/receivables
+    aging statement.
+
+    Shape: the orders side prunes at the read (o_orderdate <= D pushed
+    into read_parquet); lineitem ships only per-batch (orderkey,
+    max_ship) partials; one coarse-hash exchange merges them and emits
+    bucket-count partials; output is <= 4 rows.
+    """
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    D_US = 883_612_800_000_000  # 1998-01-01T00:00:00Z epoch us
+    DAY_US = 86_400_000_000
+
+    def order_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("o_orderkey"), pa.int64())
+        age = (D_US - pc.cast(t.column("o_orderdate"),
+                              pa.int64()).to_numpy()) // DAY_US
+        return pa.table({
+            "okey": keys,
+            "v": pa.array(age, pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def li_side(t: pa.Table) -> pa.Table:
+        g = (pa.table({"okey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                       "ship_us": pc.cast(t.column("l_shipdate"),
+                                          pa.int64())})
+             .group_by(["okey"]).aggregate([("ship_us", "max")])
+             .rename_columns(["okey", "v"]))
+        kk = g.column("okey")
+        return pa.table({
+            "okey": kk, "v": g.column("v"),
+            "side": pa.array(np.ones(g.num_rows, np.int64)),
+            "__coarse": pa.array(coarse_mix(kk.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def buckets(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"age_bucket": pd.Series(dtype="object"),
+                "n_orders": pd.Series(dtype="int64")}
+        if g.empty or not (g["side"] == 0).any():
+            return pd.DataFrame(cols)
+        o = g.loc[g["side"] == 0, ["okey", "v"]].rename(
+            columns={"v": "age"})
+        ms = (g.loc[g["side"] == 1, ["okey", "v"]]
+              .groupby("okey", as_index=False).max()
+              .rename(columns={"v": "last_ship"}))
+        j = o.merge(ms, on="okey", how="left")
+        open_mask = j["last_ship"].isna() | (j["last_ship"] > D_US)
+        age = j.loc[open_mask, "age"].to_numpy()
+        lab = np.where(age <= 30, "0-30",
+                       np.where(age <= 90, "31-90",
+                                np.where(age <= 365, "91-365", "365+")))
+        v, c = np.unique(lab, return_counts=True)
+        return pd.DataFrame({"age_bucket": v,
+                             "n_orders": c.astype("int64")})
+
+    o = (ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate")
+                <= pa.scalar(D_US, pa.timestamp("us"))))
+        .map_batches(order_side, batch_format="pyarrow"))
+    li = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey", "l_shipdate"])
+          .map_batches(li_side, batch_format="pyarrow"))
+    parts = (o.union(li)
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(buckets, batch_format="pandas"))
+    return grouped_aggregate(parts, ["age_bucket"],
+                             [("n_orders", "sum", "n_orders")])
+
+
+def orders_backlog_age_buckets_sql() -> str:
+    return """
+WITH ms AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT (epoch_us(TIMESTAMP '1998-01-01')
+          - epoch_us(o.o_orderdate)) // 86400000000 AS age_days,
+         (ms.last_ship IS NULL
+          OR ms.last_ship > TIMESTAMP '1998-01-01') AS is_open
+  FROM orders o LEFT JOIN ms ON ms.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate <= TIMESTAMP '1998-01-01')
+SELECT CASE WHEN age_days <= 30 THEN '0-30'
+            WHEN age_days <= 90 THEN '31-90'
+            WHEN age_days <= 365 THEN '91-365'
+            ELSE '365+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM j WHERE is_open GROUP BY 1"""
+
+
+def events_autocorr_lag1(sf_dir: str):
+    """Lag-1 autocorrelation of each event type's daily count series,
+    reported as EXACT INTEGER Pearson numerators — n*Σab − Σa*Σb and
+    the two variance terms — so the fp correlation r stays downstream
+    where fp is allowed (the persistence/seasonality screen next to
+    :func:`events_burst_days` and :func:`events_cusum_alarm`).
+    Python-int driver math vs HUGEINT in the oracle; at extreme daily
+    counts the BIGINT output cast is the documented bound.
+
+    Shape: one (type, day)-keyed count exchange; the lag pairing runs
+    on the collected day-domain series (calendar-bounded)."""
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t.column("ts"), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": day})
+
+    d = collect_small_arrow(grouped_aggregate(
+        ds.map_batches(day_rows, batch_format="pyarrow"),
+        ["event_type", "day"], [("", "count", "n")])).to_pandas()
+    d = d.sort_values(["event_type", "day"]).reset_index(drop=True)
+    rows = []
+    for et, g in d.groupby("event_type", sort=False):
+        x = [int(v) for v in g["n"]]
+        a, b = x[1:], x[:-1]
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        rows.append({
+            "event_type": et, "n_pairs": n,
+            "cov_num": n * sum(p * q for p, q in zip(a, b)) - sa * sb,
+            "var_a_num": n * sum(v * v for v in a) - sa * sa,
+            "var_b_num": n * sum(v * v for v in b) - sb * sb})
+    out = pd.DataFrame(rows)
+    for c in ("n_pairs", "cov_num", "var_a_num", "var_b_num"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def events_autocorr_lag1_sql() -> str:
+    return """
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS x
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT event_type, x AS a,
+         lag(x) OVER (PARTITION BY event_type ORDER BY day) AS b
+  FROM d),
+q AS (SELECT event_type, a, b FROM p WHERE b IS NOT NULL)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * sum(a * b) - sum(a) * sum(b) AS BIGINT)
+         AS cov_num,
+       CAST(count(*) * sum(a * a) - sum(a) * sum(a) AS BIGINT)
+         AS var_a_num,
+       CAST(count(*) * sum(b * b) - sum(b) * sum(b) AS BIGINT)
+         AS var_b_num
+FROM q GROUP BY event_type"""
+
+
+SESSION_PATTERNS = ("view.*purchase", "view.*click.*purchase",
+                    "error.*error")
+
+
+def session_path_match(sf_dir: str, gap_s: int = 1800,
+                       coarse: int = 1024):
+    """Behavioral-pattern mining over sessionized paths: sessions are
+    cut at 30-min idle gaps (the events_sessions rule, ties broken by
+    event_id), each session's ordered event-type path is joined into a
+    'a>b>c' string, and every pattern in ``SESSION_PATTERNS`` reports
+    how many sessions match its regex — funnel queries expressed as
+    path regexes instead of fixed step joins.
+
+    Shape: one user-keyed exchange of (user, ts_us, event_id, type)
+    rows; per bucket a vectorized lexsort + gap cumsum builds session
+    ids, a pandas groupby joins paths (session-domain sized), and the
+    compiled regexes scan path strings; output is len(patterns) rows.
+    """
+    import re
+
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    gap_us = gap_s * 1_000_000
+    pats = [(p, re.compile(p)) for p in SESSION_PATTERNS]
+
+    def rows(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("user_id"), pa.int64())
+        return pa.table({
+            "user_id": keys,
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pattern": pd.Series(dtype="object"),
+                "n_sessions": pd.Series(dtype="int64"),
+                "n_matching": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        new_sess = new_user | (gap > gap_us)
+        sid = np.cumsum(new_sess)
+        paths = (pd.Series(et).groupby(sid).agg(">".join))
+        n = len(paths)
+        return pd.DataFrame({
+            "pattern": [p for p, _ in pats],
+            "n_sessions": np.full(len(pats), n, np.int64),
+            "n_matching": np.array(
+                [int(sum(1 for s in paths if rx.search(s)))
+                 for _, rx in pats], np.int64)})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    parts = (ev.map_batches(rows, batch_format="pyarrow")
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(match, batch_format="pandas"))
+    return grouped_aggregate(parts, ["pattern"],
+                             [("n_sessions", "sum", "n_sessions"),
+                              ("n_matching", "sum", "n_matching")])
+
+
+def session_path_match_sql(gap_s: int = 1800) -> str:
+    pat_rows = " UNION ALL ".join(
+        f"SELECT '{p}' AS pattern" for p in SESSION_PATTERNS)
+    return f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {gap_s}
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, sid),
+pats AS ({pat_rows})
+SELECT pats.pattern,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE regexp_matches(p.path, pats.pattern))
+            AS BIGINT) AS n_matching
+FROM p, pats GROUP BY pats.pattern"""
