@@ -979,6 +979,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             orders_scd2_temporal_join)
         return orders_scd2_temporal_join(sf_dir)
 
+    def q_distinct_kmv(sf_dir):
+        # KMV bottom-k distinct sketch with a FULLY exact oracle (md5
+        # hash + estimate formula reproduced in SQL, HUGEINT mirror)
+        from yj_schema_validator_ray.pipelines.accuracy import distinct_kmv
+        return distinct_kmv(sf_dir)
+
+    def q_term_drift_topk(sf_dir):
+        # term-level corpus drift: cross-multiplied integer rate diff
+        # between deterministic halves; vocab never sorts globally
+        from yj_schema_validator_ray.stages.text import term_drift_topk
+        return term_drift_topk(docs(sf_dir))
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1404,7 +1416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_value_ma_range, events_cusum_alarm,
         # orders_backlog_age_buckets, events_autocorr_lag1,
         # docs_feather_roundtrip, session_path_match,
-        # shuffle_certificate, orders_scd2_temporal_join) —
+        # shuffle_certificate, orders_scd2_temporal_join, distinct_kmv,
+        # term_drift_topk) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1565,6 +1578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_path_match": q_session_path_match,
         "shuffle_certificate": q_shuffle_certificate,
         "orders_scd2_temporal_join": q_orders_scd2_temporal_join,
+        "distinct_kmv": q_distinct_kmv,
+        "term_drift_topk": q_term_drift_topk,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1872,6 +1887,12 @@ def _shuffle_certificate_sql() -> str:
         shuffle_certificate_sql)
 
     return shuffle_certificate_sql()
+
+
+def _distinct_kmv_sql() -> str:
+    from yj_schema_validator_ray.pipelines.accuracy import distinct_kmv_sql
+
+    return distinct_kmv_sql()
 
 
 def _bloom_semijoin_sql() -> str:
@@ -2504,6 +2525,8 @@ def oracle_sql() -> dict[str, str]:
         "session_path_match": _OL.session_path_match_sql(),
         "shuffle_certificate": _shuffle_certificate_sql(),
         "orders_scd2_temporal_join": _GOV.orders_scd2_temporal_join_sql(),
+        "distinct_kmv": _distinct_kmv_sql(),
+        "term_drift_topk": _T.term_drift_topk_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

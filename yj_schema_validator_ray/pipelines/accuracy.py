@@ -784,3 +784,97 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
        (SELECT CAST(count(*) AS BIGINT)
         FROM a JOIN b USING (user_id)) AS n_intersect,
        TRUE AS within_bound"""
+
+
+KMV_K = 32
+_KMV_SPACE = 1 << 60  # md5[:15] hex = 60-bit hash space
+
+
+def distinct_kmv(sf_dir: str, k: int = KMV_K):
+    """KMV (k-minimum-values / bottom-k) distinct sketch — the third
+    sketch family next to HLL and CMS — with a FULLY EXACT oracle: the
+    hash is the repo's md5[:15]-hex convention, so DuckDB reproduces
+    the k-th minimum and therefore the ESTIMATE itself bit-for-bit
+    (not just an error bound).  est = (k-1) * 2^60 // kth_min_hash,
+    or the exact distinct when fewer than k hashes exist (the
+    small-domain branch events.user_id exercises at these scales).
+
+    Shape: per-batch bottom-k partials (k smallest distinct hashes per
+    block — bottom-k of a union is bottom-k of per-part bottom-ks, so
+    the merge is associative); the driver folds blocks*k hashes; the
+    exact side reuses the distinct-pair exchange.  Columns audited:
+    events.user_id, events.event_id, documents.doc_id.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    def one(table: str, col: str):
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                   columns=[col])
+
+        def bottomk(t: pa.Table) -> pa.Table:
+            vals = np.unique(pc.cast(t.column(col), pa.int64()).to_numpy())
+            hs = np.sort(np.array(
+                [int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                 for v in vals], np.int64))[:k]
+            return pa.table({"hv": pa.array(hs, pa.int64())})
+
+        parts = collect_small_arrow(
+            ds.map_batches(bottomk, batch_format="pyarrow")).to_pandas()
+        hs = np.sort(np.unique(parts["hv"].to_numpy()))[:k]
+
+        # exact distinct: per-batch distinct -> one keyed exchange ->
+        # count (the hll_accuracy exact plan)
+        def dvals(t: pa.Table) -> pa.Table:
+            return pa.table({"v": pa.array(np.unique(
+                pc.cast(t.column(col), pa.int64()).to_numpy()), pa.int64())})
+
+        dist = grouped_aggregate(
+            ds.map_batches(dvals, batch_format="pyarrow"),
+            ["v"], [("", "count", "n")])
+        nd = int(collect_small_arrow(dist.map_batches(
+            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow")).to_pandas()["n"].sum())
+
+        if len(hs) < k:
+            est = len(hs)
+        else:
+            est = (k - 1) * _KMV_SPACE // int(hs[k - 1])
+        return {"column_name": f"{table}.{col}", "exact_distinct": nd,
+                "kmv_estimate": int(est)}
+
+    rows = [one("events", "user_id"), one("events", "event_id"),
+            one("documents", "doc_id")]
+    out = pd.DataFrame(rows)
+    out["exact_distinct"] = out["exact_distinct"].astype("int64")
+    out["kmv_estimate"] = out["kmv_estimate"].astype("int64")
+    return out
+
+
+def distinct_kmv_sql(k: int = KMV_K) -> str:
+    parts = []
+    for table, col in (("events", "user_id"), ("events", "event_id"),
+                       ("documents", "doc_id")):
+        parts.append(f"""
+SELECT '{table}.{col}' AS column_name,
+       CAST((SELECT count(DISTINCT {col}) FROM {table}) AS BIGINT)
+         AS exact_distinct,
+       CAST((
+         WITH h AS (SELECT DISTINCT CAST(('0x' ||
+                      substr(md5(CAST({col} AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS hv FROM {table}),
+              r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+                    FROM h),
+              a AS (SELECT count(*) AS nd,
+                           max(CASE WHEN rk = {k} THEN hv END) AS kth
+                    FROM r)
+         SELECT CASE WHEN nd < {k} THEN nd
+                     ELSE (CAST({k - 1} AS HUGEINT)
+                           * {_KMV_SPACE}) // kth END
+         FROM a) AS BIGINT) AS kmv_estimate""")
+    return "\nUNION ALL\n".join(parts)

@@ -1763,3 +1763,78 @@ scored AS (
   FROM qt JOIN dfs USING (g) GROUP BY qt.doc_id)
 SELECT doc_id, CAST(score AS BIGINT) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def term_drift_topk(docs_ds, k: int = 20):
+    """Corpus-drift screen at TERM granularity: split the corpus into
+    deterministic halves (doc_id % 2 — stand-in for old/new crawl
+    snapshots), count each term per half, and rank terms by the
+    exact-integer cross-multiplied rate difference
+    |n0*T1 - n1*T0| (T = half totals) — "which terms changed share the
+    most", the vocabulary-level companion of the lang KL drift gate.
+
+    Shape: per-batch (term, n0, n1) pandas partials -> one term-keyed
+    exchange (materialized once, vocab-domain); half totals fold from
+    block partial sums; per-block top-k then a tiny global sort over
+    <= partitions*k rows — the full vocabulary never sorts globally.
+    Products n*T are int64; at extreme corpus scale the documented
+    bound is to rescale T to per-million before the cross multiply.
+    """
+    from ..util import collect_small_arrow
+    from .exact_agg import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "n0": pd.Series(dtype="int64"),
+                                 "n1": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        half = np.repeat(batch["doc_id"].to_numpy() % 2, lens)
+        g = (pd.DataFrame({"term": flat, "n0": (half == 0).astype("int64"),
+                           "n1": (half == 1).astype("int64")})
+             .groupby("term", sort=False, as_index=False).sum())
+        return g
+
+    agg = grouped_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        ["term"], [("n0", "sum", "n0"), ("n1", "sum", "n1")]).materialize()
+
+    tots = collect_small_arrow(agg.map_batches(
+        lambda t: pa.table({
+            "t0": pa.array([int(pc.sum(t.column("n0")).as_py() or 0)],
+                           pa.int64()),
+            "t1": pa.array([int(pc.sum(t.column("n1")).as_py() or 0)],
+                           pa.int64())}),
+        batch_format="pyarrow")).to_pandas().sum()
+    t0, t1 = int(tots.t0), int(tots.t1)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        d["drift_num"] = (d["n0"] * t1 - d["n1"] * t0).abs().astype("int64")
+        d = d.sort_values(["drift_num", "term"],
+                          ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(
+            d[["term", "n0", "n1", "drift_num"]], preserve_index=False)
+
+    return (agg.map_batches(local_topk, batch_format="pyarrow")
+            .sort(["drift_num", "term"], descending=[True, False])
+            .limit(k))
+
+
+def term_drift_topk_sql(k: int = 20) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id % 2 AS half,
+         unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents),
+c AS (
+  SELECT term,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM toks GROUP BY term),
+t AS (SELECT sum(n0) AS t0, sum(n1) AS t1 FROM c)
+SELECT term, n0, n1,
+       CAST(abs(n0 * t.t1 - n1 * t.t0) AS BIGINT) AS drift_num
+FROM c, t ORDER BY drift_num DESC, term LIMIT {k}"""
