@@ -991,6 +991,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from yj_schema_validator_ray.stages.text import term_drift_topk
         return term_drift_topk(docs(sf_dir))
 
+    def q_lineitem_weighted_median(sf_dir):
+        # global weighted quantile: two-phase histogram prefix sum in
+        # ascending key order + vectorized crossing filter, no sort
+        from yj_schema_validator_ray.stages.quantiles import (
+            lineitem_weighted_median)
+        return lineitem_weighted_median(sf_dir)
+
+    def q_event_type_overlap(sf_dir):
+        # audience-overlap matrix: distinct (user,type) exchange ->
+        # bounded per-user pair expansion -> pair-domain counts
+        return OL.event_type_overlap(sf_dir)
+
+    def q_sampled_count_estimate(sf_dir):
+        # deterministic AQP: md5-rule sample + exact Horvitz-Thompson
+        # inverse, estimate itself SQL-reproducible bit-for-bit
+        from yj_schema_validator_ray.stages.sampling import (
+            sampled_count_estimate)
+        return sampled_count_estimate(sf_dir)
+
+    def q_embedding_label_scatter(sf_dir):
+        # Fisher/LDA within-class scatter numerator per label: exact
+        # integer n*Sx2 - Sx^2 over quantized components, no mean
+        return OL.embedding_label_scatter(ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["embedding", "label"]))
+
+    def q_derived_column_audit(sf_dir):
+        # denormalization-drift gate: stored n_chars vs recomputed
+        # length(text), zero-shuffle scan + lang-domain exchange
+        from yj_schema_validator_ray.pipelines.constraints import (
+            derived_column_audit)
+        return derived_column_audit(ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["lang", "text", "n_chars"]))
+
+    def q_label_uniformity_chi2(sf_dir):
+        # class-balance gate: exact integer chi-square numerator
+        # sum((k*n_i - N)^2), Python ints vs HUGEINT
+        from yj_schema_validator_ray.pipelines.constraints import (
+            label_uniformity_chi2)
+        return label_uniformity_chi2(ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["label"]))
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1417,7 +1460,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # orders_backlog_age_buckets, events_autocorr_lag1,
         # docs_feather_roundtrip, session_path_match,
         # shuffle_certificate, orders_scd2_temporal_join, distinct_kmv,
-        # term_drift_topk) —
+        # term_drift_topk, lineitem_weighted_median, event_type_overlap,
+        # sampled_count_estimate, embedding_label_scatter,
+        # derived_column_audit, label_uniformity_chi2) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1580,6 +1625,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_scd2_temporal_join": q_orders_scd2_temporal_join,
         "distinct_kmv": q_distinct_kmv,
         "term_drift_topk": q_term_drift_topk,
+        "lineitem_weighted_median": q_lineitem_weighted_median,
+        "event_type_overlap": q_event_type_overlap,
+        "sampled_count_estimate": q_sampled_count_estimate,
+        "embedding_label_scatter": q_embedding_label_scatter,
+        "derived_column_audit": q_derived_column_audit,
+        "label_uniformity_chi2": q_label_uniformity_chi2,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1893,6 +1944,34 @@ def _distinct_kmv_sql() -> str:
     from yj_schema_validator_ray.pipelines.accuracy import distinct_kmv_sql
 
     return distinct_kmv_sql()
+
+
+def _lineitem_weighted_median_sql() -> str:
+    from yj_schema_validator_ray.stages.quantiles import (
+        lineitem_weighted_median_sql)
+
+    return lineitem_weighted_median_sql()
+
+
+def _sampled_count_estimate_sql() -> str:
+    from yj_schema_validator_ray.stages.sampling import (
+        sampled_count_estimate_sql)
+
+    return sampled_count_estimate_sql()
+
+
+def _derived_column_audit_sql() -> str:
+    from yj_schema_validator_ray.pipelines.constraints import (
+        derived_column_audit_sql)
+
+    return derived_column_audit_sql()
+
+
+def _label_uniformity_chi2_sql() -> str:
+    from yj_schema_validator_ray.pipelines.constraints import (
+        label_uniformity_chi2_sql)
+
+    return label_uniformity_chi2_sql()
 
 
 def _bloom_semijoin_sql() -> str:
@@ -2527,6 +2606,12 @@ def oracle_sql() -> dict[str, str]:
         "orders_scd2_temporal_join": _GOV.orders_scd2_temporal_join_sql(),
         "distinct_kmv": _distinct_kmv_sql(),
         "term_drift_topk": _T.term_drift_topk_sql(),
+        "lineitem_weighted_median": _lineitem_weighted_median_sql(),
+        "event_type_overlap": _OL.event_type_overlap_sql(),
+        "sampled_count_estimate": _sampled_count_estimate_sql(),
+        "embedding_label_scatter": _OL.embedding_label_scatter_sql(),
+        "derived_column_audit": _derived_column_audit_sql(),
+        "label_uniformity_chi2": _label_uniformity_chi2_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -738,3 +738,79 @@ SELECT 'lang->source', CAST(count(*) AS BIGINT),
        CAST(count(*) FILTER (WHERE d > 1) AS BIGINT),
        CAST(max(d) AS BIGINT)
 FROM b"""
+
+
+def derived_column_audit(docs_ds):
+    """Derived-column consistency: the documents table materializes
+    ``n_chars`` next to ``text``; certify the invariant n_chars ==
+    length(text) holds row-for-row (per-lang mismatch counts) — the
+    denormalization-drift check every table with precomputed columns
+    needs after a rewrite/migration.
+
+    Shape: zero-shuffle scan, lang-domain partials, one tiny exchange.
+    """
+    from ..stages.exact_agg import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        actual = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        stored = pc.cast(t.column("n_chars"), pa.int64())
+        bad = pc.cast(pc.not_equal(actual, stored), pa.int64())
+        return pa.table({
+            "lang": t.column("lang"),
+            "n_rows": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_mismatched": bad})
+
+    return grouped_aggregate(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], [("n_rows", "sum", "n_rows"),
+                   ("n_mismatched", "sum", "n_mismatched")])
+
+
+def derived_column_audit_sql() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT)
+         AS n_mismatched
+FROM documents GROUP BY lang"""
+
+
+def label_uniformity_chi2(emb_ds, k: int = 10):
+    """Goodness-of-fit audit: is the embeddings ``label`` column
+    uniform over its k classes?  Reports the EXACT INTEGER chi-square
+    numerator sum((k*n_i - N)^2) (the fp statistic is numerator /
+    (k*N) downstream) plus N and max class count — the class-balance
+    gate before classifier training.
+
+    Shape: label-domain count exchange; the k-term fold is driver-side
+    Python ints vs HUGEINT in the oracle."""
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"label": pc.cast(t.column("label"), pa.int64())})
+
+    counts = collect_small_arrow(grouped_aggregate(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["label"], [("", "count", "n")])).to_pandas()
+    ns = [int(v) for v in counts["n"]]
+    n_total = sum(ns)
+    chi2_num = sum((k * v - n_total) ** 2 for v in ns)
+    import pandas as pd
+
+    return pd.DataFrame({
+        "n_classes": pd.Series([len(ns)], dtype="int64"),
+        "n_total": pd.Series([n_total], dtype="int64"),
+        "max_class_n": pd.Series([max(ns)], dtype="int64"),
+        "chi2_num": pd.Series([chi2_num], dtype="int64")})
+
+
+def label_uniformity_chi2_sql(k: int = 10) -> str:
+    return f"""
+WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+t AS (SELECT sum(n) AS nt FROM c)
+SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_classes,
+       CAST(t.nt AS BIGINT) AS n_total,
+       CAST((SELECT max(n) FROM c) AS BIGINT) AS max_class_n,
+       CAST((SELECT sum(({k} * n - t.nt) * ({k} * n - t.nt)) FROM c)
+            AS BIGINT) AS chi2_num
+FROM t"""

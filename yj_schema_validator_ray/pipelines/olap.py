@@ -2844,3 +2844,138 @@ SELECT pats.pattern,
        CAST(count(*) FILTER (WHERE regexp_matches(p.path, pats.pattern))
             AS BIGINT) AS n_matching
 FROM p, pats GROUP BY pats.pattern"""
+
+
+def event_type_overlap(sf_dir: str, coarse: int = 256):
+    """Audience-overlap matrix: for every ordered event-type pair
+    (a < b), how many distinct users did BOTH — the co-occurrence /
+    bitmap-intersection query behind audience planning ("view AND
+    purchase").  Includes the diagonal (a = a: distinct users of a).
+
+    Shape: per-batch DISTINCT (user, type) partials -> one user-keyed
+    exchange dedupes globally -> each user's type set (<= |types|)
+    expands to its ordered pairs INSIDE the bucket (bounded |types|^2
+    per user, vectorized via merge on user) -> pair-domain count
+    exchange.  No user list ever reaches the driver.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def pairs_rows(t: pa.Table) -> pa.Table:
+        g = (t.select(["user_id", "event_type"])
+             .group_by(["user_id", "event_type"]).aggregate([]))
+        keys = pc.cast(g.column("user_id"), pa.int64())
+        return pa.table({
+            "user_id": keys, "event_type": g.column("event_type"),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"type_a": pd.Series(dtype="object"),
+                "type_b": pd.Series(dtype="object"),
+                "n_users": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        j = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        j = j[j["event_type_a"] <= j["event_type_b"]]
+        r = (j.groupby(["event_type_a", "event_type_b"], as_index=False)
+             .agg(n_users=("user_id", "nunique")))
+        r.columns = ["type_a", "type_b", "n_users"]
+        r["n_users"] = r["n_users"].astype("int64")
+        return r
+
+    parts = (ev.map_batches(pairs_rows, batch_format="pyarrow")
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(expand, batch_format="pandas"))
+    return grouped_aggregate(parts, ["type_a", "type_b"],
+                             [("n_users", "sum", "n_users")])
+
+
+def event_type_overlap_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type <= b.event_type
+GROUP BY a.event_type, b.event_type"""
+
+
+def embedding_label_scatter(emb_ds):
+    """Per-label WITHIN-CLASS scatter (the Fisher / LDA separability
+    numerator): for each label, n_vecs and the exact integer
+    sum-over-dims of n*Σx² − (Σx)² on the 1e-6-quantized components —
+    n times the within-class sum of squares, so no rational mean ever
+    enters the certificate.  The embedding-space companion to the
+    clustering-quality ops (is this label a tight cluster or a cloud?).
+
+    Shape: per batch the (n, d) matrix collapses to (labels × d)
+    (n, Σx, Σx²) int64 partials — vectors never reach the exchange —
+    then one (label, dim)-keyed exchange and a label-domain reduce.
+    Products n·Σx² stay under int64 at any realistic per-label count;
+    the oracle computes in HUGEINT and the output cast is the bound.
+    """
+    from ..stages.ann import _list_f64_matrix
+    from ..stages.exact_agg import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _list_f64_matrix(t.column("embedding"))
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        labels = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = q.shape[1]
+        s1 = np.zeros((len(uniq), d), np.int64)
+        s2 = np.zeros((len(uniq), d), np.int64)
+        np.add.at(s1, inv, q)
+        np.add.at(s2, inv, q * q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq))),
+            "n": pa.array(np.repeat(counts, d)),
+            "s1": pa.array(s1.reshape(-1)),
+            "s2": pa.array(s2.reshape(-1))})
+
+    pd_ = grouped_aggregate(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("n", "sum", "n"), ("s1", "sum", "s1"), ("s2", "sum", "s2")])
+
+    def per_dim_term(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy()
+        a = t.column("s1").to_numpy()
+        b = t.column("s2").to_numpy()
+        return pa.table({
+            "label": t.column("label"),
+            "n_vecs": t.column("n"),
+            "wss_num": pa.array(n * b - a * a, pa.int64())})
+
+    return grouped_aggregate(
+        pd_.map_batches(per_dim_term, batch_format="pyarrow"),
+        ["label"], [("n_vecs", "max", "n_vecs"),
+                    ("wss_num", "sum", "wss_num")])
+
+
+def embedding_label_scatter_sql() -> str:
+    return """
+WITH el AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS xq
+  FROM embeddings),
+pd AS (
+  SELECT label, dim, count(*) AS n, sum(xq) AS s1, sum(xq * xq) AS s2
+  FROM el GROUP BY label, dim)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(sum(n * s2 - s1 * s1) AS BIGINT) AS wss_num
+FROM pd GROUP BY label"""

@@ -290,3 +290,79 @@ q AS (SELECT CAST(unnest([{qlist}]) AS DOUBLE) AS quantile)
 -- engine's IEEE-double ceil(0.99*100)=100
 SELECT s.{group_col}, q.quantile, s.value
 FROM q JOIN s ON s.r = CAST(ceil(q.quantile * s.n) AS BIGINT)"""
+
+
+def lineitem_weighted_median(sf_dir: str):
+    """Global WEIGHTED median: the extended-price cents value at which
+    the running l_quantity weight (ascending by price, ties by a
+    stable row id) first reaches half the total — inventory's "price
+    point where half the unit volume sits".  Output is the one
+    crossing row: (median_price_cents, cum_weight_at, total_weight),
+    found as cum*2 >= tot AND (cum - w)*2 < tot in exact integers.
+
+    Shape: rides :func:`~.rank.budget_select`'s two-phase histogram
+    prefix sum in ASCENDING key order (budget = +inf keeps every row's
+    inclusive cum), then a vectorized crossing filter — a global
+    weighted quantile with NO global sort; driver state is
+    distinct-price-sized and guarded.
+    """
+    import ray.data
+
+    from ..util import collect_small_arrow
+    from .rank import budget_select
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber",
+                                        "l_extendedprice", "l_quantity"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        price = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        qty = pc.cast(pc.round(pc.multiply(
+            t.column("l_quantity"), pa.scalar(100.0))), pa.int64())
+        rid = pc.add(pc.multiply(pc.cast(t.column("l_orderkey"),
+                                         pa.int64()),
+                                 pa.scalar(8, pa.int64())),
+                     pc.cast(t.column("l_linenumber"), pa.int64()))
+        return pa.table({"rid": rid, "price_c": price, "qty_c": qty})
+
+    cum = budget_select(li.map_batches(rows, batch_format="pyarrow"),
+                        key_col="price_c", id_col="rid",
+                        weight_col="qty_c", budget=(1 << 62),
+                        descending=False)
+
+    tot = int(collect_small_arrow(cum.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [int(pc.sum(t.column("qty_c")).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow")).to_pandas()["s"].sum())
+
+    def crossing(t: pa.Table) -> pa.Table:
+        c = t.column("cum").to_numpy()
+        w = t.column("qty_c").to_numpy()
+        m = (c * 2 >= tot) & ((c - w) * 2 < tot)
+        sel = t.filter(pa.array(m))
+        return pa.table({
+            "median_price_cents": sel.column("price_c"),
+            "cum_weight_at": sel.column("cum"),
+            "total_weight": pa.array([tot] * sel.num_rows, pa.int64())})
+
+    return cum.map_batches(crossing, batch_format="pyarrow")
+
+
+def lineitem_weighted_median_sql() -> str:
+    return """
+WITH r AS (
+  SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+         CAST(round(l_quantity * 100.0) AS BIGINT) AS qty_c,
+         l_orderkey * 8 + l_linenumber AS rid
+  FROM lineitem),
+c AS (
+  SELECT price_c, qty_c,
+         sum(qty_c) OVER (ORDER BY price_c, rid
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(qty_c) OVER () AS tot
+  FROM r)
+SELECT price_c AS median_price_cents, CAST(cum AS BIGINT)
+         AS cum_weight_at,
+       CAST(tot AS BIGINT) AS total_weight
+FROM c WHERE cum * 2 >= tot AND (cum - qty_c) * 2 < tot"""

@@ -675,3 +675,71 @@ SELECT source,
             AS BIGINT) AS kept_score,
        CAST(max(tot) AS BIGINT) AS tot_score
 FROM c GROUP BY source"""
+
+
+def sampled_count_estimate(sf_dir: str, rate: float = 0.1):
+    """Approximate query processing with a DETERMINISTIC sample: the
+    per-type event counts estimated from the md5-rule ``rate`` sample
+    (est = sample_n * 4294967296 // threshold-int — the exact
+    Horvitz-Thompson inverse of the hash-rule inclusion probability),
+    reported beside the true counts and the exact integer error in
+    basis points.  Because the sample rule is the pure md5 threshold,
+    the ESTIMATE ITSELF is SQL-reproducible bit-for-bit — the AQP
+    operator whose accuracy the driver can hash-check, not just bound.
+
+    Shape: one zero-shuffle scan computes BOTH sides per batch (full
+    partial + sampled partial); one type-domain exchange merges.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    thr = _hex_threshold(rate)
+    thr_int = int(rate * 16 ** 8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_pylist()
+        hx = _hex8(ids)
+        in_sample = pa.array([h < thr for h in hx], pa.bool_())
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "true_n": pa.array(np.ones(t.num_rows, np.int64)),
+            "sample_n": pc.cast(in_sample, pa.int64())})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type"])
+    agg = grouped_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], [("true_n", "sum", "true_n"),
+                         ("sample_n", "sum", "sample_n")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        tn = t.column("true_n").to_numpy()
+        sn = t.column("sample_n").to_numpy()
+        est = sn * (16 ** 8) // thr_int
+        err_bp = np.abs(est - tn) * 10_000 // np.maximum(tn, 1)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "true_n": t.column("true_n"),
+            "est_n": pa.array(est, pa.int64()),
+            "err_bp": pa.array(err_bp, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sampled_count_estimate_sql(rate: float = 0.1) -> str:
+    thr = _hex_threshold(rate)
+    thr_int = int(rate * 16 ** 8)
+    return f"""
+WITH a AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS true_n,
+         CAST(count(*) FILTER (
+           WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '{thr}')
+           AS BIGINT) AS sample_n
+  FROM events GROUP BY event_type)
+SELECT event_type, true_n,
+       CAST(sample_n * {16 ** 8} // {thr_int} AS BIGINT) AS est_n,
+       CAST(abs(sample_n * {16 ** 8} // {thr_int} - true_n) * 10000
+            // greatest(true_n, 1) AS BIGINT) AS err_bp
+FROM a"""
