@@ -1034,6 +1034,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return label_uniformity_chi2(ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["label"]))
 
+    def q_log_parse_roundtrip(sf_dir):
+        # raw-log ETL certificate: format -> RE2 extract_regex parse ->
+        # aggregate, lossless vs the typed-source oracle; zero shuffle
+        return OL.log_parse_roundtrip(sf_dir)
+
+    def q_events_debounce(sf_dir):
+        # telemetry throttle: keep first-of-stream or gap > window;
+        # one user-keyed exchange + vectorized lag over (user,type) runs
+        return OL.events_debounce(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1462,7 +1472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffle_certificate, orders_scd2_temporal_join, distinct_kmv,
         # term_drift_topk, lineitem_weighted_median, event_type_overlap,
         # sampled_count_estimate, embedding_label_scatter,
-        # derived_column_audit, label_uniformity_chi2) —
+        # derived_column_audit, label_uniformity_chi2,
+        # log_parse_roundtrip, events_debounce) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1631,6 +1642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_scatter": q_embedding_label_scatter,
         "derived_column_audit": q_derived_column_audit,
         "label_uniformity_chi2": q_label_uniformity_chi2,
+        "log_parse_roundtrip": q_log_parse_roundtrip,
+        "events_debounce": q_events_debounce,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2612,6 +2625,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_scatter": _OL.embedding_label_scatter_sql(),
         "derived_column_audit": _derived_column_audit_sql(),
         "label_uniformity_chi2": _label_uniformity_chi2_sql(),
+        "log_parse_roundtrip": _OL.log_parse_roundtrip_sql(),
+        "events_debounce": _OL.events_debounce_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -2979,3 +2979,141 @@ pd AS (
 SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
        CAST(sum(n * s2 - s1 * s1) AS BIGINT) AS wss_num
 FROM pd GROUP BY label"""
+
+
+def log_parse_roundtrip(sf_dir: str):
+    """Raw-log ETL certificate: events are FORMATTED into classic
+    key=value log lines per batch (ts_us/user/type/cents), then PARSED
+    back with one RE2 ``pc.extract_regex`` named-group kernel (no
+    Python per row) and aggregated per type — proving the parse layer
+    is lossless against the typed-source oracle, the way a real
+    pipeline certifies its log parser against structured ground truth.
+
+    Shape: format + parse + partial all inside one zero-shuffle
+    map_batches; one type-domain exchange.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    PAT = (r"^ts=(?P<ts>\d+) user=(?P<user>\d+) "
+           r"type=(?P<type>\w+) val=(?P<val>-?\d+)$")
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                             pa.scalar(100.0))), pa.int64())
+        line = pc.binary_join_element_wise(
+            "ts=", pc.cast(pc.cast(t.column("ts"), pa.int64()),
+                           pa.string()),
+            " user=", pc.cast(pc.cast(t.column("user_id"), pa.int64()),
+                              pa.string()),
+            " type=", t.column("event_type"),
+            " val=", pc.cast(cents, pa.string()), "")
+        f = pc.extract_regex(line, pattern=PAT)
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        parsed_type = f.field("type")
+        parsed_val = pc.cast(f.field("val"), pa.int64())
+        return (pa.table({"event_type": parsed_type,
+                          "n_events": pa.array(np.ones(len(parsed_type),
+                                                       np.int64)),
+                          "sum_cents": parsed_val})
+                .group_by(["event_type"])
+                .aggregate([("n_events", "sum"), ("sum_cents", "sum")])
+                .rename_columns(["event_type", "n_events", "sum_cents"]))
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "event_type",
+                                        "value"])
+    return grouped_aggregate(
+        ev.map_batches(roundtrip, batch_format="pyarrow"),
+        ["event_type"], [("n_events", "sum", "n_events"),
+                         ("sum_cents", "sum", "sum_cents")])
+
+
+def log_parse_roundtrip_sql() -> str:
+    # the oracle is the TYPED source: parse-roundtrip must be lossless
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY event_type"""
+
+
+def events_debounce(sf_dir: str, window_s: int = 259_200,
+                    coarse: int = 1024):
+    """Telemetry throttle/debounce accounting: an event is KEPT if it
+    is the first of its (user, type) stream or arrives more than
+    ``window_s`` (default 3 days — sized to this corpus's sparse
+    per-stream cadence so the rule actually drops rows) after the
+    previous event of that stream (previous
+    EVENT, not previous kept — the stateless throttle rule, so both
+    sides are pure lag algebra); report kept/total per type.
+
+    Shape: one (user)-keyed exchange of int64 rows; per bucket one
+    lexsort + vectorized diff against the (user, type) run structure;
+    output is type-domain.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    w_us = window_s * 1_000_000
+
+    def rows(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("user_id"), pa.int64())
+        return pa.table({
+            "user_id": keys,
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series(dtype="object"),
+                "n_total": pd.Series(dtype="int64"),
+                "n_kept": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, et, u))
+        u, et, ts = u[order], et[order], ts[order]
+        same_run = np.concatenate(
+            ([False], (u[1:] == u[:-1]) & (et[1:] == et[:-1])))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        kept = (~same_run) | (gap > w_us)
+        out = pd.DataFrame({"event_type": et,
+                            "n_total": np.ones(len(et), np.int64),
+                            "n_kept": kept.astype("int64")})
+        return out.groupby("event_type", as_index=False).sum()
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    parts = (ev.map_batches(rows, batch_format="pyarrow")
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(debounce, batch_format="pandas"))
+    return grouped_aggregate(parts, ["event_type"],
+                             [("n_total", "sum", "n_total"),
+                              ("n_kept", "sum", "n_kept")])
+
+
+def events_debounce_sql(window_s: int = 259_200) -> str:
+    return f"""
+WITH l AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE gap_us IS NULL
+                             OR gap_us > {window_s * 1_000_000})
+            AS BIGINT) AS n_kept
+FROM l GROUP BY event_type"""
