@@ -1044,6 +1044,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one user-keyed exchange + vectorized lag over (user,type) runs
         return OL.events_debounce(sf_dir)
 
+    def q_ab_test_report(sf_dir):
+        # experimentation: md5-parity variant assignment (stable across
+        # reruns) + per-variant conversion/value table in exact cents
+        return OL.ab_test_report(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1473,7 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term_drift_topk, lineitem_weighted_median, event_type_overlap,
         # sampled_count_estimate, embedding_label_scatter,
         # derived_column_audit, label_uniformity_chi2,
-        # log_parse_roundtrip, events_debounce) —
+        # log_parse_roundtrip, events_debounce, ab_test_report) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1644,6 +1649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_uniformity_chi2": q_label_uniformity_chi2,
         "log_parse_roundtrip": q_log_parse_roundtrip,
         "events_debounce": q_events_debounce,
+        "ab_test_report": q_ab_test_report,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2627,6 +2633,7 @@ def oracle_sql() -> dict[str, str]:
         "label_uniformity_chi2": _label_uniformity_chi2_sql(),
         "log_parse_roundtrip": _OL.log_parse_roundtrip_sql(),
         "events_debounce": _OL.events_debounce_sql(),
+        "ab_test_report": _OL.ab_test_report_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

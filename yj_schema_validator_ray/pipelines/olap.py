@@ -3117,3 +3117,104 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
                              OR gap_us > {window_s * 1_000_000})
             AS BIGINT) AS n_kept
 FROM l GROUP BY event_type"""
+
+
+def ab_test_report(sf_dir: str, coarse: int = 1024):
+    """Experiment analysis: users are assigned to control/treatment by
+    the md5-parity rule (md5(user)[:8] first hex digit < '8' ->
+    control — deterministic, mirrors in SQL), and the report gives per
+    variant: users, converters (>=1 purchase), total purchases, and
+    purchase value in integer cents — the conversion-lift table whose
+    fp ratios live downstream.  The assignment hash is the same
+    sampling convention the md5-rule operators share, so bucketing is
+    stable across reruns/epochs (a real experimentation requirement).
+
+    Shape: per-batch (user, is_purchase, cents) partials -> one
+    user-keyed exchange -> per-user fold + variant classify inside the
+    bucket -> 2-row output exchange.
+    """
+    import hashlib
+
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    def rows(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("user_id"), pa.int64())
+        is_p = pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                       pa.int64())
+        cents = pc.multiply(
+            pc.cast(pc.round(pc.multiply(t.column("value"),
+                                         pa.scalar(100.0))), pa.int64()),
+            is_p)
+        g = (pa.table({"user_id": keys, "n_purchases": is_p,
+                       "purchase_cents": cents})
+             .group_by(["user_id"])
+             .aggregate([("n_purchases", "sum"),
+                         ("purchase_cents", "sum")])
+             .rename_columns(["user_id", "n_purchases",
+                              "purchase_cents"]))
+        kk = g.column("user_id")
+        return g.append_column(
+            "__coarse", pa.array(coarse_mix(kk.to_numpy(), coarse - 1),
+                                 pa.int64()))
+
+    def per_variant(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"variant": pd.Series(dtype="object"),
+                "n_users": pd.Series(dtype="int64"),
+                "n_converters": pd.Series(dtype="int64"),
+                "n_purchases": pd.Series(dtype="int64"),
+                "purchase_cents": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        per = g.groupby("user_id", as_index=False).sum()
+        hx = [hashlib.md5(str(int(u)).encode()).hexdigest()[0]
+              for u in per["user_id"]]
+        per["variant"] = ["control" if h < "8" else "treatment"
+                          for h in hx]
+        r = per.groupby("variant", as_index=False).agg(
+            n_users=("user_id", "size"),
+            n_converters=("n_purchases", lambda s: int((s > 0).sum())),
+            n_purchases=("n_purchases", "sum"),
+            purchase_cents=("purchase_cents", "sum"))
+        for c in ("n_users", "n_converters", "n_purchases",
+                  "purchase_cents"):
+            r[c] = r[c].astype("int64")
+        return r
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "value"])
+    parts = (ev.map_batches(rows, batch_format="pyarrow")
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(per_variant, batch_format="pandas"))
+    return grouped_aggregate(parts, ["variant"],
+                             [("n_users", "sum", "n_users"),
+                              ("n_converters", "sum", "n_converters"),
+                              ("n_purchases", "sum", "n_purchases"),
+                              ("purchase_cents", "sum",
+                               "purchase_cents")])
+
+
+def ab_test_report_sql() -> str:
+    return """
+WITH per AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+         CAST(coalesce(sum(CAST(round(value * 100.0) AS BIGINT))
+                       FILTER (WHERE event_type = 'purchase'), 0)
+              AS BIGINT) AS purchase_cents
+  FROM events GROUP BY user_id),
+v AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'control' ELSE 'treatment' END AS variant,
+         n_purchases, purchase_cents
+  FROM per)
+SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (WHERE n_purchases > 0) AS BIGINT)
+         AS n_converters,
+       CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+       CAST(sum(purchase_cents) AS BIGINT) AS purchase_cents
+FROM v GROUP BY variant"""
