@@ -130,4 +130,5 @@ def test_wave11_ops_are_repartition_invariant(ray_session):
         b = fn(docs(cols, 7)).to_pandas()
         a = a.sort_values(list(a.columns)).reset_index(drop=True)
         b = b.sort_values(list(b.columns)).reset_index(drop=True)
-        pd.testing.assert_frame_equal(a, b, check_like=True), fn.__name__
+        pd.testing.assert_frame_equal(a, b, check_like=True,
+                                      obj=fn.__name__)

@@ -12,26 +12,23 @@ driver-side loops over row-scale data.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.sampling import _hex8, _hex_threshold
+
 DELETE_RATE = 0.03
 
 
-def _hex_threshold(rate: float) -> str:
-    return format(int(rate * 16 ** 8), "08x")
-
-
 def _rule_mask(keys: pa.Array, thr: str) -> pa.Array:
-    """The sampling-convention deletion rule: md5(str(key))[:8] < thr.
-    Same md5-hex trick as ``stages.sampling`` so DuckDB mirrors it
-    exactly (md5(CAST(k AS VARCHAR)))."""
-    hx = [hashlib.md5(str(i).encode()).hexdigest()[:8]
-          for i in keys.to_pylist()]
+    """The sampling-convention deletion rule: md5(str(key))[:8] < thr —
+    ONE definition of the hash rule (``stages.sampling._hex8`` /
+    ``_hex_threshold``) shared by every md5-rule operator so the
+    convention can never drift between engines and their SQL mirrors
+    (md5(CAST(k AS VARCHAR)))."""
+    hx = _hex8(keys.to_pylist())
     return pa.array([h < thr for h in hx], pa.bool_())
 
 
@@ -274,6 +271,34 @@ SELECT o_orderpriority,
 FROM j GROUP BY o_orderpriority"""
 
 
+def _scd2_history(base: pd.DataFrame, upd: pd.DataFrame) -> pd.DataFrame:
+    """ONE definition of the SCD2 dimension-history build shared by the
+    producer (:func:`customer_scd2`) and the consumer
+    (:func:`orders_scd2_temporal_join`): merge same-(cust, version)
+    update partials, apply the 'SEG-' || n%5 segment rule, concat with
+    the base rows and mergesort by (c_custkey, version).  Changing the
+    rule here changes both sides together (and the SQL twin is the
+    shared ``_SCD2_HIST_CTES`` string)."""
+    upd = upd.groupby(["c_custkey", "version"], as_index=False)["n"].sum()
+    upd["segment"] = "SEG-" + (upd["n"] % 5).astype(str)
+    h = pd.concat([base, upd[["c_custkey", "version", "segment"]]],
+                  ignore_index=True)
+    return h.sort_values(["c_custkey", "version"], kind="mergesort")
+
+
+# SQL twin of _scd2_history (composed by both scd2 oracles)
+_SCD2_HIST_CTES = """upd AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(year(o_orderdate) AS BIGINT) AS version,
+         'SEG-' || CAST(count(*) % 5 AS VARCHAR) AS segment
+  FROM orders GROUP BY o_custkey, year(o_orderdate)),
+hist AS (
+  SELECT c_custkey, CAST(0 AS BIGINT) AS version,
+         c_mktsegment AS segment
+  FROM customer
+  UNION ALL SELECT * FROM upd)"""
+
+
 def customer_scd2(sf_dir: str, coarse: int = 1024):
     """Slowly-changing-dimension (Type 2) build: merge the customer
     base rows (version 0) with a segment-update stream derived from
@@ -330,17 +355,10 @@ def customer_scd2(sf_dir: str, coarse: int = 1024):
                 "is_current": pd.Series(dtype="bool")}
         if g.empty:
             return pd.DataFrame(cols)
-        # merge same-(cust,year) partials from different batches, then
-        # finish the update segments; base rows (version 0) pass through
-        upd = (g[g["version"] > 0]
-               .groupby(["c_custkey", "version"], as_index=False)["n"]
-               .sum())
-        upd["segment"] = "SEG-" + (upd["n"] % 5).astype(str)
-        base = g.loc[g["version"] == 0,
-                     ["c_custkey", "version", "segment"]]
-        h = pd.concat([base, upd[["c_custkey", "version", "segment"]]],
-                      ignore_index=True)
-        h = h.sort_values(["c_custkey", "version"], kind="mergesort")
+        h = _scd2_history(
+            base=g.loc[g["version"] == 0,
+                       ["c_custkey", "version", "segment"]],
+            upd=g.loc[g["version"] > 0, ["c_custkey", "version", "n"]])
         nxt = h["version"].shift(-1)
         last = h["c_custkey"].ne(h["c_custkey"].shift(-1))
         return pd.DataFrame({
@@ -363,17 +381,8 @@ def customer_scd2(sf_dir: str, coarse: int = 1024):
 
 
 def customer_scd2_sql() -> str:
-    return """
-WITH upd AS (
-  SELECT o_custkey AS c_custkey,
-         CAST(year(o_orderdate) AS BIGINT) AS version,
-         'SEG-' || CAST(count(*) % 5 AS VARCHAR) AS segment
-  FROM orders GROUP BY o_custkey, year(o_orderdate)),
-hist AS (
-  SELECT c_custkey, CAST(0 AS BIGINT) AS version,
-         c_mktsegment AS segment
-  FROM customer
-  UNION ALL SELECT * FROM upd),
+    return f"""
+WITH {_SCD2_HIST_CTES},
 s AS (
   SELECT c_custkey, version, segment,
          lead(version) OVER (PARTITION BY c_custkey
@@ -423,8 +432,10 @@ def incremental_agg(sf_dir: str):
                          "min_cents", "max_cents"])
 
     def state(read_filter):
+        # the pushed predicate may reference non-projected columns:
+        # ts filters at the read but never ships in the batches
         ds = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                                    columns=["ts", "event_type", "value"],
+                                    columns=["event_type", "value"],
                                     filter=read_filter)
               .map_batches(partials, batch_format="pyarrow"))
         return grouped_aggregate(ds, ["event_type"],
@@ -540,15 +551,13 @@ def orders_scd2_temporal_join(sf_dir: str, coarse: int = 1024):
                 "revenue_cents": pd.Series(dtype="int64")}
         if g.empty or not (g["kind"] == 2).any():
             return pd.DataFrame(cols)
-        upd = (g[g["kind"] == 1]
-               .groupby(["c_custkey", "year"], as_index=False)["n"].sum())
-        upd["segment"] = "SEG-" + (upd["n"] % 5).astype(str)
-        base = g.loc[g["kind"] == 0, ["c_custkey", "year", "segment"]]
-        hist = pd.concat([base, upd[["c_custkey", "year", "segment"]]],
-                         ignore_index=True).sort_values(
-            ["c_custkey", "year"], kind="mergesort")
+        hist = _scd2_history(
+            base=g.loc[g["kind"] == 0, ["c_custkey", "year", "segment"]]
+            .rename(columns={"year": "version"}),
+            upd=g.loc[g["kind"] == 1, ["c_custkey", "year", "n"]]
+            .rename(columns={"year": "version"}))
         seg_key = (hist["c_custkey"].to_numpy() * PK
-                   + hist["year"].to_numpy())
+                   + hist["version"].to_numpy())
         seg_cust = hist["c_custkey"].to_numpy()
         seg_val = hist["segment"].to_numpy()
         pr = (g[g["kind"] == 2]
@@ -583,17 +592,8 @@ def orders_scd2_temporal_join(sf_dir: str, coarse: int = 1024):
 
 
 def orders_scd2_temporal_join_sql() -> str:
-    return """
-WITH upd AS (
-  SELECT o_custkey AS c_custkey,
-         CAST(year(o_orderdate) AS BIGINT) AS version,
-         'SEG-' || CAST(count(*) % 5 AS VARCHAR) AS segment
-  FROM orders GROUP BY o_custkey, year(o_orderdate)),
-hist AS (
-  SELECT c_custkey, CAST(0 AS BIGINT) AS version,
-         c_mktsegment AS segment
-  FROM customer
-  UNION ALL SELECT * FROM upd),
+    return f"""
+WITH {_SCD2_HIST_CTES},
 s AS (
   SELECT c_custkey, version, segment,
          coalesce(lead(version) OVER (PARTITION BY c_custkey

@@ -2710,6 +2710,10 @@ def events_autocorr_lag1(sf_dir: str):
     rows = []
     for et, g in d.groupby("event_type", sort=False):
         x = [int(v) for v in g["n"]]
+        if len(x) < 2:
+            # single-day series has no lag pairs: the oracle's WHERE
+            # b IS NOT NULL drops the type entirely — mirror that
+            continue
         a, b = x[1:], x[:-1]
         n = len(a)
         sa, sb = sum(a), sum(b)
@@ -2718,7 +2722,8 @@ def events_autocorr_lag1(sf_dir: str):
             "cov_num": n * sum(p * q for p, q in zip(a, b)) - sa * sb,
             "var_a_num": n * sum(v * v for v in a) - sa * sa,
             "var_b_num": n * sum(v * v for v in b) - sb * sb})
-    out = pd.DataFrame(rows)
+    out = pd.DataFrame(rows, columns=["event_type", "n_pairs", "cov_num",
+                                      "var_a_num", "var_b_num"])
     for c in ("n_pairs", "cov_num", "var_a_num", "var_b_num"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -2826,7 +2831,8 @@ def session_path_match_sql(gap_s: int = 1800) -> str:
     return f"""
 WITH g AS (
   SELECT user_id, ts, event_id, event_type,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {gap_s}
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {gap_s} * 1000000
               THEN 1 ELSE 0 END AS ns
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
@@ -3133,12 +3139,11 @@ def ab_test_report(sf_dir: str, coarse: int = 1024):
     user-keyed exchange -> per-user fold + variant classify inside the
     bucket -> 2-row output exchange.
     """
-    import hashlib
-
     import ray.data
 
     from ..stages.dedup import coarse_mix
     from ..stages.exact_agg import grouped_aggregate
+    from ..stages.sampling import _hex8
     from ..util import shuffle_partitions
 
     def rows(t: pa.Table) -> pa.Table:
@@ -3170,9 +3175,10 @@ def ab_test_report(sf_dir: str, coarse: int = 1024):
         if g.empty:
             return pd.DataFrame(cols)
         per = g.groupby("user_id", as_index=False).sum()
-        hx = [hashlib.md5(str(int(u)).encode()).hexdigest()[0]
-              for u in per["user_id"]]
-        per["variant"] = ["control" if h < "8" else "treatment"
+        # the shared sampling hash rule (stages.sampling._hex8), first
+        # hex digit as the variant coin
+        hx = _hex8(int(u) for u in per["user_id"])
+        per["variant"] = ["control" if h[0] < "8" else "treatment"
                           for h in hx]
         r = per.groupby("variant", as_index=False).agg(
             n_users=("user_id", "size"),

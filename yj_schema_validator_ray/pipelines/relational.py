@@ -2932,6 +2932,20 @@ FROM seq WHERE next_event_type IS NOT NULL
 GROUP BY event_type, next_event_type"""
 
 
+def _custkey_zero_side(t: pa.Table, coarse: int) -> pa.Table:
+    """Shared customer side for the custkey-keyed count merges
+    (full-outer accounting + degree histogram): (k, 0, side=0) rows."""
+    from ..stages.dedup import coarse_mix
+
+    keys = pc.cast(t.column("c_custkey"), pa.int64())
+    n = t.num_rows
+    return pa.table({
+        "k": keys, "n_orders": pa.array(np.zeros(n, np.int64)),
+        "side": pa.array(np.zeros(n, np.int64)),
+        "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                             pa.int64())})
+
+
 def customer_orders_full_outer(sf_dir: str, coarse: int = 1024):
     """FULL OUTER join accounting: classify every customer key into
     'both' / 'customer_only' / 'order_only' with distinct-key and order
@@ -2953,13 +2967,7 @@ def customer_orders_full_outer(sf_dir: str, coarse: int = 1024):
     from ..util import shuffle_partitions
 
     def cust_side(t: pa.Table) -> pa.Table:
-        keys = pc.cast(t.column("c_custkey"), pa.int64())
-        n = t.num_rows
-        return pa.table({
-            "k": keys, "n_orders": pa.array(np.zeros(n, np.int64)),
-            "side": pa.array(np.zeros(n, np.int64)),
-            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
-                                 pa.int64())})
+        return _custkey_zero_side(t, coarse)
 
     def order_side(t: pa.Table) -> pa.Table:
         ck = pc.cast(t.column("o_custkey"), pa.int64()).to_numpy()
@@ -3046,13 +3054,7 @@ def customer_order_degree_histogram(sf_dir: str, coarse: int = 1024):
     from ..util import shuffle_partitions
 
     def cust_side(t: pa.Table) -> pa.Table:
-        keys = pc.cast(t.column("c_custkey"), pa.int64())
-        n = t.num_rows
-        return pa.table({
-            "k": keys, "n_orders": pa.array(np.zeros(n, np.int64)),
-            "side": pa.array(np.zeros(n, np.int64)),
-            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
-                                 pa.int64())})
+        return _custkey_zero_side(t, coarse)
 
     def order_side(t: pa.Table) -> pa.Table:
         g = (pa.table({"k": pc.cast(t.column("o_custkey"), pa.int64())})
@@ -3147,10 +3149,15 @@ def orders_abc_classification(sf_dir: str):
             [int(pc.sum(t.column("rev")).as_py() or 0)], pa.int64())}),
         batch_format="pyarrow")).to_pandas()["s"].sum())
 
+    # overflow-safe gate: c*100 <= tot*80  <=>  c <= (tot*80)//100 for
+    # integer c, and the thresholds are exact PYTHON ints — cum never
+    # multiplies in int64 (the SQL side's window sums are HUGEINT)
+    thr_a = (tot * 80) // 100
+    thr_b = (tot * 95) // 100
+
     def classify(t: pa.Table) -> pa.Table:
         c = t.column("cum").to_numpy()
-        cls = np.where(c * 100 <= tot * 80, "A",
-                       np.where(c * 100 <= tot * 95, "B", "C"))
+        cls = np.where(c <= thr_a, "A", np.where(c <= thr_b, "B", "C"))
         return pa.table({"abc_class": pa.array(cls, pa.string()),
                          "n_parts": pa.array(np.ones(len(c), np.int64)),
                          "revenue_e4": t.column("rev")})
