@@ -1049,6 +1049,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reruns) + per-variant conversion/value table in exact cents
         return OL.ab_test_report(sf_dir)
 
+    def q_order_proration(sf_dir):
+        # largest-remainder allocation: exact cents conservation per
+        # order, vectorized grouped base/remainder arithmetic
+        from yj_schema_validator_ray.pipelines.governance import (
+            order_proration)
+        return order_proration(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1478,7 +1485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term_drift_topk, lineitem_weighted_median, event_type_overlap,
         # sampled_count_estimate, embedding_label_scatter,
         # derived_column_audit, label_uniformity_chi2,
-        # log_parse_roundtrip, events_debounce, ab_test_report) —
+        # log_parse_roundtrip, events_debounce, ab_test_report,
+        # order_proration) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1650,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_parse_roundtrip": q_log_parse_roundtrip,
         "events_debounce": q_events_debounce,
         "ab_test_report": q_ab_test_report,
+        "order_proration": q_order_proration,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2634,6 +2643,7 @@ def oracle_sql() -> dict[str, str]:
         "log_parse_roundtrip": _OL.log_parse_roundtrip_sql(),
         "events_debounce": _OL.events_debounce_sql(),
         "ab_test_report": _OL.ab_test_report_sql(),
+        "order_proration": _GOV.order_proration_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -448,6 +448,19 @@ def run_bench() -> dict:
     best_of("events_ma_range",
             lambda: events_value_ma_range(SF_DIR).count())
 
+    # round-4 tenth wave: the ascending two-phase prefix-sum weighted
+    # median, the vocab-exchange term drift, and the distinct-pair
+    # audience-overlap expansion
+    from yj_schema_validator_ray.stages.quantiles import (
+        lineitem_weighted_median)
+    from yj_schema_validator_ray.stages.text import term_drift_topk
+    from yj_schema_validator_ray.pipelines.olap import event_type_overlap
+
+    best_of("weighted_median",
+            lambda: lineitem_weighted_median(SF_DIR).count())
+    best_of("term_drift", lambda: term_drift_topk(docs_ds()).count())
+    best_of("type_overlap", lambda: event_type_overlap(SF_DIR).count())
+
     headline = timings["validate"]
     result = {
         "metric": ("validated files/sec end-to-end (rows validated + "

@@ -610,3 +610,166 @@ SELECT s.segment, CAST(count(*) AS BIGINT) AS n_orders,
 FROM probe p JOIN s ON s.c_custkey = p.c_custkey
                    AND p.eff BETWEEN s.version AND s.valid_to
 GROUP BY s.segment"""
+
+
+def order_proration(sf_dir: str, coarse: int = 1024):
+    """Largest-remainder PRORATION: each order's stated total (integer
+    cents) is allocated across its lineitems proportionally to
+    extendedprice, with the classic largest-remainder rule (base =
+    total*ext // sum_ext; the remainder cents go to the lines with the
+    largest modulo, ties by linenumber) so every order's allocations
+    sum to its total EXACTLY — the financial spread/allocation step
+    (revenue splits, cost shares) where naive rounding leaks cents.
+
+    The audit output pins the per-line vectors, not just their sums:
+    per priority, (n_orders, n_lines, allocated_cents — which must
+    equal the stated totals — and alloc_dot_line = sum(alloc *
+    linenumber), a checksum any misallocation shifts).
+
+    Shape: one orderkey-keyed coarse exchange (order side: total +
+    priority; line side: (okey, linenumber, ext_cents) triples);
+    per-bucket vectorized grouped base/remainder arithmetic (argsort
+    by (okey, -mod, linenumber) + per-order rank < remainder); tiny
+    priority-domain finish.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    def order_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("o_orderkey"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "okey": keys, "a": cents,
+            "b": pa.array(np.zeros(n, np.int64)),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def li_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("l_orderkey"), pa.int64())
+        ext = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                           pa.scalar(100.0))), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "okey": keys, "a": ext,
+            "b": pc.cast(t.column("l_linenumber"), pa.int64()),
+            "o_orderpriority": pa.array([None] * n, pa.string()),
+            "side": pa.array(np.ones(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def prorate(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderpriority": pd.Series(dtype="object"),
+                "n_orders": pd.Series(dtype="int64"),
+                "n_lines": pd.Series(dtype="int64"),
+                "allocated_cents": pd.Series(dtype="int64"),
+                "alloc_dot_line": pd.Series(dtype="int64")}
+        if g.empty or not (g["side"] == 1).any():
+            return pd.DataFrame(cols)
+        o = (g.loc[g["side"] == 0, ["okey", "a", "o_orderpriority"]]
+             .rename(columns={"a": "total"}))
+        li = (g.loc[g["side"] == 1, ["okey", "a", "b"]]
+              .rename(columns={"a": "ext", "b": "line"})
+              .sort_values(["okey", "line"], kind="mergesort"))
+        j = li.merge(o, on="okey", how="inner")
+        # per-order ext sums computed on the JOINED frame so orphan
+        # lineitems (dropped by the inner merge) can't misalign rows
+        se = j.groupby("okey")["ext"].transform("sum").to_numpy()
+        total = j["total"].to_numpy()
+        ext = j["ext"].to_numpy()
+        line = j["line"].to_numpy()
+        okey = j["okey"].to_numpy()
+        # exact integer base + modulo (object dtype: total*ext can top
+        # int64 at 1e9 * 1e9 cents — Python ints like the oracle HUGEINT)
+        prod = total.astype(object) * ext.astype(object)
+        base = np.array([int(p // s) for p, s in zip(prod, se)],
+                        dtype=np.int64)
+        mod = np.array([int(p % s) for p, s in zip(prod, se)],
+                       dtype=np.int64)
+        base_sum = (pd.Series(base).groupby(okey).transform("sum")
+                    .to_numpy())
+        rem_arr = total - base_sum  # cents left per order, on each row
+        # vectorized per-order rank by (mod desc, line): run-start
+        # offsets over the lexsorted okey (no per-row Python)
+        order_rank = np.lexsort((line, -mod, okey))
+        so = okey[order_rank]
+        starts = np.concatenate(([0], np.flatnonzero(so[1:] != so[:-1])
+                                 + 1))
+        within = (np.arange(len(so), dtype=np.int64)
+                  - np.repeat(starts, np.diff(np.concatenate(
+                      (starts, [len(so)])))))
+        rank_in_order = np.empty(len(j), np.int64)
+        rank_in_order[order_rank] = within
+        alloc = base + (rank_in_order < rem_arr).astype(np.int64)
+        out = pd.DataFrame({"o_orderpriority": j["o_orderpriority"],
+                            "n_lines": np.ones(len(j), np.int64),
+                            "allocated_cents": alloc,
+                            "alloc_dot_line": alloc * line,
+                            "okey": okey})
+        r = out.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("okey", "nunique"), n_lines=("n_lines", "sum"),
+            allocated_cents=("allocated_cents", "sum"),
+            alloc_dot_line=("alloc_dot_line", "sum"))
+        for c in ("n_orders", "n_lines", "allocated_cents",
+                  "alloc_dot_line"):
+            r[c] = r[c].astype("int64")
+        return r
+
+    o = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice",
+                                        "o_orderpriority"])
+         .map_batches(order_side, batch_format="pyarrow"))
+    li = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey", "l_linenumber",
+                                         "l_extendedprice"])
+          .map_batches(li_side, batch_format="pyarrow"))
+    parts = (o.union(li)
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(prorate, batch_format="pandas"))
+    return grouped_aggregate(parts, ["o_orderpriority"],
+                             [("n_orders", "sum", "n_orders"),
+                              ("n_lines", "sum", "n_lines"),
+                              ("allocated_cents", "sum",
+                               "allocated_cents"),
+                              ("alloc_dot_line", "sum",
+                               "alloc_dot_line")])
+
+
+def order_proration_sql() -> str:
+    return """
+WITH li AS (
+  SELECT l_orderkey AS okey, l_linenumber AS line,
+         CAST(round(l_extendedprice * 100.0) AS BIGINT) AS ext,
+         CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+              OVER (PARTITION BY l_orderkey) AS BIGINT) AS se
+  FROM lineitem),
+o AS (
+  SELECT o_orderkey AS okey, o_orderpriority,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS total
+  FROM orders),
+b AS (
+  SELECT li.okey, li.line, o.o_orderpriority, o.total,
+         (o.total * li.ext) // li.se AS base,
+         (o.total * li.ext) % li.se AS md
+  FROM li JOIN o ON o.okey = li.okey),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY okey
+                            ORDER BY md DESC, line) - 1 AS rk,
+         total - sum(base) OVER (PARTITION BY okey) AS rem
+  FROM b),
+a AS (SELECT okey, line, o_orderpriority,
+             base + CASE WHEN rk < rem THEN 1 ELSE 0 END AS alloc
+      FROM r)
+SELECT o_orderpriority,
+       CAST(count(DISTINCT okey) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(alloc) AS BIGINT) AS allocated_cents,
+       CAST(sum(alloc * line) AS BIGINT) AS alloc_dot_line
+FROM a GROUP BY o_orderpriority"""
