@@ -1056,6 +1056,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order_proration)
         return order_proration(sf_dir)
 
+    def q_range_partition_plan(sf_dir):
+        # layout planning: balanced range split points from a bounded
+        # dollar-grid histogram (one exchange + driver searchsorted)
+        from yj_schema_validator_ray.pipelines.curation import (
+            range_partition_plan)
+        return range_partition_plan(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1486,7 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampled_count_estimate, embedding_label_scatter,
         # derived_column_audit, label_uniformity_chi2,
         # log_parse_roundtrip, events_debounce, ab_test_report,
-        # order_proration) —
+        # order_proration, range_partition_plan) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1659,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": q_events_debounce,
         "ab_test_report": q_ab_test_report,
         "order_proration": q_order_proration,
+        "range_partition_plan": q_range_partition_plan,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -1959,6 +1967,13 @@ def _docs_feather_roundtrip_sql() -> str:
         docs_feather_roundtrip_sql)
 
     return docs_feather_roundtrip_sql()
+
+
+def _range_partition_plan_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        range_partition_plan_sql)
+
+    return range_partition_plan_sql()
 
 
 def _shuffle_certificate_sql() -> str:
@@ -2644,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "events_debounce": _OL.events_debounce_sql(),
         "ab_test_report": _OL.ab_test_report_sql(),
         "order_proration": _GOV.order_proration_sql(),
+        "range_partition_plan": _range_partition_plan_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

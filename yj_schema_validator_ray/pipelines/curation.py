@@ -1523,3 +1523,65 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS total_chars,
        CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
 FROM documents GROUP BY lang"""
+
+
+def range_partition_plan(sf_dir: str, k: int = 8):
+    """Range-partitioning PLAN: the k-1 split points on o_totalprice
+    (whole dollars) that balance orders across k range partitions —
+    boundary_i = the smallest dollar value whose running count reaches
+    ceil(i*N/k) — plus the exact cumulative count at each boundary,
+    the planning step before a range-partitioned write or range join
+    (split points need not be exact row values, so the plan quantizes
+    to the bounded dollar grid — price-range-domain, NOT data-sized).
+
+    Shape: one dollar-domain count exchange; the driver folds the
+    bounded histogram (price-range cardinality at any corpus scale)
+    with one cumsum + searchsorted over the k-1 rank targets.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor(t.column("o_totalprice")), pa.int64())
+        return pa.table({"dollars": d})
+
+    hist = collect_small_arrow(grouped_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["dollars"], [("", "count", "n")])).to_pandas()
+    hist = hist.sort_values("dollars").reset_index(drop=True)
+    cum = hist["n"].cumsum().to_numpy()
+    n_total = int(cum[-1]) if len(cum) else 0
+    targets = [(i * n_total + k - 1) // k for i in range(1, k)]
+    idx = np.searchsorted(cum, targets, side="left")
+    import pandas as pd
+
+    out = pd.DataFrame({
+        "split_idx": pd.Series(range(1, k), dtype="int64"),
+        "boundary_dollars": hist["dollars"].to_numpy()[idx]
+        .astype("int64"),
+        "cum_orders": cum[idx].astype("int64")})
+    return out
+
+
+def range_partition_plan_sql(k: int = 8) -> str:
+    return f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice) AS BIGINT) AS dollars,
+         count(*) AS n
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT dollars,
+         sum(n) OVER (ORDER BY dollars ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM c),
+g AS (SELECT CAST(unnest(range(1, {k})) AS BIGINT) AS i)
+SELECT g.i AS split_idx,
+       CAST(min(s.dollars) AS BIGINT) AS boundary_dollars,
+       CAST(min_by(s.cum, s.dollars) AS BIGINT) AS cum_orders
+FROM g, t, s
+WHERE s.cum >= (g.i * t.N + {k - 1}) // {k}
+GROUP BY g.i"""
