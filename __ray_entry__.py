@@ -1063,6 +1063,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             range_partition_plan)
         return range_partition_plan(sf_dir)
 
+    def q_events_ttl_expiry(sf_dir):
+        # streaming-state GC accounting: per-stream argmax partials +
+        # one keyed exchange, live/expired at the TTL watermark
+        return OL.events_ttl_expiry(sf_dir)
+
+    def q_events_dense_matrix(sf_dir):
+        # cross-join spine fill: sparse (day,type) counts densified
+        # with explicit zero cells over the bounded domain
+        return OL.events_dense_matrix(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1493,7 +1503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampled_count_estimate, embedding_label_scatter,
         # derived_column_audit, label_uniformity_chi2,
         # log_parse_roundtrip, events_debounce, ab_test_report,
-        # order_proration, range_partition_plan) —
+        # order_proration, range_partition_plan, events_ttl_expiry,
+        # events_dense_matrix) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1667,6 +1678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_report": q_ab_test_report,
         "order_proration": q_order_proration,
         "range_partition_plan": q_range_partition_plan,
+        "events_ttl_expiry": q_events_ttl_expiry,
+        "events_dense_matrix": q_events_dense_matrix,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2660,6 +2673,8 @@ def oracle_sql() -> dict[str, str]:
         "ab_test_report": _OL.ab_test_report_sql(),
         "order_proration": _GOV.order_proration_sql(),
         "range_partition_plan": _range_partition_plan_sql(),
+        "events_ttl_expiry": _OL.events_ttl_expiry_sql(),
+        "events_dense_matrix": _OL.events_dense_matrix_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -3224,3 +3224,127 @@ SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
        CAST(sum(purchase_cents) AS BIGINT) AS purchase_cents
 FROM v GROUP BY variant"""
+
+
+TTL_WATERMARK_US = 1_706_572_800_000_000  # 2024-01-30T00:00:00Z
+
+
+def events_ttl_expiry(sf_dir: str, ttl_days: int = 7, coarse: int = 1024):
+    """Keyed-state TTL/GC accounting (the streaming-state eviction
+    audit): for every (user, type) stream, its state is LIVE at the
+    watermark if the last event arrived within ``ttl_days``, else
+    EXPIRED — report live/expired stream counts per type.  This is the
+    bookkeeping a stateful streaming job runs to size its keyed state
+    under eviction.
+
+    Shape: per-batch argmax partials (max ts per (user, type) — one
+    row per stream per block), one keyed exchange merges maxima, the
+    classify is a vectorized compare; output is type-domain.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    cutoff = TTL_WATERMARK_US - ttl_days * 86_400_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": pc.cast(t.column("user_id"), pa.int64()),
+                       "event_type": t.column("event_type"),
+                       "ts_us": pc.cast(t.column("ts"), pa.int64())})
+             .group_by(["user_id", "event_type"])
+             .aggregate([("ts_us", "max")])
+             .rename_columns(["user_id", "event_type", "last_us"]))
+        keys = g.column("user_id")
+        return g.append_column(
+            "__coarse", pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()))
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series(dtype="object"),
+                "n_live": pd.Series(dtype="int64"),
+                "n_expired": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        per = (g.groupby(["user_id", "event_type"], as_index=False)
+               ["last_us"].max())
+        live = (per["last_us"] >= cutoff)
+        out = pd.DataFrame({"event_type": per["event_type"],
+                            "n_live": live.astype("int64"),
+                            "n_expired": (~live).astype("int64")})
+        return out.groupby("event_type", as_index=False).sum()
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"])
+    parts = (ev.map_batches(partials, batch_format="pyarrow")
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(classify, batch_format="pandas"))
+    return grouped_aggregate(parts, ["event_type"],
+                             [("n_live", "sum", "n_live"),
+                              ("n_expired", "sum", "n_expired")])
+
+
+def events_ttl_expiry_sql(ttl_days: int = 7) -> str:
+    cutoff = TTL_WATERMARK_US - ttl_days * 86_400_000_000
+    return f"""
+WITH per AS (
+  SELECT user_id, event_type, max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id, event_type)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE last_us >= {cutoff}) AS BIGINT)
+         AS n_live,
+       CAST(count(*) FILTER (WHERE last_us < {cutoff}) AS BIGINT)
+         AS n_expired
+FROM per GROUP BY event_type"""
+
+
+def events_dense_matrix(sf_dir: str):
+    """Dense (day x type) count matrix INCLUDING explicit zero cells —
+    the cross-join-spine fill that charting/ML feature layers need
+    (sparse groupby output leaves holes; the spine makes absence a
+    row).  Spine = distinct days x distinct types, both derived from
+    the data itself.
+
+    Shape: one (day, type) count exchange (sparse, data-sized); the
+    spine fill runs on the collected day x type domain (calendar x
+    type-vocabulary bounded at any scale).
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t.column("ts"), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"day": day, "event_type": t.column("event_type")})
+
+    sparse = collect_small_arrow(grouped_aggregate(
+        ds.map_batches(day_rows, batch_format="pyarrow"),
+        ["day", "event_type"], [("", "count", "n")])).to_pandas()
+    days = sorted(sparse["day"].unique())
+    types = sorted(sparse["event_type"].unique())
+    spine = pd.MultiIndex.from_product([days, types],
+                                       names=["day", "event_type"])
+    dense = (sparse.set_index(["day", "event_type"])
+             .reindex(spine, fill_value=0).reset_index())
+    dense["n"] = dense["n"].astype("int64")
+    return dense
+
+
+def events_dense_matrix_sql() -> str:
+    return """
+WITH d AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d')
+                    AS day FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT d.day, t.event_type,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM d CROSS JOIN t
+LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type"""
