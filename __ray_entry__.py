@@ -1073,6 +1073,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with explicit zero cells over the bounded domain
         return OL.events_dense_matrix(sf_dir)
 
+    def q_k_anonymity_audit(sf_dir):
+        # privacy release gate: QI-class size stats + at-risk mass;
+        # QI-domain exchange, driver fold
+        from yj_schema_validator_ray.pipelines.governance import (
+            k_anonymity_audit)
+        return k_anonymity_audit(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1504,7 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # derived_column_audit, label_uniformity_chi2,
         # log_parse_roundtrip, events_debounce, ab_test_report,
         # order_proration, range_partition_plan, events_ttl_expiry,
-        # events_dense_matrix) —
+        # events_dense_matrix, k_anonymity_audit) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1680,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_plan": q_range_partition_plan,
         "events_ttl_expiry": q_events_ttl_expiry,
         "events_dense_matrix": q_events_dense_matrix,
+        "k_anonymity_audit": q_k_anonymity_audit,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2675,6 +2683,7 @@ def oracle_sql() -> dict[str, str]:
         "range_partition_plan": _range_partition_plan_sql(),
         "events_ttl_expiry": _OL.events_ttl_expiry_sql(),
         "events_dense_matrix": _OL.events_dense_matrix_sql(),
+        "k_anonymity_audit": _GOV.k_anonymity_audit_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -773,3 +773,53 @@ SELECT o_orderpriority,
        CAST(sum(alloc) AS BIGINT) AS allocated_cents,
        CAST(sum(alloc * line) AS BIGINT) AS alloc_dot_line
 FROM a GROUP BY o_orderpriority"""
+
+
+def k_anonymity_audit(sf_dir: str, k: int = 5):
+    """Privacy-governance audit: k-anonymity of the customer table
+    under the quasi-identifier (c_nationkey, c_mktsegment) — every row
+    must be indistinguishable from at least k-1 others on the QI.
+    Reports per-QI-class size statistics plus the violating mass:
+    (n_classes, min_class_size, n_small_classes, n_rows_at_risk) — the
+    release gate before publishing a "de-identified" extract.
+
+    Shape: one QI-domain count exchange (bounded by |nations| x
+    |segments|); the audit fold is driver-side over the class table.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    def rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment")})
+
+    classes = collect_small_arrow(grouped_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_nationkey", "c_mktsegment"])
+        .map_batches(rows, batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment"],
+        [("", "count", "n")])).to_pandas()
+    ns = classes["n"].astype("int64")
+    small = ns < k
+    return pd.DataFrame({
+        "n_classes": pd.Series([len(ns)], dtype="int64"),
+        "min_class_size": pd.Series([int(ns.min())], dtype="int64"),
+        "n_small_classes": pd.Series([int(small.sum())], dtype="int64"),
+        "n_rows_at_risk": pd.Series([int(ns[small].sum())],
+                                    dtype="int64")})
+
+
+def k_anonymity_audit_sql(k: int = 5) -> str:
+    return f"""
+WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+           FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST(count(*) FILTER (WHERE n < {k}) AS BIGINT)
+         AS n_small_classes,
+       CAST(coalesce(sum(n) FILTER (WHERE n < {k}), 0) AS BIGINT)
+         AS n_rows_at_risk
+FROM c"""
