@@ -1080,6 +1080,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k_anonymity_audit)
         return k_anonymity_audit(sf_dir)
 
+    def q_qi_generalization_ladder(sf_dir):
+        # anonymization ladder: one scan emits all three QI levels'
+        # count partials (level-tagged) through one exchange
+        from yj_schema_validator_ray.pipelines.governance import (
+            qi_generalization_ladder)
+        return qi_generalization_ladder(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1511,7 +1518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # derived_column_audit, label_uniformity_chi2,
         # log_parse_roundtrip, events_debounce, ab_test_report,
         # order_proration, range_partition_plan, events_ttl_expiry,
-        # events_dense_matrix, k_anonymity_audit) —
+        # events_dense_matrix, k_anonymity_audit,
+        # qi_generalization_ladder) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1688,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ttl_expiry": q_events_ttl_expiry,
         "events_dense_matrix": q_events_dense_matrix,
         "k_anonymity_audit": q_k_anonymity_audit,
+        "qi_generalization_ladder": q_qi_generalization_ladder,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2684,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ttl_expiry": _OL.events_ttl_expiry_sql(),
         "events_dense_matrix": _OL.events_dense_matrix_sql(),
         "k_anonymity_audit": _GOV.k_anonymity_audit_sql(),
+        "qi_generalization_ladder": _GOV.qi_generalization_ladder_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

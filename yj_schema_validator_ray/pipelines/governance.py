@@ -823,3 +823,83 @@ SELECT CAST(count(*) AS BIGINT) AS n_classes,
        CAST(coalesce(sum(n) FILTER (WHERE n < {k}), 0) AS BIGINT)
          AS n_rows_at_risk
 FROM c"""
+
+
+def qi_generalization_ladder(sf_dir: str, k: int = 5):
+    """Anonymization LADDER: re-run the k-anonymity audit at three
+    quasi-identifier generalization levels — (nation, segment) ->
+    (nation) -> (region) — showing how coarsening the QI shrinks the
+    at-risk mass (the generalization step a privacy officer applies
+    when :func:`k_anonymity_audit` fails).  Region comes from the
+    nation dimension (25 rows — broadcast-trivial lookup inside the
+    batch map).
+
+    Shape: ONE customer scan emits per-batch count partials for all
+    three levels (level-tagged rows share the exchange); the audit
+    fold is driver-side over the bounded class tables.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    n2r = dict(zip(nat.column("n_nationkey").to_pylist(),
+                   nat.column("n_regionkey").to_pylist()))
+
+    def partials(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t.column("c_nationkey"), pa.int64()).to_numpy()
+        seg = t.column("c_mktsegment").to_pylist()
+        rk = np.array([n2r[int(v)] for v in nk], np.int64)
+        lvl0 = ["0|" + str(a) + "|" + s for a, s in zip(nk, seg)]
+        lvl1 = ["1|" + str(a) for a in nk]
+        lvl2 = ["2|" + str(r) for r in rk]
+        return pa.table({"qi_class": pa.array(lvl0 + lvl1 + lvl2,
+                                              pa.string())})
+
+    classes = collect_small_arrow(grouped_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_nationkey", "c_mktsegment"])
+        .map_batches(partials, batch_format="pyarrow"),
+        ["qi_class"], [("", "count", "n")])).to_pandas()
+    classes["level"] = classes["qi_class"].str[0].astype("int64")
+    rows = []
+    names = {0: "nation+segment", 1: "nation", 2: "region"}
+    for lvl, g in classes.groupby("level"):
+        ns = g["n"].astype("int64")
+        small = ns < k
+        rows.append({"qi_level": names[int(lvl)],
+                     "n_classes": len(ns),
+                     "min_class_size": int(ns.min()),
+                     "n_rows_at_risk": int(ns[small].sum())})
+    out = pd.DataFrame(rows)
+    for c in ("n_classes", "min_class_size", "n_rows_at_risk"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def qi_generalization_ladder_sql(k: int = 5) -> str:
+    return f"""
+WITH l0 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+            FROM customer GROUP BY 1, 2),
+l1 AS (SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1),
+l2 AS (SELECT n.n_regionkey, count(*) AS n
+       FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+       GROUP BY 1)
+SELECT 'nation+segment' AS qi_level,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST(coalesce(sum(n) FILTER (WHERE n < {k}), 0) AS BIGINT)
+         AS n_rows_at_risk
+FROM l0
+UNION ALL
+SELECT 'nation', CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
+       CAST(coalesce(sum(n) FILTER (WHERE n < {k}), 0) AS BIGINT)
+FROM l1
+UNION ALL
+SELECT 'region', CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
+       CAST(coalesce(sum(n) FILTER (WHERE n < {k}), 0) AS BIGINT)
+FROM l2"""
