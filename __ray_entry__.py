@@ -1087,6 +1087,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             qi_generalization_ladder)
         return qi_generalization_ladder(sf_dir)
 
+    def q_supplier_hhi_by_region(sf_dir):
+        # Herfindahl concentration per region: exact integer sum(n^2)
+        # numerator over the nation-domain counts
+        return OL.supplier_hhi_by_region(sf_dir)
+
+    def q_customer_peak_open_orders(sf_dir):
+        # per-customer max interval overlap: orderkey exchange for
+        # spans -> custkey exchange boundary sweep -> peak histogram
+        return OL.customer_peak_open_orders(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1519,7 +1529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # log_parse_roundtrip, events_debounce, ab_test_report,
         # order_proration, range_partition_plan, events_ttl_expiry,
         # events_dense_matrix, k_anonymity_audit,
-        # qi_generalization_ladder) —
+        # qi_generalization_ladder, supplier_hhi_by_region,
+        # customer_peak_open_orders) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1697,6 +1708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dense_matrix": q_events_dense_matrix,
         "k_anonymity_audit": q_k_anonymity_audit,
         "qi_generalization_ladder": q_qi_generalization_ladder,
+        "supplier_hhi_by_region": q_supplier_hhi_by_region,
+        "customer_peak_open_orders": q_customer_peak_open_orders,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2694,6 +2707,8 @@ def oracle_sql() -> dict[str, str]:
         "events_dense_matrix": _OL.events_dense_matrix_sql(),
         "k_anonymity_audit": _GOV.k_anonymity_audit_sql(),
         "qi_generalization_ladder": _GOV.qi_generalization_ladder_sql(),
+        "supplier_hhi_by_region": _OL.supplier_hhi_by_region_sql(),
+        "customer_peak_open_orders": _OL.customer_peak_open_orders_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

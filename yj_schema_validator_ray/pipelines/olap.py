@@ -3348,3 +3348,204 @@ SELECT d.day, t.event_type,
        CAST(coalesce(c.n, 0) AS BIGINT) AS n
 FROM d CROSS JOIN t
 LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type"""
+
+
+def supplier_hhi_by_region(sf_dir: str):
+    """Market-concentration audit: per region, the exact integer
+    Herfindahl-Hirschman numerator over nations' supplier counts —
+    HHI = sum(share_i^2) = (sum n_i^2) / N^2, so reporting
+    (n_suppliers = N, hhi_num = sum n_i^2) keeps the certificate
+    integer and the fp ratio downstream — the grouped companion of the
+    Gini concentration audit.
+
+    Shape: one (nation)-domain count exchange; region fold over the
+    25-nation table driver-side (the dimension is constant-sized).
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    n2r = dict(zip(nat.column("n_nationkey").to_pylist(),
+                   nat.column("n_regionkey").to_pylist()))
+
+    def rows(t: pa.Table) -> pa.Table:
+        return pa.table({"n_nationkey": pc.cast(t.column("s_nationkey"),
+                                                pa.int64())})
+
+    per_nation = collect_small_arrow(grouped_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_nationkey"])
+        .map_batches(rows, batch_format="pyarrow"),
+        ["n_nationkey"], [("", "count", "n")])).to_pandas()
+    per_nation["region"] = per_nation["n_nationkey"].map(
+        lambda v: n2r[int(v)])
+    out = (per_nation.assign(n2=lambda d: d["n"].astype("int64") ** 2)
+           .groupby("region", as_index=False)
+           .agg(n_nations=("n", "size"), n_suppliers=("n", "sum"),
+                hhi_num=("n2", "sum")))
+    out = out.rename(columns={"region": "r_regionkey"})
+    for c in ("r_regionkey", "n_nations", "n_suppliers", "hhi_num"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def supplier_hhi_by_region_sql() -> str:
+    return """
+WITH pn AS (
+  SELECT n.n_regionkey, s.s_nationkey, count(*) AS n
+  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_regionkey, s.s_nationkey)
+SELECT CAST(n_regionkey AS BIGINT) AS r_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n) AS BIGINT) AS n_suppliers,
+       CAST(sum(n * n) AS BIGINT) AS hhi_num
+FROM pn GROUP BY n_regionkey"""
+
+
+def customer_peak_open_orders(sf_dir: str, coarse: int = 1024):
+    """Per-customer PEAK concurrency: the maximum number of that
+    customer's orders simultaneously open (open = [orderdate day,
+    last ship day]), reported as a (peak -> n_customers) histogram —
+    the per-entity companion of the global backlog series
+    (:func:`orders_open_per_day`), and the classic interval max-overlap
+    sweep run inside each key group.
+
+    Shape: lineitem ships (orderkey, max ship) partials to the orders
+    side through one orderkey exchange; each order then emits two
+    (custkey, day, ±1) boundary rows into a custkey exchange where the
+    per-customer sweep is one lexsort + cumsum + segment max; output
+    is peak-domain.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    DAY_US = 86_400_000_000
+
+    def order_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("o_orderkey"), pa.int64())
+        return pa.table({
+            "okey": keys,
+            "v": pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                           pa.scalar(DAY_US, pa.int64())),
+            "cust": pc.cast(t.column("o_custkey"), pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def li_side(t: pa.Table) -> pa.Table:
+        g = (pa.table({"okey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                       "ship": pc.divide(
+                           pc.cast(t.column("l_shipdate"), pa.int64()),
+                           pa.scalar(DAY_US, pa.int64()))})
+             .group_by(["okey"]).aggregate([("ship", "max")])
+             .rename_columns(["okey", "v"]))
+        kk = g.column("okey")
+        return pa.table({
+            "okey": kk, "v": g.column("v"),
+            "cust": pa.array(np.zeros(g.num_rows, np.int64)),
+            "side": pa.array(np.ones(g.num_rows, np.int64)),
+            "__coarse": pa.array(coarse_mix(kk.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def boundaries(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cust": pd.Series(dtype="int64"),
+                "day": pd.Series(dtype="int64"),
+                "d": pd.Series(dtype="int64")}
+        if g.empty or not (g["side"] == 0).any():
+            return pd.DataFrame(cols)
+        o = (g.loc[g["side"] == 0, ["okey", "v", "cust"]]
+             .rename(columns={"v": "start"}))
+        ms = (g.loc[g["side"] == 1, ["okey", "v"]]
+              .groupby("okey", as_index=False).max()
+              .rename(columns={"v": "close"}))
+        j = o.merge(ms, on="okey", how="inner")  # orders with lineitems
+        # close can precede start in this synthetic corpus: the open
+        # interval is [min(start, close), max(start, close)]
+        lo = np.minimum(j["start"].to_numpy(), j["close"].to_numpy())
+        hi = np.maximum(j["start"].to_numpy(), j["close"].to_numpy())
+        return pd.DataFrame({
+            "cust": np.concatenate([j["cust"].to_numpy()] * 2),
+            "day": np.concatenate([lo, hi + 1]),
+            "d": np.concatenate([np.ones(len(j), np.int64),
+                                 -np.ones(len(j), np.int64)])})
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"peak_open": pd.Series(dtype="int64"),
+                "n_customers": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        agg = (g.groupby(["cust", "day"], as_index=False)["d"].sum()
+               .sort_values(["cust", "day"], kind="mergesort"))
+        cust = agg["cust"].to_numpy()
+        d = agg["d"].to_numpy()
+        cum = np.cumsum(d)
+        starts = np.concatenate(([0], np.flatnonzero(
+            cust[1:] != cust[:-1]) + 1))
+        base = np.repeat(np.concatenate(([0], cum[starts[1:] - 1])),
+                         np.diff(np.concatenate((starts, [len(d)]))))
+        within = cum - base
+        peak = pd.DataFrame({"cust": cust, "w": within}) \
+            .groupby("cust")["w"].max()
+        r = (peak.value_counts().rename_axis("peak_open")
+             .reset_index(name="n_customers")
+             .astype({"peak_open": "int64", "n_customers": "int64"}))
+        return r
+
+    o = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate"])
+         .map_batches(order_side, batch_format="pyarrow"))
+    li = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_orderkey", "l_shipdate"])
+          .map_batches(li_side, batch_format="pyarrow"))
+    b = (o.union(li)
+         .groupby("__coarse", num_partitions=shuffle_partitions())
+         .map_groups(boundaries, batch_format="pandas"))
+
+    def add_cust_coarse(t: pa.Table) -> pa.Table:
+        from ..stages.dedup import coarse_mix as cm
+
+        keys = pc.cast(t.column("cust"), pa.int64())
+        return t.append_column(
+            "__coarse2", pa.array(cm(keys.to_numpy(), coarse - 1),
+                                  pa.int64()))
+
+    parts = (b.map_batches(add_cust_coarse, batch_format="pyarrow")
+             .groupby("__coarse2", num_partitions=shuffle_partitions())
+             .map_groups(sweep, batch_format="pandas"))
+    return grouped_aggregate(parts, ["peak_open"],
+                             [("n_customers", "sum", "n_customers")])
+
+
+def customer_peak_open_orders_sql() -> str:
+    return """
+WITH ms AS (SELECT l_orderkey,
+                   CAST(epoch_us(max(l_shipdate)) // 86400000000
+                        AS BIGINT) AS close
+            FROM lineitem GROUP BY l_orderkey),
+iv AS (
+  SELECT o.o_custkey AS cust,
+         least(CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT),
+               ms.close) AS lo,
+         greatest(CAST(epoch_us(o.o_orderdate) // 86400000000
+                       AS BIGINT), ms.close) AS hi
+  FROM orders o JOIN ms ON ms.l_orderkey = o.o_orderkey),
+b AS (
+  SELECT cust, lo AS day, 1 AS d FROM iv
+  UNION ALL SELECT cust, hi + 1, -1 FROM iv),
+s AS (SELECT cust, day, sum(d) AS d FROM b GROUP BY cust, day),
+c AS (SELECT cust,
+             sum(d) OVER (PARTITION BY cust ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS open
+      FROM s),
+p AS (SELECT cust, CAST(max(open) AS BIGINT) AS peak_open
+      FROM c GROUP BY cust)
+SELECT peak_open, CAST(count(*) AS BIGINT) AS n_customers
+FROM p GROUP BY peak_open"""
