@@ -1097,6 +1097,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spans -> custkey exchange boundary sweep -> peak histogram
         return OL.customer_peak_open_orders(sf_dir)
 
+    def q_orders_fiscal_445(sf_dir):
+        # 4-4-5 retail fiscal calendar: pure integer week/period math
+        # (non-negative anchor — floor-div vs trunc-div safe zone)
+        return OL.orders_fiscal_445(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1530,7 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order_proration, range_partition_plan, events_ttl_expiry,
         # events_dense_matrix, k_anonymity_audit,
         # qi_generalization_ladder, supplier_hhi_by_region,
-        # customer_peak_open_orders) —
+        # customer_peak_open_orders, orders_fiscal_445) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1710,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qi_generalization_ladder": q_qi_generalization_ladder,
         "supplier_hhi_by_region": q_supplier_hhi_by_region,
         "customer_peak_open_orders": q_customer_peak_open_orders,
+        "orders_fiscal_445": q_orders_fiscal_445,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2709,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
         "qi_generalization_ladder": _GOV.qi_generalization_ladder_sql(),
         "supplier_hhi_by_region": _OL.supplier_hhi_by_region_sql(),
         "customer_peak_open_orders": _OL.customer_peak_open_orders_sql(),
+        "orders_fiscal_445": _OL.orders_fiscal_445_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -3549,3 +3549,87 @@ p AS (SELECT cust, CAST(max(open) AS BIGINT) AS peak_open
       FROM c GROUP BY cust)
 SELECT peak_open, CAST(count(*) AS BIGINT) AS n_customers
 FROM p GROUP BY peak_open"""
+
+
+FISCAL_ANCHOR_DAY = 9125  # 1994-12-26 (Monday), BEFORE the data min:
+#   weeks stay non-negative, where numpy floor-div and DuckDB's
+#   truncating // agree (they diverge on negatives)
+_F445_CUM = (4, 8, 13, 17, 21, 26, 30, 34, 39, 43, 47, 52)
+
+
+def orders_fiscal_445(sf_dir: str):
+    """4-4-5 fiscal-calendar rollup: every order date maps to the
+    retail fiscal calendar (52-week years anchored Monday 1994-12-26,
+    one week before the corpus' first order so week numbers stay
+    non-negative — numpy floor division and DuckDB's truncating //
+    only agree there;
+    each quarter = 4+4+5 weeks) with PURE INTEGER day arithmetic —
+    week = (epoch_day - anchor) // 7, fiscal_year = week // 52, and
+    the period is the searchsorted position of week-in-year against
+    the cumulative (4,8,13,...,52) boundaries — then revenue
+    aggregates per (fiscal_year, fiscal_period).  The calendar logic
+    finance warehouses need and civil-calendar date functions can't
+    express.
+
+    Shape: zero-shuffle per-batch mapping + period-domain partials;
+    one tiny exchange.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    DAY_US = 86_400_000_000
+    cum = np.array(_F445_CUM, np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
+               // DAY_US)
+        week = (day - FISCAL_ANCHOR_DAY) // 7
+        fy = week // 52
+        wiy = week - fy * 52
+        period = np.searchsorted(cum, wiy, side="right") + 1
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), pa.scalar(100.0))),
+            pa.int64()).to_numpy()
+        g = (pa.table({"fiscal_year": pa.array(fy, pa.int64()),
+                       "fiscal_period": pa.array(period.astype(np.int64)),
+                       "n_orders": pa.array(np.ones(len(fy), np.int64)),
+                       "revenue_cents": pa.array(cents, pa.int64())})
+             .group_by(["fiscal_year", "fiscal_period"])
+             .aggregate([("n_orders", "sum"), ("revenue_cents", "sum")])
+             .rename_columns(["fiscal_year", "fiscal_period",
+                              "n_orders", "revenue_cents"]))
+        return g
+
+    return grouped_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["fiscal_year", "fiscal_period"],
+        [("n_orders", "sum", "n_orders"),
+         ("revenue_cents", "sum", "revenue_cents")])
+
+
+def orders_fiscal_445_sql() -> str:
+    b = ", ".join(f"({i + 1}, {c})" for i, c in enumerate(_F445_CUM))
+    return f"""
+WITH bounds(p, cum) AS (VALUES {b}),
+d AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000
+          - {FISCAL_ANCHOR_DAY}) // 7 AS week,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders),
+m AS (
+  SELECT week // 52 AS fiscal_year,
+         week - (week // 52) * 52 AS wiy, cents
+  FROM d),
+p AS (
+  SELECT fiscal_year,
+         (SELECT min(p) FROM bounds WHERE m.wiy < cum) AS fiscal_period,
+         cents
+  FROM m)
+SELECT CAST(fiscal_year AS BIGINT) AS fiscal_year,
+       CAST(fiscal_period AS BIGINT) AS fiscal_period,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM p GROUP BY fiscal_year, fiscal_period"""
