@@ -1102,6 +1102,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (non-negative anchor — floor-div vs trunc-div safe zone)
         return OL.orders_fiscal_445(sf_dir)
 
+    def q_embedding_gram_matrix(sf_dir):
+        # PCA sufficient statistic: per-batch int64 q.T@q collapses
+        # blocks to constant (d,d) partials; elementwise-sum merge
+        return OL.embedding_gram_matrix(ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]))
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1535,7 +1541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order_proration, range_partition_plan, events_ttl_expiry,
         # events_dense_matrix, k_anonymity_audit,
         # qi_generalization_ladder, supplier_hhi_by_region,
-        # customer_peak_open_orders, orders_fiscal_445) —
+        # customer_peak_open_orders, orders_fiscal_445,
+        # embedding_gram_matrix) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1716,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi_by_region": q_supplier_hhi_by_region,
         "customer_peak_open_orders": q_customer_peak_open_orders,
         "orders_fiscal_445": q_orders_fiscal_445,
+        "embedding_gram_matrix": q_embedding_gram_matrix,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2716,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_hhi_by_region": _OL.supplier_hhi_by_region_sql(),
         "customer_peak_open_orders": _OL.customer_peak_open_orders_sql(),
         "orders_fiscal_445": _OL.orders_fiscal_445_sql(),
+        "embedding_gram_matrix": _OL.embedding_gram_matrix_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

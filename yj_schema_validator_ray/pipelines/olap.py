@@ -3633,3 +3633,54 @@ SELECT CAST(fiscal_year AS BIGINT) AS fiscal_year,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(cents) AS BIGINT) AS revenue_cents
 FROM p GROUP BY fiscal_year, fiscal_period"""
+
+
+def embedding_gram_matrix(emb_ds):
+    """Exact-integer PCA sufficient statistic: the Gram matrix
+    G = sum_v q_v q_v^T over the 1e-6-quantized embedding components,
+    upper triangle as (dim_i <= dim_j, gram_q, n_vecs) rows — the
+    mergeable second-moment matrix whose eigendecomposition (fp,
+    downstream) IS principal component analysis; covariance follows by
+    subtracting the centroid outer product (also exact via
+    ``embedding_centroids``).
+
+    Shape: per batch ONE int64 ``q.T @ q`` matmul collapses the (n, d)
+    block to the constant (d, d) partial — vectors never reach the
+    exchange and the merge is elementwise integer addition.  Entries
+    fit int64 up to ~9e6 vectors per 1e12-quantized product; the
+    HUGEINT oracle and this documented bound cover the rest.
+    """
+    from ..stages.ann import _list_f64_matrix
+    from ..stages.exact_agg import grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _list_f64_matrix(t.column("embedding"))
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        g = q.T @ q  # (d, d) int64
+        d = g.shape[0]
+        iu = np.triu_indices(d)
+        return pa.table({
+            "dim_i": pa.array(iu[0].astype(np.int64)),
+            "dim_j": pa.array(iu[1].astype(np.int64)),
+            "gram_q": pa.array(g[iu]),
+            "n_vecs": pa.array(np.full(len(iu[0]), q.shape[0],
+                                       np.int64))})
+
+    return grouped_aggregate(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim_i", "dim_j"],
+        [("gram_q", "sum", "gram_q"), ("n_vecs", "sum", "n_vecs")])
+
+
+def embedding_gram_matrix_sql() -> str:
+    return """
+WITH el AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS xq
+  FROM embeddings)
+SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j,
+       CAST(sum(a.xq * b.xq) AS BIGINT) AS gram_q,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim"""
