@@ -1108,6 +1108,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return OL.embedding_gram_matrix(ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["embedding"]))
 
+    def q_user_conversion_survival(sf_dir):
+        # time-to-first-purchase survival curve: per-user min partials
+        # through one exchange, integer day diff, cumulative curve
+        return OL.user_conversion_survival(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1542,7 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_dense_matrix, k_anonymity_audit,
         # qi_generalization_ladder, supplier_hhi_by_region,
         # customer_peak_open_orders, orders_fiscal_445,
-        # embedding_gram_matrix) —
+        # embedding_gram_matrix, user_conversion_survival) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1724,6 +1729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_peak_open_orders": q_customer_peak_open_orders,
         "orders_fiscal_445": q_orders_fiscal_445,
         "embedding_gram_matrix": q_embedding_gram_matrix,
+        "user_conversion_survival": q_user_conversion_survival,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2725,6 +2731,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_peak_open_orders": _OL.customer_peak_open_orders_sql(),
         "orders_fiscal_445": _OL.orders_fiscal_445_sql(),
         "embedding_gram_matrix": _OL.embedding_gram_matrix_sql(),
+        "user_conversion_survival": _OL.user_conversion_survival_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

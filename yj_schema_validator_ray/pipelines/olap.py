@@ -3684,3 +3684,91 @@ SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 GROUP BY a.dim, b.dim"""
+
+
+def user_conversion_survival(sf_dir: str, coarse: int = 1024):
+    """Survival-analysis curve for conversion: per user, days from
+    FIRST ACTIVITY to FIRST PURCHASE (never-converters excluded, their
+    count reported by the downstream row sum vs user total); output is
+    the (days_to_convert -> n_users, cum_users) curve — the
+    time-to-event distribution product teams read as "how long until a
+    new user buys".
+
+    Shape: per-batch (user, min ts, min purchase ts) partials -> one
+    user-keyed exchange merges minima -> integer day difference ->
+    day-domain histogram with a driver-side cumulative (the curve is
+    calendar-bounded).
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    from ..util import shuffle_partitions
+
+    BIG = (1 << 62)
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64())
+        is_p = pc.equal(t.column("event_type"), "purchase")
+        pts = pc.if_else(is_p, ts, pa.scalar(BIG, pa.int64()))
+        g = (pa.table({"user_id": pc.cast(t.column("user_id"), pa.int64()),
+                       "first_us": ts, "first_purchase_us": pts})
+             .group_by(["user_id"])
+             .aggregate([("first_us", "min"),
+                         ("first_purchase_us", "min")])
+             .rename_columns(["user_id", "first_us",
+                              "first_purchase_us"]))
+        keys = g.column("user_id")
+        return g.append_column(
+            "__coarse", pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64()))
+
+    def days_hist(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"days_to_convert": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        per = (g.groupby("user_id", as_index=False)
+               .agg(first_us=("first_us", "min"),
+                    fp=("first_purchase_us", "min")))
+        conv = per[per["fp"] < BIG]
+        days = ((conv["fp"].to_numpy() - conv["first_us"].to_numpy())
+                // 86_400_000_000)
+        v, c = np.unique(days, return_counts=True)
+        return pd.DataFrame({"days_to_convert": v.astype("int64"),
+                             "n_users": c.astype("int64")})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"])
+    hist = collect_small_arrow(grouped_aggregate(
+        (ev.map_batches(partials, batch_format="pyarrow")
+         .groupby("__coarse", num_partitions=shuffle_partitions())
+         .map_groups(days_hist, batch_format="pandas")),
+        ["days_to_convert"],
+        [("n_users", "sum", "n_users")])).to_pandas()
+    hist = hist.sort_values("days_to_convert").reset_index(drop=True)
+    hist["cum_users"] = hist["n_users"].cumsum().astype("int64")
+    hist["n_users"] = hist["n_users"].astype("int64")
+    hist["days_to_convert"] = hist["days_to_convert"].astype("int64")
+    return hist
+
+
+def user_conversion_survival_sql() -> str:
+    return """
+WITH per AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_us,
+         min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+           AS fp
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT (fp - first_us) // 86400000000 AS days_to_convert
+  FROM per WHERE fp IS NOT NULL),
+h AS (SELECT days_to_convert, CAST(count(*) AS BIGINT) AS n_users
+      FROM d GROUP BY days_to_convert)
+SELECT CAST(days_to_convert AS BIGINT) AS days_to_convert, n_users,
+       CAST(sum(n_users) OVER (ORDER BY days_to_convert
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM h"""
