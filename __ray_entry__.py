@@ -1113,6 +1113,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # through one exchange, integer day diff, cumulative curve
         return OL.user_conversion_survival(sf_dir)
 
+    def q_discount_cap_whatif(sf_dir):
+        # scenario analysis: four discount-cap what-ifs evaluated in
+        # ONE scan via scenario-tagged partials, exact e4 units
+        return OL.discount_cap_whatif(sf_dir)
+
+    def q_source_weighted_jaccard(sf_dir):
+        # multiset Jaccard per source pair: term-keyed exchange, only
+        # the MIN term needs pair work (max via the totals identity)
+        from yj_schema_validator_ray.stages.text import (
+            source_weighted_jaccard)
+        return source_weighted_jaccard(docs3(sf_dir))
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1547,7 +1559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_dense_matrix, k_anonymity_audit,
         # qi_generalization_ladder, supplier_hhi_by_region,
         # customer_peak_open_orders, orders_fiscal_445,
-        # embedding_gram_matrix, user_conversion_survival) —
+        # embedding_gram_matrix, user_conversion_survival,
+        # discount_cap_whatif, source_weighted_jaccard) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1730,6 +1743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fiscal_445": q_orders_fiscal_445,
         "embedding_gram_matrix": q_embedding_gram_matrix,
         "user_conversion_survival": q_user_conversion_survival,
+        "discount_cap_whatif": q_discount_cap_whatif,
+        "source_weighted_jaccard": q_source_weighted_jaccard,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2732,6 +2747,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_fiscal_445": _OL.orders_fiscal_445_sql(),
         "embedding_gram_matrix": _OL.embedding_gram_matrix_sql(),
         "user_conversion_survival": _OL.user_conversion_survival_sql(),
+        "discount_cap_whatif": _OL.discount_cap_whatif_sql(),
+        "source_weighted_jaccard": _T.source_weighted_jaccard_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

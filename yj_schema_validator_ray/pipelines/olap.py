@@ -3772,3 +3772,64 @@ SELECT CAST(days_to_convert AS BIGINT) AS days_to_convert, n_users,
                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_users
 FROM h"""
+
+
+DISCOUNT_CAPS_BP = (0, 200, 500, 1000)
+
+
+def discount_cap_whatif(sf_dir: str):
+    """What-if / scenario analysis in one pass: total revenue under
+    hypothetical discount CAPS (discounts clamped to <= cap) for caps
+    0% / 2% / 5% / 10%, in exact e4 units — the pricing-policy
+    simulation ("how much revenue would a 2% discount ceiling
+    recover?").  All scenarios evaluate per batch from the same rows
+    (level-tagged partials), so the input is scanned ONCE however
+    many scenarios run.
+
+    Shape: zero-shuffle scan, scenario-domain partials, one tiny
+    exchange.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+
+    caps = np.array(DISCOUNT_CAPS_BP, np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"),
+                                           pa.scalar(100.0))),
+                      pa.int64()).to_numpy()
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"),
+                                            pa.scalar(10000.0))),
+                       pa.int64()).to_numpy()
+        rows_cap, rows_rev, rows_n = [], [], []
+        for c in caps:
+            eff = np.minimum(disc, c)
+            rows_cap.append(int(c))
+            rows_rev.append(int((ext * (10000 - eff)).sum()))
+            rows_n.append(len(ext))
+        return pa.table({
+            "cap_bp": pa.array(rows_cap, pa.int64()),
+            "revenue_e4": pa.array(rows_rev, pa.int64()),
+            "n_lines": pa.array(rows_n, pa.int64())})
+
+    return grouped_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["cap_bp"], [("revenue_e4", "sum", "revenue_e4"),
+                     ("n_lines", "sum", "n_lines")])
+
+
+def discount_cap_whatif_sql() -> str:
+    parts = []
+    for c in DISCOUNT_CAPS_BP:
+        parts.append(f"""
+SELECT CAST({c} AS BIGINT) AS cap_bp,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                * (10000 - least(CAST(round(l_discount * 10000.0)
+                                      AS BIGINT), {c}))) AS BIGINT)
+         AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)

@@ -1838,3 +1838,118 @@ t AS (SELECT sum(n0) AS t0, sum(n1) AS t1 FROM c)
 SELECT term, n0, n1,
        CAST(abs(n0 * t.t1 - n1 * t.t0) AS BIGINT) AS drift_num
 FROM c, t ORDER BY drift_num DESC, term LIMIT {k}"""
+
+
+def source_weighted_jaccard(docs_ds):
+    """Weighted (multiset) Jaccard between every source pair over term
+    frequencies — sum(min(tf_a, tf_b)) / sum(max(tf_a, tf_b)) as exact
+    integer numerator and denominator (the fp ratio stays downstream)
+    — the corpus-mixture similarity that, unlike the binary overlap
+    ops, weights by how OFTEN terms co-occur.
+
+    The identity sum_max(a,b) = T_a + T_b - sum_min(a,b) (T = source
+    total) means only the MIN term needs pair work, and only over
+    sources co-occurring on a term: per post-exchange (term)-bucket,
+    a sparse per-term source-count pivot feeds one vectorized
+    np.minimum over the |sources|^2-bounded pair grid.
+
+    Shape: per-batch (term, source, tf) partials -> one term-keyed
+    exchange -> per-bucket pair-min partials + per-source totals ->
+    pair-domain finish.
+    """
+    from ..util import collect_small_arrow
+    from .exact_agg import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "source": pd.Series(dtype="object"),
+                                 "tf": pd.Series(dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        src = np.repeat(batch["source"].to_numpy(object), lens)
+        g = (pd.DataFrame({"term": flat, "source": src})
+             .groupby(["term", "source"], sort=False)
+             .size().rename("tf").reset_index())
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    agg = grouped_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        ["term", "source"], [("tf", "sum", "tf")]).materialize()
+
+    totals = collect_small_arrow(grouped_aggregate(
+        agg, ["source"], [("tf", "sum", "t")])).to_pandas() \
+        .set_index("source")["t"].to_dict()
+
+    def pair_mins(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"source_a": pd.Series(dtype="object"),
+                "source_b": pd.Series(dtype="object"),
+                "sum_min": pd.Series(dtype="int64")}
+        if df.empty:
+            return pd.DataFrame(cols)
+        piv = df.pivot_table(index="term", columns="source",
+                             values="tf", aggfunc="sum", fill_value=0)
+        srcs = list(piv.columns)
+        m = piv.to_numpy(np.int64)
+        rows = []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                rows.append((srcs[i], srcs[j],
+                             int(np.minimum(m[:, i], m[:, j]).sum())))
+        return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                           "sum_min"]).astype(
+            {"sum_min": "int64"})
+
+    # the (term, source) exchange does NOT co-locate a term's sources;
+    # re-key by TERM alone so every pivot row is complete
+    from ..util import shuffle_partitions
+    from .exact_agg import _hash_string_array
+
+    def add_term_coarse(t: pa.Table) -> pa.Table:
+        col = t.column("term")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        kh = _hash_string_array(col)
+        return t.append_column(
+            "__tc", pa.array((kh & np.uint64(1023)).astype(np.int64)))
+
+    mins = grouped_aggregate(
+        (agg.map_batches(add_term_coarse, batch_format="pyarrow")
+         .groupby("__tc", num_partitions=shuffle_partitions())
+         .map_groups(pair_mins, batch_format="pandas")),
+        ["source_a", "source_b"], [("sum_min", "sum", "sum_min")])
+    out = collect_small_arrow(mins).to_pandas()
+    out["sum_max"] = [int(totals[a]) + int(totals[b]) - int(sm)
+                      for a, b, sm in zip(out["source_a"],
+                                          out["source_b"],
+                                          out["sum_min"])]
+    out["sum_min"] = out["sum_min"].astype("int64")
+    out["sum_max"] = out["sum_max"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(
+        drop=True)
+
+
+def source_weighted_jaccard_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents),
+c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY source, term),
+t AS (SELECT source, CAST(sum(tf) AS BIGINT) AS tot FROM c
+      GROUP BY source),
+m AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS sum_min
+  FROM c a JOIN c b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT p.source_a, p.source_b, coalesce(m.sum_min, 0) AS sum_min,
+       CAST(ta.tot + tb.tot - coalesce(m.sum_min, 0) AS BIGINT)
+         AS sum_max
+FROM (SELECT x.source AS source_a, y.source AS source_b
+      FROM t x JOIN t y ON x.source < y.source) p
+LEFT JOIN m ON m.source_a = p.source_a AND m.source_b = p.source_b
+JOIN t ta ON ta.source = p.source_a
+JOIN t tb ON tb.source = p.source_b"""
