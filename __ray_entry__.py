@@ -1125,6 +1125,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             source_weighted_jaccard)
         return source_weighted_jaccard(docs3(sf_dir))
 
+    def q_graph_assortativity(sf_dir):
+        # Newman degree-mixing numerators: shared edge builder + two
+        # adaptive degree attaches + single-row partials
+        from yj_schema_validator_ray.stages.graph import (
+            graph_assortativity)
+        return graph_assortativity(sf_dir)
+
+    def q_dict_encoding_audit(sf_dir):
+        # storage planning: exact raw-vs-dictionary byte accounting
+        # per candidate column; scan partials + value-domain exchange
+        from yj_schema_validator_ray.pipelines.curation import (
+            dict_encoding_audit)
+        return dict_encoding_audit(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1560,7 +1574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # qi_generalization_ladder, supplier_hhi_by_region,
         # customer_peak_open_orders, orders_fiscal_445,
         # embedding_gram_matrix, user_conversion_survival,
-        # discount_cap_whatif, source_weighted_jaccard) —
+        # discount_cap_whatif, source_weighted_jaccard,
+        # graph_assortativity, dict_encoding_audit) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1745,6 +1760,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_conversion_survival": q_user_conversion_survival,
         "discount_cap_whatif": q_discount_cap_whatif,
         "source_weighted_jaccard": q_source_weighted_jaccard,
+        "graph_assortativity": q_graph_assortativity,
+        "dict_encoding_audit": q_dict_encoding_audit,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2052,6 +2069,20 @@ def _range_partition_plan_sql() -> str:
         range_partition_plan_sql)
 
     return range_partition_plan_sql()
+
+
+def _graph_assortativity_sql() -> str:
+    from yj_schema_validator_ray.stages.graph import (
+        graph_assortativity_sql)
+
+    return graph_assortativity_sql()
+
+
+def _dict_encoding_audit_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        dict_encoding_audit_sql)
+
+    return dict_encoding_audit_sql()
 
 
 def _shuffle_certificate_sql() -> str:
@@ -2749,6 +2780,8 @@ def oracle_sql() -> dict[str, str]:
         "user_conversion_survival": _OL.user_conversion_survival_sql(),
         "discount_cap_whatif": _OL.discount_cap_whatif_sql(),
         "source_weighted_jaccard": _T.source_weighted_jaccard_sql(),
+        "graph_assortativity": _graph_assortativity_sql(),
+        "dict_encoding_audit": _dict_encoding_audit_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -1585,3 +1585,85 @@ SELECT g.i AS split_idx,
 FROM g, t, s
 WHERE s.cum >= (g.i * t.N + {k - 1}) // {k}
 GROUP BY g.i"""
+
+
+_DICT_AUDIT_COLS = (("documents", "source"), ("documents", "lang"),
+                    ("orders", "o_orderpriority"))
+
+
+def dict_encoding_audit(sf_dir: str):
+    """Storage-planning audit: for each candidate string column, the
+    exact byte accounting that decides dictionary encoding — n_rows,
+    n_distinct, raw value bytes (sum of lengths) and the dictionary's
+    value-page bytes (sum of DISTINCT lengths); the codes themselves
+    are n_rows * ceil(log2 n_distinct)/8, computed downstream —
+    the "should this column be dict-encoded" answer a columnar writer
+    needs per row group.
+
+    Shape: per column, one zero-shuffle scan emits (sum-len, count)
+    partials AND per-batch distinct values into a value-domain
+    exchange whose per-block length sums fold driver-side.
+    """
+    import pandas as pd
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    rows = []
+    for table, col in _DICT_AUDIT_COLS:
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                   columns=[col])
+
+        def raw_partial(t: pa.Table, c=col) -> pa.Table:
+            return pa.table({
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "raw_bytes": pa.array(
+                    [int(pc.sum(pc.binary_length(
+                        pc.cast(t.column(c), pa.string()))).as_py()
+                        or 0)], pa.int64())})
+
+        raw = collect_small_arrow(ds.map_batches(
+            raw_partial, batch_format="pyarrow")).to_pandas().sum()
+
+        def dvals(t: pa.Table, c=col) -> pa.Table:
+            u = pc.unique(pc.cast(t.column(c), pa.string()))
+            return pa.table({"v": u})
+
+        dist = grouped_aggregate(
+            ds.map_batches(dvals, batch_format="pyarrow"),
+            ["v"], [("", "count", "n")])
+
+        def dist_partial(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "n_distinct": pa.array([t.num_rows], pa.int64()),
+                "dict_value_bytes": pa.array(
+                    [int(pc.sum(pc.binary_length(t.column("v")))
+                         .as_py() or 0)], pa.int64())})
+
+        d = collect_small_arrow(dist.map_batches(
+            dist_partial, batch_format="pyarrow")).to_pandas().sum()
+        rows.append({"column_name": f"{table}.{col}",
+                     "n_rows": int(raw.n_rows),
+                     "n_distinct": int(d.n_distinct),
+                     "raw_bytes": int(raw.raw_bytes),
+                     "dict_value_bytes": int(d.dict_value_bytes)})
+    out = pd.DataFrame(rows)
+    for c in ("n_rows", "n_distinct", "raw_bytes", "dict_value_bytes"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def dict_encoding_audit_sql() -> str:
+    parts = []
+    for table, col in _DICT_AUDIT_COLS:
+        parts.append(f"""
+SELECT '{table}.{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(sum(length({col})) AS BIGINT) AS raw_bytes,
+       CAST((SELECT sum(length(v)) FROM
+             (SELECT DISTINCT {col} AS v FROM {table})) AS BIGINT)
+         AS dict_value_bytes
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)

@@ -449,3 +449,91 @@ reach AS (
   FROM reach r JOIN edges e ON e.a = r.doc_id
 )
 SELECT doc_id, min(comp) AS component FROM reach GROUP BY doc_id"""
+
+
+def graph_assortativity(sf_dir: str, min_support: int = 5):
+    """Degree-assortativity SUFFICIENT STATISTICS of the supplier
+    co-occurrence graph: over the (support-thresholded) edge set, the
+    exact integer Newman numerators — n_edges, sum(du*dv),
+    sum(du+dv), sum(du^2+dv^2) — from which the fp assortativity
+    coefficient r = (M*Σdudv − (Σd/2)²·4/M…) is computed downstream.
+    Positive r = hubs link hubs; the mixing-structure audit next to
+    the triangle/PageRank/HITS family.
+
+    Shape: the shared edge builder (one orderkey-keyed exchange),
+    a node-domain degree aggregate, two adaptive degree attaches
+    (the triangle_counts pattern), then single-row per-batch partials.
+    """
+    from ..util import collect_small_arrow
+    from .dimjoin import attach_dim_adaptive
+    from .exact_agg import grouped_aggregate
+
+    edges = supplier_cooccurrence_edges(sf_dir)
+    edges = edges.map_batches(
+        lambda t, s=min_support: t.filter(
+            pc.greater_equal(t.column("n_orders"),
+                             pa.scalar(s, pa.int64())))
+        .select(["a", "b"]), batch_format="pyarrow").materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            pc.cast(t.column("a"), pa.int64()).combine_chunks(),
+            pc.cast(t.column("b"), pa.int64()).combine_chunks()])})
+
+    degrees = grouped_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], [("node", "count", "deg")])
+    deg_a = degrees.map_batches(
+        lambda t: t.rename_columns(["na", "deg_a"]),
+        batch_format="pyarrow")
+    deg_b = degrees.map_batches(
+        lambda t: t.rename_columns(["nb", "deg_b"]),
+        batch_format="pyarrow")
+    ed = attach_dim_adaptive(
+        attach_dim_adaptive(edges, "a", deg_a, "na", ["deg_a"],
+                            how="inner"),
+        "b", deg_b, "nb", ["deg_b"], how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        du = t.column("deg_a").to_numpy().astype(np.int64)
+        dv = t.column("deg_b").to_numpy().astype(np.int64)
+        return pa.table({
+            "n_edges": pa.array([len(du)], pa.int64()),
+            "sum_dudv": pa.array([int((du * dv).sum())], pa.int64()),
+            "sum_d": pa.array([int((du + dv).sum())], pa.int64()),
+            "sum_d2": pa.array([int((du * du + dv * dv).sum())],
+                               pa.int64())})
+
+    s = collect_small_arrow(ed.map_batches(
+        partial, batch_format="pyarrow")).to_pandas().sum()
+    import pandas as pd
+
+    return pd.DataFrame({
+        "n_edges": pd.Series([int(s.n_edges)], dtype="int64"),
+        "sum_dudv": pd.Series([int(s.sum_dudv)], dtype="int64"),
+        "sum_d": pd.Series([int(s.sum_d)], dtype="int64"),
+        "sum_d2": pd.Series([int(s.sum_d2)], dtype="int64")})
+
+
+def graph_assortativity_sql(min_support: int = 5) -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT x AS node FROM pairs
+        UNION ALL SELECT y FROM pairs)
+  GROUP BY node),
+e AS (
+  SELECT dx.d AS du, dy.d AS dv
+  FROM pairs p JOIN deg dx ON dx.node = p.x
+               JOIN deg dy ON dy.node = p.y)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(du * dv) AS BIGINT) AS sum_dudv,
+       CAST(sum(du + dv) AS BIGINT) AS sum_d,
+       CAST(sum(du * du + dv * dv) AS BIGINT) AS sum_d2
+FROM e"""
