@@ -1139,6 +1139,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dict_encoding_audit)
         return dict_encoding_audit(sf_dir)
 
+    def q_session_bounce_rate(sf_dir):
+        # entry-page quality: shared sessionization cut, landing type
+        # at session starts, bincount bounce test; one exchange
+        return OL.session_bounce_rate(sf_dir)
+
+    def q_events_interarrival_log2(sf_dir):
+        # observability latency histogram: exact bit-length buckets
+        # (vectorized doubling vs length(bin()) — no IEEE log2)
+        return OL.events_interarrival_log2(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1575,7 +1585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # customer_peak_open_orders, orders_fiscal_445,
         # embedding_gram_matrix, user_conversion_survival,
         # discount_cap_whatif, source_weighted_jaccard,
-        # graph_assortativity, dict_encoding_audit) —
+        # graph_assortativity, dict_encoding_audit,
+        # session_bounce_rate, events_interarrival_log2) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1762,6 +1773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_weighted_jaccard": q_source_weighted_jaccard,
         "graph_assortativity": q_graph_assortativity,
         "dict_encoding_audit": q_dict_encoding_audit,
+        "session_bounce_rate": q_session_bounce_rate,
+        "events_interarrival_log2": q_events_interarrival_log2,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2782,6 +2795,8 @@ def oracle_sql() -> dict[str, str]:
         "source_weighted_jaccard": _T.source_weighted_jaccard_sql(),
         "graph_assortativity": _graph_assortativity_sql(),
         "dict_encoding_audit": _dict_encoding_audit_sql(),
+        "session_bounce_rate": _OL.session_bounce_rate_sql(),
+        "events_interarrival_log2": _OL.events_interarrival_log2_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -3833,3 +3833,176 @@ SELECT CAST({c} AS BIGINT) AS cap_bp,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem""")
     return "\nUNION ALL\n".join(parts)
+
+
+def session_bounce_rate(sf_dir: str, gap_s: int = 1800,
+                        coarse: int = 1024):
+    """Bounce-rate by landing event type: sessions (30-min idle cut,
+    event_id tiebreak — the shared sessionization rule) grouped by
+    their FIRST event's type, reporting sessions and single-event
+    bounces per landing type — the entry-page quality report.
+
+    Shape: one user-keyed exchange; per bucket the session cut is the
+    shared lexsort + gap cumsum, the landing type is the row at each
+    session start, and the bounce test is a session-length bincount;
+    output is type-domain.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    gap_us = gap_s * 1_000_000
+
+    def rows(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("user_id"), pa.int64())
+        return pa.table({
+            "user_id": keys,
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def bounce(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"landing_type": pd.Series(dtype="object"),
+                "n_sessions": pd.Series(dtype="int64"),
+                "n_bounces": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        new_sess = new_user | (gap > gap_us)
+        sid = np.cumsum(new_sess) - 1
+        n_sess = int(sid[-1]) + 1
+        sizes = np.bincount(sid, minlength=n_sess)
+        landing = et[new_sess]
+        out = pd.DataFrame({"landing_type": landing,
+                            "n_sessions": np.ones(n_sess, np.int64),
+                            "n_bounces": (sizes == 1).astype("int64")})
+        return out.groupby("landing_type", as_index=False).sum()
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    parts = (ev.map_batches(rows, batch_format="pyarrow")
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(bounce, batch_format="pandas"))
+    return grouped_aggregate(parts, ["landing_type"],
+                             [("n_sessions", "sum", "n_sessions"),
+                              ("n_bounces", "sum", "n_bounces")])
+
+
+def session_bounce_rate_sql(gap_s: int = 1800) -> str:
+    return f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {gap_s} * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+p AS (
+  SELECT user_id, sid,
+         min_by(event_type, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                            + event_id) AS landing_type,
+         count(*) AS n
+  FROM s GROUP BY user_id, sid)
+SELECT landing_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_bounces
+FROM p GROUP BY landing_type"""
+
+
+def events_interarrival_log2(sf_dir: str, coarse: int = 1024):
+    """Latency-histogram (observability) shape: per event type, the
+    log2-bucketed distribution of same-user interarrival gaps —
+    bucket = bit_length(gap_us) - 1 = floor(log2 gap), computed EXACTLY
+    on both sides (vectorized doubling bit-length on the engine,
+    length(bin(gap)) string arithmetic in the oracle — IEEE log2 at
+    power-of-two boundaries is exactly the kind of fp the repo bans).
+
+    Shape: one user-keyed exchange, vectorized lag inside the bucket,
+    (type, bucket)-domain counts out.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import shuffle_partitions
+
+    def rows(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("user_id"), pa.int64())
+        return pa.table({
+            "user_id": keys,
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def _bit_length(x: np.ndarray) -> np.ndarray:
+        # exact vectorized bit length (doubling trick, no fp log)
+        b = np.zeros(len(x), np.int64)
+        v = x.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            m = v >= (1 << s)
+            b[m] += s
+            v[m] >>= s
+        return b + (v > 0)
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series(dtype="object"),
+                "log2_bucket": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        same = np.concatenate(([False], u[1:] == u[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        sel = same & (gap > 0)
+        bucket = _bit_length(gap[sel]) - 1
+        out = pd.DataFrame({"event_type": et[sel],
+                            "log2_bucket": bucket.astype("int64"),
+                            "n": np.ones(int(sel.sum()), np.int64)})
+        return out.groupby(["event_type", "log2_bucket"],
+                           as_index=False).sum()
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    parts = (ev.map_batches(rows, batch_format="pyarrow")
+             .groupby("__coarse", num_partitions=shuffle_partitions())
+             .map_groups(hist, batch_format="pandas"))
+    return grouped_aggregate(parts, ["event_type", "log2_bucket"],
+                             [("n", "sum", "n")])
+
+
+def events_interarrival_log2_sql() -> str:
+    return """
+WITH l AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events),
+b AS (
+  SELECT event_type,
+         CAST(length(bin(gap_us)) - 1 AS BIGINT) AS log2_bucket
+  FROM l WHERE gap_us IS NOT NULL AND gap_us > 0)
+SELECT event_type, log2_bucket, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY event_type, log2_bucket"""
