@@ -1149,6 +1149,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (vectorized doubling vs length(bin()) — no IEEE log2)
         return OL.events_interarrival_log2(sf_dir)
 
+    def q_multiformat_union_read(sf_dir):
+        # heterogeneous lake: parquet/JSONL/IPC shards written by rule,
+        # read by three readers, unioned; accounting equals the source
+        from yj_schema_validator_ray.pipelines.curation import (
+            multiformat_union_read)
+        return multiformat_union_read(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1586,7 +1593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding_gram_matrix, user_conversion_survival,
         # discount_cap_whatif, source_weighted_jaccard,
         # graph_assortativity, dict_encoding_audit,
-        # session_bounce_rate, events_interarrival_log2) —
+        # session_bounce_rate, events_interarrival_log2,
+        # multiformat_union_read) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1775,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_encoding_audit": q_dict_encoding_audit,
         "session_bounce_rate": q_session_bounce_rate,
         "events_interarrival_log2": q_events_interarrival_log2,
+        "multiformat_union_read": q_multiformat_union_read,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2096,6 +2105,13 @@ def _dict_encoding_audit_sql() -> str:
         dict_encoding_audit_sql)
 
     return dict_encoding_audit_sql()
+
+
+def _multiformat_union_read_sql() -> str:
+    from yj_schema_validator_ray.pipelines.curation import (
+        multiformat_union_read_sql)
+
+    return multiformat_union_read_sql()
 
 
 def _shuffle_certificate_sql() -> str:
@@ -2797,6 +2813,7 @@ def oracle_sql() -> dict[str, str]:
         "dict_encoding_audit": _dict_encoding_audit_sql(),
         "session_bounce_rate": _OL.session_bounce_rate_sql(),
         "events_interarrival_log2": _OL.events_interarrival_log2_sql(),
+        "multiformat_union_read": _multiformat_union_read_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -1667,3 +1667,98 @@ SELECT '{table}.{col}' AS column_name,
          AS dict_value_bytes
 FROM {table}""")
     return "\nUNION ALL\n".join(parts)
+
+
+def multiformat_union_read(sf_dir: str, out_dir: str | None = None):
+    """Heterogeneous-lake federated ingestion: the documents table is
+    deterministically SPLIT into three format shards (doc_id % 3 ->
+    parquet / JSONL / Arrow-IPC), each written with its native sink,
+    then read back through the three format readers and UNIONED into
+    one logical dataset whose per-lang accounting must equal the
+    original table — the "mixed-format lake behind one Dataset" story
+    a migration-era corpus always needs.
+
+    Shape: three partition-pruned writes (one shard set per format),
+    three streaming readers, one union, the shared per-lang
+    accounting; nothing ever collects beyond lang-domain partials.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.feather as feather
+    import ray.data
+
+    cleanup = out_dir is None
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="yjsv_multifmt_")
+    pq_dir = os.path.join(out_dir, "pq")
+    jl_dir = os.path.join(out_dir, "jl")
+    fe_dir = os.path.join(out_dir, "fe")
+    for d in (pq_dir, jl_dir, fe_dir):
+        os.makedirs(d, exist_ok=True)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+    try:
+        def write_shards(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
+            m = ids % 3
+            parts = [t.filter(pa.array(m == r)) for r in range(3)]
+            u = uuid.uuid4().hex
+            import pyarrow.parquet as pqw
+
+            if parts[0].num_rows:
+                pqw.write_table(parts[0],
+                                os.path.join(pq_dir, f"p-{u}.parquet"))
+            if parts[1].num_rows:
+                with open(os.path.join(jl_dir, f"p-{u}.jsonl"),
+                          "w") as f:
+                    for row in parts[1].to_pylist():
+                        f.write(json.dumps(row) + "\n")
+            if parts[2].num_rows:
+                feather.write_feather(
+                    parts[2], os.path.join(fe_dir, f"p-{u}.feather"))
+            return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+        manifest = docs.map_batches(write_shards, batch_size=None,
+                                    batch_format="pyarrow").to_pandas()
+        assert manifest["rows"].sum() > 0
+
+        back_pq = ray.data.read_parquet(pq_dir)
+        back_jl = ray.data.read_json(jl_dir)
+
+        def fe_decode(t: pa.Table) -> pa.Table:
+            tabs = [feather.read_table(pa.BufferReader(b.as_py()))
+                    for b in t.column("bytes")]
+            return pa.concat_tables(tabs)
+
+        back_fe = (ray.data.read_binary_files(fe_dir)
+                   .map_batches(fe_decode, batch_format="pyarrow"))
+
+        def norm(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "lang": pc.cast(t.column("lang"), pa.string()),
+                "text": pc.cast(t.column("text"), pa.string())})
+
+        unioned = (back_pq.map_batches(norm, batch_format="pyarrow")
+                   .union(back_jl.map_batches(norm,
+                                              batch_format="pyarrow"))
+                   .union(back_fe.map_batches(norm,
+                                              batch_format="pyarrow")))
+        out = _lang_accounting(unioned)
+        out = out.drop(columns=["text_xor"])
+    finally:
+        if cleanup:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+def multiformat_union_read_sql() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang"""
