@@ -1156,6 +1156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             multiformat_union_read)
         return multiformat_union_read(sf_dir)
 
+    def q_nation_revenue_share_bp(sf_dir):
+        # percent-of-parent hierarchy share: custkey exchange ->
+        # nation fold -> region-share floor-div bp off the 25-row dim
+        return R.nation_revenue_share_bp(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1594,7 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # discount_cap_whatif, source_weighted_jaccard,
         # graph_assortativity, dict_encoding_audit,
         # session_bounce_rate, events_interarrival_log2,
-        # multiformat_union_read) —
+        # multiformat_union_read, nation_revenue_share_bp) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1784,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_bounce_rate": q_session_bounce_rate,
         "events_interarrival_log2": q_events_interarrival_log2,
         "multiformat_union_read": q_multiformat_union_read,
+        "nation_revenue_share_bp": q_nation_revenue_share_bp,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2814,6 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         "session_bounce_rate": _OL.session_bounce_rate_sql(),
         "events_interarrival_log2": _OL.events_interarrival_log2_sql(),
         "multiformat_union_read": _multiformat_union_read_sql(),
+        "nation_revenue_share_bp": R.nation_revenue_share_bp_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -3188,3 +3188,114 @@ SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
        CAST(count(*) AS BIGINT) AS n_parts,
        CAST(sum(rev) AS BIGINT) AS revenue_e4
 FROM c GROUP BY 1"""
+
+
+def nation_revenue_share_bp(sf_dir: str, coarse: int = 1024):
+    """Two-level hierarchy share: each nation's customer-order revenue
+    as exact integer cents plus its share of the REGION total in
+    floor-div basis points — the percent-of-parent rollup every
+    geo/org hierarchy report needs (the relational companion of the
+    lang/source ratio-to-report).
+
+    Shape: order-grain cents partials co-locate with the customer side
+    through one custkey coarse exchange (the customer_order_totals
+    shape); nation-domain partials fold through a second tiny
+    exchange; the region share is a 25-row driver fold off the nation
+    table.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow, shuffle_partitions
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    n2r = dict(zip(nat.column("n_nationkey").to_pylist(),
+                   nat.column("n_regionkey").to_pylist()))
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("c_custkey"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "k": keys,
+            "nation": pc.cast(t.column("c_nationkey"), pa.int64()),
+            "cents": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(keys.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def order_side(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"k": pc.cast(t.column("o_custkey"), pa.int64()),
+                       "cents": cents})
+             .group_by(["k"]).aggregate([("cents", "sum")])
+             .rename_columns(["k", "cents"]))
+        kk = g.column("k")
+        n = g.num_rows
+        return pa.table({
+            "k": kk, "nation": pa.array(np.zeros(n, np.int64)),
+            "cents": g.column("cents"),
+            "side": pa.array(np.ones(n, np.int64)),
+            "__coarse": pa.array(coarse_mix(kk.to_numpy(), coarse - 1),
+                                 pa.int64())})
+
+    def per_nation(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"nation": pd.Series(dtype="int64"),
+                "revenue_cents": pd.Series(dtype="int64")}
+        if g.empty or not (g["side"] == 0).any():
+            return pd.DataFrame(cols)
+        c = g.loc[g["side"] == 0, ["k", "nation"]]
+        o = (g.loc[g["side"] == 1, ["k", "cents"]]
+             .groupby("k", as_index=False).sum())
+        j = c.merge(o, on="k", how="inner")
+        r = (j.groupby("nation", as_index=False)["cents"].sum()
+             .rename(columns={"cents": "revenue_cents"}))
+        return r.astype({"nation": "int64", "revenue_cents": "int64"})
+
+    c = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+         .map_batches(cust_side, batch_format="pyarrow"))
+    o = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+         .map_batches(order_side, batch_format="pyarrow"))
+    per = collect_small_arrow(grouped_aggregate(
+        (c.union(o)
+         .groupby("__coarse", num_partitions=shuffle_partitions())
+         .map_groups(per_nation, batch_format="pandas")),
+        ["nation"], [("revenue_cents", "sum", "revenue_cents")])) \
+        .to_pandas()
+    per["region"] = per["nation"].map(lambda v: n2r[int(v)])
+    reg_tot = per.groupby("region")["revenue_cents"].transform("sum")
+    per["share_bp"] = (per["revenue_cents"] * 10_000
+                       // reg_tot).astype("int64")
+    out = per.rename(columns={"nation": "n_nationkey",
+                              "region": "r_regionkey"})
+    for col in ("n_nationkey", "r_regionkey", "revenue_cents",
+                "share_bp"):
+        out[col] = out[col].astype("int64")
+    return out[["n_nationkey", "r_regionkey", "revenue_cents",
+                "share_bp"]].sort_values("n_nationkey") \
+        .reset_index(drop=True)
+
+
+def nation_revenue_share_bp_sql() -> str:
+    return """
+WITH per AS (
+  SELECT c.c_nationkey AS n_nationkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey),
+j AS (
+  SELECT per.n_nationkey, n.n_regionkey, per.revenue_cents,
+         sum(per.revenue_cents) OVER (PARTITION BY n.n_regionkey)
+           AS reg_tot
+  FROM per JOIN nation n ON n.n_nationkey = per.n_nationkey)
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(n_regionkey AS BIGINT) AS r_regionkey,
+       revenue_cents,
+       CAST(revenue_cents * 10000 // reg_tot AS BIGINT) AS share_bp
+FROM j"""
