@@ -1161,6 +1161,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nation fold -> region-share floor-div bp off the 25-row dim
         return R.nation_revenue_share_bp(sf_dir)
 
+    def q_sequence_gap_audit(sf_dir):
+        # distributed max-adjacent-gap WITHOUT a global sort: range
+        # buckets + driver-stitched boundary gaps, post-delete keys
+        from yj_schema_validator_ray.pipelines.constraints import (
+            sequence_gap_audit)
+        return sequence_gap_audit(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1599,7 +1606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # discount_cap_whatif, source_weighted_jaccard,
         # graph_assortativity, dict_encoding_audit,
         # session_bounce_rate, events_interarrival_log2,
-        # multiformat_union_read, nation_revenue_share_bp) —
+        # multiformat_union_read, nation_revenue_share_bp,
+        # sequence_gap_audit) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1790,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival_log2": q_events_interarrival_log2,
         "multiformat_union_read": q_multiformat_union_read,
         "nation_revenue_share_bp": q_nation_revenue_share_bp,
+        "sequence_gap_audit": q_sequence_gap_audit,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2118,6 +2127,13 @@ def _multiformat_union_read_sql() -> str:
         multiformat_union_read_sql)
 
     return multiformat_union_read_sql()
+
+
+def _sequence_gap_audit_sql() -> str:
+    from yj_schema_validator_ray.pipelines.constraints import (
+        sequence_gap_audit_sql)
+
+    return sequence_gap_audit_sql()
 
 
 def _shuffle_certificate_sql() -> str:
@@ -2821,6 +2837,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival_log2": _OL.events_interarrival_log2_sql(),
         "multiformat_union_read": _multiformat_union_read_sql(),
         "nation_revenue_share_bp": R.nation_revenue_share_bp_sql(),
+        "sequence_gap_audit": _sequence_gap_audit_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

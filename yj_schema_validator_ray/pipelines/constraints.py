@@ -814,3 +814,109 @@ SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_classes,
        CAST((SELECT sum(({k} * n - t.nt) * ({k} * n - t.nt)) FROM c)
             AS BIGINT) AS chi2_num
 FROM t"""
+
+
+def sequence_gap_audit(sf_dir: str, coarse: int = 1024):
+    """Surrogate-key continuity audit: distinct keys, span,
+    missing-count (span − distinct) and the LARGEST adjacent gap — the
+    id-sequence health check (bulk-load holes, partition loss) that
+    naively needs a global sort.  Audited over the keys RETAINED after
+    the governance cascade delete (the md5-rule on o_custkey), so the
+    corpus's dense surrogate sequence actually exhibits holes — the
+    exact after-deletion state a continuity audit runs on.
+
+    Distributed max-adjacent-gap WITHOUT sorting globally: pass 1 is a
+    (min, max, distinct-count) aggregate; pass 2 range-buckets keys by
+    (key − min) * C // (span), takes each bucket's vectorized in-bucket
+    max gap plus its (min, max), and the driver stitches the C
+    cross-bucket boundary gaps (bucket-domain state).  Empty buckets
+    between occupied ones fold into the boundary gaps naturally.
+    """
+    import pandas as pd
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow, shuffle_partitions
+
+    from ..pipelines.governance import DELETE_RATE, _rule_mask
+    from ..stages.sampling import _hex_threshold
+
+    thr = _hex_threshold(DELETE_RATE)
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        keep = pc.invert(_rule_mask(
+            pc.cast(t.column("o_custkey"), pa.int64()), thr))
+        return pa.table({"k": pa.array(np.unique(
+            pc.cast(t.filter(keep).column("o_orderkey"),
+                    pa.int64()).to_numpy()), pa.int64())})
+
+    dist = grouped_aggregate(
+        ds.map_batches(distinct_rows, batch_format="pyarrow"),
+        ["k"], [("", "count", "n")]).materialize()
+
+    mm = collect_small_arrow(dist.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([int(pc.min(t.column("k")).as_py())],
+                           pa.int64()),
+            "hi": pa.array([int(pc.max(t.column("k")).as_py())],
+                           pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow")).to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    n_distinct = int(mm["n"].sum())
+    span = hi - lo + 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy()
+        b = (k - lo) * coarse // max(span, 1)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "__coarse": pa.array(
+                             np.minimum(b, coarse - 1), pa.int64())})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"bmin": pd.Series(dtype="int64"),
+                "bmax": pd.Series(dtype="int64"),
+                "max_gap_in": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        k = np.sort(g["k"].to_numpy())
+        gap = int(np.diff(k).max()) if len(k) > 1 else 0
+        return pd.DataFrame({"bmin": [int(k[0])], "bmax": [int(k[-1])],
+                             "max_gap_in": [gap]})
+
+    stats = collect_small_arrow(
+        (dist.map_batches(bucketize, batch_format="pyarrow")
+         .groupby("__coarse", num_partitions=shuffle_partitions())
+         .map_groups(bucket_stats, batch_format="pandas"))).to_pandas()
+    stats = stats.sort_values("bmin").reset_index(drop=True)
+    max_gap = int(stats["max_gap_in"].max())
+    if len(stats) > 1:
+        cross = (stats["bmin"].to_numpy()[1:]
+                 - stats["bmax"].to_numpy()[:-1])
+        max_gap = max(max_gap, int(cross.max()))
+    return pd.DataFrame({
+        "n_distinct": pd.Series([n_distinct], dtype="int64"),
+        "key_span": pd.Series([span], dtype="int64"),
+        "n_missing": pd.Series([span - n_distinct], dtype="int64"),
+        "max_gap": pd.Series([max_gap], dtype="int64")})
+
+
+def sequence_gap_audit_sql() -> str:
+    from ..pipelines.governance import DELETE_RATE
+    from ..stages.sampling import _hex_threshold
+
+    thr = _hex_threshold(DELETE_RATE)
+    return f"""
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+                 >= '{thr}'),
+g AS (SELECT k - lag(k) OVER (ORDER BY k) AS gap FROM k)
+SELECT CAST((SELECT count(*) FROM k) AS BIGINT) AS n_distinct,
+       CAST((SELECT max(k) - min(k) + 1 FROM k) AS BIGINT) AS key_span,
+       CAST((SELECT max(k) - min(k) + 1 - count(*) FROM k) AS BIGINT)
+         AS n_missing,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+FROM g"""
