@@ -72,3 +72,44 @@ def test_largest_remainder_is_within_one_cent_of_proportional():
     alloc[order[:rem]] += 1
     assert int(alloc.sum()) == total
     assert np.all(np.abs(alloc - total * ext / se) < 1.0)
+
+
+def test_wave13_embedding_ops_are_repartition_invariant(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from yj_schema_validator_ray.pipelines.olap import (
+        embedding_gram_matrix, embedding_label_scatter)
+
+    def emb(cols, nblocks=None):
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet", columns=cols)
+        return ds.repartition(nblocks) if nblocks else ds
+
+    cases = [(embedding_gram_matrix, ["embedding"]),
+             (embedding_label_scatter, ["embedding", "label"])]
+    for fn, cols in cases:
+        a = fn(emb(cols)).to_pandas()
+        b = fn(emb(cols, 7)).to_pandas()
+        a = a.sort_values(list(a.columns)).reset_index(drop=True)
+        b = b.sort_values(list(b.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_like=True,
+                                      obj=fn.__name__)
+
+
+def test_weighted_jaccard_is_repartition_invariant(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from yj_schema_validator_ray.stages.text import (
+        source_weighted_jaccard)
+
+    def docs(nblocks=None):
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "source"])
+        return ds.repartition(nblocks) if nblocks else ds
+
+    a = source_weighted_jaccard(docs()).reset_index(drop=True)
+    b = source_weighted_jaccard(docs(7)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
