@@ -1168,6 +1168,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sequence_gap_audit)
         return sequence_gap_audit(sf_dir)
 
+    def q_dedup_idempotence(sf_dir):
+        # algebraic-law certificate: dedup(dedup(X)) == dedup(X);
+        # two sha-keyed exchanges, counts only
+        return D.dedup_idempotence(docs(sf_dir))
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1607,7 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph_assortativity, dict_encoding_audit,
         # session_bounce_rate, events_interarrival_log2,
         # multiformat_union_read, nation_revenue_share_bp,
-        # sequence_gap_audit) —
+        # sequence_gap_audit, dedup_idempotence) —
         # all local-harness + sf0.01 driver-mimic
         # green; rotate these into the window next round, then the
         # stalest r02 pool.
@@ -1799,6 +1804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiformat_union_read": q_multiformat_union_read,
         "nation_revenue_share_bp": q_nation_revenue_share_bp,
         "sequence_gap_audit": q_sequence_gap_audit,
+        "dedup_idempotence": q_dedup_idempotence,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2079,6 +2085,12 @@ def _dedup_keep_best_sql() -> str:
     from yj_schema_validator_ray.stages.dedup import dedup_keep_best_sql
 
     return dedup_keep_best_sql()
+
+
+def _dedup_idempotence_sql() -> str:
+    from yj_schema_validator_ray.stages.dedup import dedup_idempotence_sql
+
+    return dedup_idempotence_sql()
 
 
 def _source_nucleus_sql() -> str:
@@ -2838,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         "multiformat_union_read": _multiformat_union_read_sql(),
         "nation_revenue_share_bp": R.nation_revenue_share_bp_sql(),
         "sequence_gap_audit": _sequence_gap_audit_sql(),
+        "dedup_idempotence": _dedup_idempotence_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -1649,3 +1649,80 @@ SELECT text_sha,
        'src' || CAST(19 - (packed // {_PACK}) AS VARCHAR) AS keep_source,
        n_copies
 FROM p"""
+
+
+def dedup_idempotence(docs_ds):
+    """Algebraic-law certificate: exact dedup is IDEMPOTENT —
+    dedup(dedup(X)) keeps exactly what dedup(X) keeps.  The engine
+    runs the keep-min-id dedup twice (the second pass over the first
+    pass's kept ids re-joined to their rows) and reports
+    (n_input, n_after_once, n_after_twice, idempotent) — the
+    maintenance guarantee that re-running a dedup job on an
+    already-deduped corpus is a no-op (safe to re-run after a partial
+    failure without a tombstone log).
+
+    Shape: two sha-keyed partial exchanges over the augmented corpus
+    (the dedup_exact shape, twice); counts only — text never collects.
+    """
+    import pandas as pd
+
+    from ..util import collect_small_arrow
+    from .exact_agg import grouped_aggregate
+
+    def aug(ds):
+        def shifted(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            sel = t.filter(pa.array(ids % 100 < 5))
+            return pa.table({
+                "doc_id": pa.array(sel.column("doc_id").to_numpy()
+                                   + 1_000_000, pa.int64()),
+                "text": sel.column("text")})
+
+        return ds.union(ds.map_batches(shifted, batch_format="pyarrow"))
+
+    def dedup_once(ds):
+        def sha_rows(t: pa.Table) -> pa.Table:
+            b = add_text_sha(t.select(["doc_id", "text"]))
+            return b.select(["text_sha", "doc_id"])
+
+        kept = grouped_aggregate(
+            ds.map_batches(sha_rows, batch_format="pyarrow"),
+            ["text_sha"], [("doc_id", "min", "doc_id")])
+        return kept  # (text_sha, doc_id)
+
+    def count(ds):
+        return int(collect_small_arrow(ds.map_batches(
+            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow")).to_pandas()["n"].sum())
+
+    a = aug(docs_ds).materialize()
+    n_input = count(a)
+    once = dedup_once(a).materialize()
+    n_once = count(once)
+    # second pass: the kept (sha, id) rows ARE the dedup key space; a
+    # second keyed reduce over them must change nothing
+    twice = grouped_aggregate(once, ["text_sha"],
+                              [("doc_id", "min", "doc_id")])
+    n_twice = count(twice)
+    return pd.DataFrame({
+        "n_input": pd.Series([n_input], dtype="int64"),
+        "n_after_once": pd.Series([n_once], dtype="int64"),
+        "n_after_twice": pd.Series([n_twice], dtype="int64"),
+        "idempotent": pd.Series([n_once == n_twice], dtype="bool")})
+
+
+def dedup_idempotence_sql() -> str:
+    return """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 100 < 5),
+once AS (SELECT sha256(text) AS s, min(doc_id) AS doc_id
+         FROM aug GROUP BY sha256(text))
+SELECT CAST((SELECT count(*) FROM aug) AS BIGINT) AS n_input,
+       CAST((SELECT count(*) FROM once) AS BIGINT) AS n_after_once,
+       CAST((SELECT count(*) FROM
+             (SELECT s, min(doc_id) FROM once GROUP BY s)) AS BIGINT)
+         AS n_after_twice,
+       TRUE AS idempotent"""
