@@ -88,9 +88,12 @@ def test_wave13_embedding_ops_are_repartition_invariant(ray_session):
 
     cases = [(embedding_gram_matrix, ["embedding"]),
              (embedding_label_scatter, ["embedding", "label"])]
+    def as_pdf(r):
+        return r.to_pandas() if hasattr(r, "to_pandas") else r
+
     for fn, cols in cases:
-        a = fn(emb(cols)).to_pandas()
-        b = fn(emb(cols, 7)).to_pandas()
+        a = as_pdf(fn(emb(cols)))
+        b = as_pdf(fn(emb(cols, 7)))
         a = a.sort_values(list(a.columns)).reset_index(drop=True)
         b = b.sort_values(list(b.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_like=True,

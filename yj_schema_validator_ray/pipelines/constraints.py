@@ -857,14 +857,22 @@ def sequence_gap_audit(sf_dir: str, coarse: int = 1024):
         ds.map_batches(distinct_rows, batch_format="pyarrow"),
         ["k"], [("", "count", "n")]).materialize()
 
-    mm = collect_small_arrow(dist.map_batches(
-        lambda t: pa.table({
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        # post-exchange blocks can be schema-bearing but ZERO-row
+        # (unoccupied coarse partitions) — pc.min on them is null
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
             "lo": pa.array([int(pc.min(t.column("k")).as_py())],
                            pa.int64()),
             "hi": pa.array([int(pc.max(t.column("k")).as_py())],
                            pa.int64()),
-            "n": pa.array([t.num_rows], pa.int64())}),
-        batch_format="pyarrow")).to_pandas()
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    mm = collect_small_arrow(dist.map_batches(
+        minmax_partial, batch_format="pyarrow")).to_pandas()
     lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
     n_distinct = int(mm["n"].sum())
     span = hi - lo + 1

@@ -816,6 +816,34 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY lang"""
 
 
+def _block_shard_stem(t: pa.Table) -> str:
+    """Deterministic per-block shard name stem: a content hash of the
+    block's doc_id vector.  A Ray task RETRY re-executes the same block
+    -> same stem, so combined with :func:`_atomic_write` the retry
+    OVERWRITES the first attempt instead of leaving a duplicate (uuid
+    names double-counted the read-back after worker-death retries)."""
+    ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
+    return hashlib.md5(ids.tobytes()).hexdigest()
+
+
+def _atomic_write(path: str, writer) -> None:
+    """temp-file + ``os.replace`` shard write: a dying writer never
+    leaves a partial file under the final name, and a retried task
+    replaces rather than duplicates.  Readers additionally filter by
+    ``file_extensions`` so an orphaned ``.tmp-*`` from a hard-killed
+    worker is never read back."""
+    import os
+    import uuid
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    try:
+        writer(tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def docs_orc_roundtrip(sf_dir: str, out_dir: str | None = None,
                        checksum: bool = False):
     """ORC sink/source coverage.  Ray ships no native ORC I/O, so this
@@ -831,7 +859,6 @@ def docs_orc_roundtrip(sf_dir: str, out_dir: str | None = None,
     import os
     import shutil
     import tempfile
-    import uuid
 
     import pyarrow.orc as orc
     import ray.data
@@ -844,8 +871,9 @@ def docs_orc_roundtrip(sf_dir: str, out_dir: str | None = None,
                                  columns=["doc_id", "lang", "text"])
     try:
         def write_shard(t: pa.Table) -> pa.Table:
-            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.orc")
-            orc.write_table(t, path)
+            path = os.path.join(out_dir,
+                                f"part-{_block_shard_stem(t)}.orc")
+            _atomic_write(path, lambda p: orc.write_table(t, p))
             return pa.table({"path": pa.array([path], pa.string()),
                              "rows": pa.array([t.num_rows], pa.int64())})
 
@@ -861,7 +889,8 @@ def docs_orc_roundtrip(sf_dir: str, out_dir: str | None = None,
                     for b in t.column("bytes")]
             return pa.concat_tables(tabs)
 
-        back = (ray.data.read_binary_files(out_dir)
+        back = (ray.data.read_binary_files(
+                    out_dir, file_extensions=["orc"])
                 .map_batches(decode, batch_format="pyarrow"))
         out = _lang_accounting(back)
         if not checksum:
@@ -1422,7 +1451,6 @@ def docs_feather_roundtrip(sf_dir: str, out_dir: str | None = None,
     import os
     import shutil
     import tempfile
-    import uuid
 
     import pyarrow.feather as feather
     import ray.data
@@ -1436,8 +1464,9 @@ def docs_feather_roundtrip(sf_dir: str, out_dir: str | None = None,
     try:
         def write_shard(t: pa.Table) -> pa.Table:
             path = os.path.join(out_dir,
-                                f"part-{uuid.uuid4().hex}.feather")
-            feather.write_feather(t, path)
+                                f"part-{_block_shard_stem(t)}.feather")
+            _atomic_write(path,
+                          lambda p: feather.write_feather(t, p))
             return pa.table({"path": pa.array([path], pa.string()),
                              "rows": pa.array([t.num_rows], pa.int64())})
 
@@ -1451,7 +1480,8 @@ def docs_feather_roundtrip(sf_dir: str, out_dir: str | None = None,
                     for b in t.column("bytes")]
             return pa.concat_tables(tabs)
 
-        back = (ray.data.read_binary_files(out_dir)
+        back = (ray.data.read_binary_files(
+                    out_dir, file_extensions=["feather"])
                 .map_batches(decode, batch_format="pyarrow"))
         out = _lang_accounting(back)
         if not checksum:
@@ -1686,7 +1716,6 @@ def multiformat_union_read(sf_dir: str, out_dir: str | None = None):
     import os
     import shutil
     import tempfile
-    import uuid
 
     import pyarrow.feather as feather
     import ray.data
@@ -1707,35 +1736,41 @@ def multiformat_union_read(sf_dir: str, out_dir: str | None = None):
             ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
             m = ids % 3
             parts = [t.filter(pa.array(m == r)) for r in range(3)]
-            u = uuid.uuid4().hex
+            u = _block_shard_stem(t)
             import pyarrow.parquet as pqw
 
             if parts[0].num_rows:
-                pqw.write_table(parts[0],
-                                os.path.join(pq_dir, f"p-{u}.parquet"))
+                _atomic_write(
+                    os.path.join(pq_dir, f"p-{u}.parquet"),
+                    lambda p: pqw.write_table(parts[0], p))
             if parts[1].num_rows:
-                with open(os.path.join(jl_dir, f"p-{u}.jsonl"),
-                          "w") as f:
-                    for row in parts[1].to_pylist():
-                        f.write(json.dumps(row) + "\n")
+                def _write_jsonl(p):
+                    with open(p, "w") as f:
+                        for row in parts[1].to_pylist():
+                            f.write(json.dumps(row) + "\n")
+                _atomic_write(os.path.join(jl_dir, f"p-{u}.jsonl"),
+                              _write_jsonl)
             if parts[2].num_rows:
-                feather.write_feather(
-                    parts[2], os.path.join(fe_dir, f"p-{u}.feather"))
+                _atomic_write(
+                    os.path.join(fe_dir, f"p-{u}.feather"),
+                    lambda p: feather.write_feather(parts[2], p))
             return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
         manifest = docs.map_batches(write_shards, batch_size=None,
                                     batch_format="pyarrow").to_pandas()
         assert manifest["rows"].sum() > 0
 
-        back_pq = ray.data.read_parquet(pq_dir)
-        back_jl = ray.data.read_json(jl_dir)
+        back_pq = ray.data.read_parquet(pq_dir,
+                                        file_extensions=["parquet"])
+        back_jl = ray.data.read_json(jl_dir, file_extensions=["jsonl"])
 
         def fe_decode(t: pa.Table) -> pa.Table:
             tabs = [feather.read_table(pa.BufferReader(b.as_py()))
                     for b in t.column("bytes")]
             return pa.concat_tables(tabs)
 
-        back_fe = (ray.data.read_binary_files(fe_dir)
+        back_fe = (ray.data.read_binary_files(
+                       fe_dir, file_extensions=["feather"])
                    .map_batches(fe_decode, batch_format="pyarrow"))
 
         def norm(t: pa.Table) -> pa.Table:

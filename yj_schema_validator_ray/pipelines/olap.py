@@ -2956,19 +2956,27 @@ def embedding_label_scatter(emb_ds):
         ["label", "dim"],
         [("n", "sum", "n"), ("s1", "sum", "s1"), ("s2", "sum", "s2")])
 
-    def per_dim_term(t: pa.Table) -> pa.Table:
-        n = t.column("n").to_numpy()
-        a = t.column("s1").to_numpy()
-        b = t.column("s2").to_numpy()
-        return pa.table({
-            "label": t.column("label"),
-            "n_vecs": t.column("n"),
-            "wss_num": pa.array(n * b - a * a, pa.int64())})
+    # the (label x dim) table is DOMAIN-sized; finish the n*s2 - s1^2
+    # term driver-side in arbitrary-precision Python ints — numpy int64
+    # wraps SILENTLY near 9.2e18 while the HUGEINT oracle keeps going
+    # (the final BIGINT cast is the only bound, asserted explicitly)
+    from ..util import collect_small_arrow
 
-    return grouped_aggregate(
-        pd_.map_batches(per_dim_term, batch_format="pyarrow"),
-        ["label"], [("n_vecs", "max", "n_vecs"),
-                    ("wss_num", "sum", "wss_num")])
+    pdf = collect_small_arrow(pd_).to_pandas()
+    acc: dict[int, list[int]] = {}
+    for lab, n, a, b in zip(pdf["label"], pdf["n"], pdf["s1"],
+                            pdf["s2"]):
+        e = acc.setdefault(int(lab), [0, 0])
+        e[0] = max(e[0], int(n))
+        e[1] += int(n) * int(b) - int(a) * int(a)
+    rows = sorted(acc.items())
+    assert all(abs(w) < 2**63 for _, (_, w) in rows), \
+        "wss_num exceeds int64 — mirror the oracle's HUGEINT overflow"
+    import pandas as _pd
+    return _pd.DataFrame({
+        "label": _pd.Series([k for k, _ in rows], dtype="int64"),
+        "n_vecs": _pd.Series([v[0] for _, v in rows], dtype="int64"),
+        "wss_num": _pd.Series([v[1] for _, v in rows], dtype="int64")})
 
 
 def embedding_label_scatter_sql() -> str:

@@ -1921,6 +1921,17 @@ def source_weighted_jaccard(docs_ds):
          .map_groups(pair_mins, batch_format="pandas")),
         ["source_a", "source_b"], [("sum_min", "sum", "sum_min")])
     out = collect_small_arrow(mins).to_pandas()
+    # the exchange only emits pairs co-occurring in >=1 term bucket;
+    # the oracle's pair spine is ALL ordered source pairs (LEFT JOIN,
+    # sum_min=0) — synthesize missing pairs from the totals domain
+    srcs_sorted = sorted(totals)
+    seen = set(zip(out["source_a"], out["source_b"]))
+    missing = [(a, b) for i, a in enumerate(srcs_sorted)
+               for b in srcs_sorted[i + 1:] if (a, b) not in seen]
+    if missing:
+        out = pd.concat(
+            [out, pd.DataFrame(missing, columns=["source_a", "source_b"])
+             .assign(sum_min=np.int64(0))], ignore_index=True)
     out["sum_max"] = [int(totals[a]) + int(totals[b]) - int(sm)
                       for a, b, sm in zip(out["source_a"],
                                           out["source_b"],
