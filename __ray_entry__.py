@@ -431,8 +431,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_dup_substring_coverage(sf_dir):
         # ExactSubstr accounting (Lee et al.): per doc, dup length-20
-        # substring starts + the chars their interval union covers
+        # substring starts + the chars their interval union covers;
+        # 128-bit fingerprint wire (gram-string plan = oracle twin)
         return T.dup_substring_coverage(docs(sf_dir))
+
+    def q_dup_substring_cut(sf_dir):
+        # ExactSubstr CUT: rewrite with the dup interval union removed,
+        # certified by exact counts + kept-codepoint checksum
+        return T.dup_substring_cut(docs(sf_dir))
 
     def q_quality_rank_fusion(sf_dir):
         # sum-of-ranks fusion of classifier score + length (top-100)
@@ -1805,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share_bp": q_nation_revenue_share_bp,
         "sequence_gap_audit": q_sequence_gap_audit,
         "dedup_idempotence": q_dedup_idempotence,
+        "dup_substring_cut": q_dup_substring_cut,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2580,6 +2587,12 @@ def _dup_substring_coverage_sql() -> str:
     return dup_substring_coverage_sql()
 
 
+def _dup_substring_cut_sql() -> str:
+    from yj_schema_validator_ray.stages.text import dup_substring_cut_sql
+
+    return dup_substring_cut_sql()
+
+
 def _embedding_quantize_sql() -> str:
     from yj_schema_validator_ray.stages.ann import embedding_quantize_sql
 
@@ -2851,6 +2864,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_share_bp": R.nation_revenue_share_bp_sql(),
         "sequence_gap_audit": _sequence_gap_audit_sql(),
         "dedup_idempotence": _dedup_idempotence_sql(),
+        "dup_substring_cut": _dup_substring_cut_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

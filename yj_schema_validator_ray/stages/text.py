@@ -1061,61 +1061,170 @@ FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
 GROUP BY source_a, source_b"""
 
 
-def dup_substring_coverage(docs_ds, L: int = 20):
+_GRAM_POW_CACHE: dict = {}
+
+
+def _gram_pows(L: int):
+    """Power vectors for the two independent 64-bit polynomial hashes
+    (splitmix / xxhash odd constants); cached per L."""
+    if L not in _GRAM_POW_CACHE:
+        p1, p2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+        pw1 = np.empty(L, np.uint64)
+        pw2 = np.empty(L, np.uint64)
+        a = b = np.uint64(1)
+        for j in range(L - 1, -1, -1):
+            pw1[j] = a
+            pw2[j] = b
+            a = a * p1
+            b = b * p2
+        _GRAM_POW_CACHE[L] = (pw1, pw2)
+    return _GRAM_POW_CACHE[L]
+
+
+def _gram_fingerprints(tx: str, L: int):
+    """128-bit fingerprint of every length-``L`` CHARACTER window of
+    ``tx``: two independent degree-(L-1) polynomial hashes over the
+    codepoint sequence, each mod 2^64 (numpy uint64 wraparound is the
+    modulus).  Vectorized: utf-32 decode -> sliding window view -> one
+    (m, L) x (L,) wraparound dot per hash.  Pair-collision probability
+    ~2^-128 per gram pair (~2^-64 union bound over corpus-scale gram
+    counts) — the 100 TB wire format for the ExactSubstr exchange:
+    16 bytes per occurrence regardless of L, vs L utf-8 bytes."""
+    cp = np.frombuffer(tx.encode("utf-32-le"), dtype=np.uint32)
+    m = len(cp) - L + 1
+    if m <= 0:
+        return None
+    pw1, pw2 = _gram_pows(L)
+    w = np.lib.stride_tricks.sliding_window_view(cp, L).astype(np.uint64)
+    h1 = (w * pw1).sum(axis=1, dtype=np.uint64)
+    h2 = (w * pw2).sum(axis=1, dtype=np.uint64)
+    return h1, h2
+
+
+def _dup_doc_starts(docs_ds, L: int, wire: str):
+    """Shared front half of the ExactSubstr family: stream of
+    (doc_id, n, starts) rows for every (gram, doc) whose gram occurs
+    >= 2 times corpus-wide.  ``wire`` picks the exchange payload:
+
+    - ``"fingerprint"`` (default at scale): the 128-bit gram
+      fingerprint (two int64 columns) rides the gram-keyed exchange —
+      constant 16 bytes per gram occurrence, the 100 TB wire format.
+    - ``"gram"``: the raw L-char gram string (the oracle twin; exact
+      by construction, L utf-8 bytes per occurrence on the wire).
+
+    Both plans are pinned row-identical in tests; the fingerprint
+    plan's error bound is ~2^-64 over corpus-scale gram counts.
+    """
+    from ..util import shuffle_partitions
+    from .dedup import coarse_mix
+    from .exact_agg import hash_columns
+
+    if wire == "fingerprint":
+        def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["doc_id"].to_numpy()
+            dl, sl, h1l, h2l = [], [], [], []
+            for did, tx in zip(ids, batch["text"]):
+                fp = _gram_fingerprints(tx, L)
+                if fp is None:
+                    continue
+                h1, h2 = fp
+                m = len(h1)
+                dl.append(np.full(m, did, np.int64))
+                sl.append(np.arange(m, dtype=np.int64))
+                h1l.append(h1)
+                h2l.append(h2)
+            if not dl:
+                return pd.DataFrame(
+                    {"g1": pd.Series(dtype="int64"),
+                     "g2": pd.Series(dtype="int64"),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "n": pd.Series(dtype="int64"),
+                     "starts": pd.Series(dtype="object"),
+                     "__coarse": pd.Series(dtype="int64")})
+            df = pd.DataFrame(
+                {"g1": np.concatenate(h1l).view(np.int64),
+                 "g2": np.concatenate(h2l).view(np.int64),
+                 "doc_id": np.concatenate(dl),
+                 "start": np.concatenate(sl)})
+            gb = df.groupby(["g1", "g2", "doc_id"], sort=False)
+            out = gb.agg(n=("start", "size")).reset_index()
+            out["n"] = out["n"].astype("int64")
+            out["starts"] = gb["start"].agg(
+                lambda v: ",".join(map(str, v))).to_numpy()
+            out["__coarse"] = coarse_mix(out["g1"].to_numpy(), 1023)
+            return out
+
+        def mark_dup(g: pd.DataFrame) -> pd.DataFrame:
+            tot = g.groupby(["g1", "g2"], sort=False)["n"].transform("sum")
+            d = g[tot >= 2]
+            return pd.DataFrame({"doc_id": d["doc_id"],
+                                 "n": d["n"],
+                                 "starts": d["starts"]})
+    else:
+        def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["doc_id"].to_numpy()
+            g_doc, g_str, g_start = [], [], []
+            for did, tx in zip(ids, batch["text"]):
+                m = len(tx) - L + 1
+                if m <= 0:
+                    continue
+                g_doc.extend([did] * m)
+                g_start.extend(range(m))
+                g_str.extend(tx[i:i + L] for i in range(m))
+            if not g_str:
+                return pd.DataFrame(
+                    {"g": pd.Series(dtype="object"),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "n": pd.Series(dtype="int64"),
+                     "starts": pd.Series(dtype="object"),
+                     "__coarse": pd.Series(dtype="int64")})
+            df = pd.DataFrame({"g": g_str, "doc_id": g_doc,
+                               "start": g_start})
+            gb = df.groupby(["g", "doc_id"], sort=False)
+            out = gb.agg(n=("start", "size")).reset_index()
+            out["n"] = out["n"].astype("int64")
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["starts"] = gb["start"].agg(
+                lambda v: ",".join(map(str, v))).to_numpy()
+            kh = hash_columns(
+                pa.table({"g": pa.array(out["g"], pa.string())}))
+            out["__coarse"] = (kh & np.uint64(1023)).astype("int64")
+            return out
+
+        def mark_dup(g: pd.DataFrame) -> pd.DataFrame:
+            tot = g.groupby("g", sort=False)["n"].transform("sum")
+            d = g[tot >= 2]
+            return pd.DataFrame({"doc_id": d["doc_id"],
+                                 "n": d["n"],
+                                 "starts": d["starts"]})
+
+    return (docs_ds.map_batches(gram_rows, batch_format="pandas")
+            .groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(mark_dup, batch_format="pandas"))
+
+
+def dup_substring_coverage(docs_ds, L: int = 20,
+                           wire: str = "fingerprint"):
     """ExactSubstr-style duplicated-substring accounting (the
     character-level companion to :func:`dup_ngram_fraction`, after
     Lee et al. 2022 "Deduplicating Training Data Makes Language Models
     Better"): per document, how many length-``L`` substring START
     positions carry a substring that occurs >= 2 times corpus-wide
     (any doc, any position), and how many CHARACTERS are covered by
-    the union of those [start, start+L) intervals — the quantity the
-    ExactSubstr cut step removes.  Docs with no duplicated substring
-    are absent, exactly like the SQL.
+    the union of those [start, start+L) intervals — the quantity
+    :func:`dup_substring_cut` removes.  Docs with no duplicated
+    substring are absent, exactly like the SQL.
 
     Shape: per-batch (gram, doc) pre-aggregation with packed start
     lists -> one gram-keyed coarse exchange (global occurrence count
     decides duplication; survivors re-key by doc) -> one doc-keyed
-    exchange doing the vectorized interval-union.  The exchange ships
-    gram STRINGS for oracle-exactness; a production run at 100 TB ships
-    a 128-bit fingerprint instead (collision bound 2^-64) — same plan,
-    L× less wire.
+    exchange doing the vectorized interval-union.  The DEFAULT wire
+    payload is the 128-bit gram fingerprint (16 bytes/occurrence,
+    collision bound ~2^-64 corpus-wide — see
+    :func:`_gram_fingerprints`); ``wire="gram"`` ships the raw gram
+    strings (the oracle twin, pinned row-identical in tests).
     """
     from ..util import shuffle_partitions
-    from .exact_agg import grouped_aggregate, hash_columns
-
-    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["doc_id"].to_numpy()
-        g_doc, g_str, g_start = [], [], []
-        for did, tx in zip(ids, batch["text"]):
-            m = len(tx) - L + 1
-            if m <= 0:
-                continue
-            g_doc.extend([did] * m)
-            g_start.extend(range(m))
-            g_str.extend(tx[i:i + L] for i in range(m))
-        if not g_str:
-            return pd.DataFrame({"g": pd.Series(dtype="object"),
-                                 "doc_id": pd.Series(dtype="int64"),
-                                 "n": pd.Series(dtype="int64"),
-                                 "starts": pd.Series(dtype="object"),
-                                 "__coarse": pd.Series(dtype="int64")})
-        df = pd.DataFrame({"g": g_str, "doc_id": g_doc, "start": g_start})
-        gb = df.groupby(["g", "doc_id"], sort=False)
-        out = gb.agg(n=("start", "size")).reset_index()
-        out["n"] = out["n"].astype("int64")
-        out["doc_id"] = out["doc_id"].astype("int64")
-        out["starts"] = gb["start"].agg(
-            lambda v: ",".join(map(str, v))).to_numpy()
-        kh = hash_columns(pa.table({"g": pa.array(out["g"], pa.string())}))
-        out["__coarse"] = (kh & np.uint64(1023)).astype("int64")
-        return out
-
-    def mark_dup(g: pd.DataFrame) -> pd.DataFrame:
-        tot = g.groupby("g", sort=False)["n"].transform("sum")
-        d = g[tot >= 2]
-        return pd.DataFrame({"doc_id": d["doc_id"],
-                             "n": d["n"],
-                             "starts": d["starts"]})
 
     def cover(g: pd.DataFrame) -> pd.DataFrame:
         ids, n_starts, n_cov = [], [], []
@@ -1132,9 +1241,7 @@ def dup_substring_coverage(docs_ds, L: int = 20):
                              "n_dup_starts": pd.array(n_starts, "int64"),
                              "n_covered_chars": pd.array(n_cov, "int64")})
 
-    dup = (docs_ds.map_batches(gram_rows, batch_format="pandas")
-           .groupby("__coarse", num_partitions=shuffle_partitions())
-           .map_groups(mark_dup, batch_format="pandas"))
+    dup = _dup_doc_starts(docs_ds, L, wire)
 
     def add_doc_coarse(t: pa.Table) -> pa.Table:
         from .dedup import coarse_mix
@@ -1167,6 +1274,133 @@ SELECT d.doc_id,
 FROM d JOIN (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id) c
   USING (doc_id)
 GROUP BY d.doc_id"""
+
+
+def dup_substring_cut(docs_ds, L: int = 20, wire: str = "fingerprint"):
+    """ExactSubstr CUT — the removal step of Lee et al. 2022 that
+    :func:`dup_substring_coverage` only measures: rewrite every
+    document with the duplicated-substring interval union REMOVED and
+    certify the rewrite with exact integer accounting — ``n_before`` /
+    ``n_removed`` / ``n_after`` plus a codepoint-sum checksum of the
+    KEPT characters (the rewrite itself, order-free).  Conservation:
+    ``n_removed`` equals coverage's ``n_covered_chars`` for every doc
+    with duplicates (pinned in tests).  EVERY document appears — docs
+    with no duplicated substring keep all chars — mirroring the
+    oracle's LEFT-JOIN spine.
+
+    Shape: the shared dup-start stream (:func:`_dup_doc_starts`,
+    fingerprint wire by default) and the text co-locate through ONE
+    doc-keyed coarse exchange (schema-aligned union of the two sides);
+    a per-group boundary-delta cumsum builds the covered mask
+    vectorized, and the kept-codepoint sum is read straight off the
+    masked utf-32 array.  Text moves through exactly one exchange, as
+    any rewrite must; the start lists are interval-compressed domain
+    data, never gram-shaped.
+    """
+    from ..util import shuffle_partitions
+    from .dedup import coarse_mix
+
+    dup = _dup_doc_starts(docs_ds, L, wire)
+
+    def dup_side(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "starts": pc.cast(t.column("starts"), pa.string()),
+            "text": pa.nulls(t.num_rows, pa.string()),
+            "__c2": pa.array(coarse_mix(ids.to_numpy(), 1023),
+                             pa.int64())})
+
+    def text_side(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "starts": pa.nulls(t.num_rows, pa.string()),
+            "text": pc.cast(t.column("text"), pa.string()),
+            "__c2": pa.array(coarse_mix(ids.to_numpy(), 1023),
+                             pa.int64())})
+
+    both = (dup.map_batches(dup_side, batch_format="pyarrow")
+            .union(docs_ds.map_batches(text_side,
+                                       batch_format="pyarrow")))
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": pd.Series(dtype="int64"),
+                "n_before": pd.Series(dtype="int64"),
+                "n_removed": pd.Series(dtype="int64"),
+                "n_after": pd.Series(dtype="int64"),
+                "kept_checksum": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        txt = g[g["text"].notna()]
+        st = g[g["text"].isna()]
+        starts_by_doc = {
+            int(did): ",".join(grp["starts"])
+            for did, grp in st.groupby("doc_id", sort=False)}
+        ids, nb, nr, na, ck = [], [], [], [], []
+        for did, tx in zip(txt["doc_id"], txt["text"]):
+            n = len(tx)
+            cp = np.frombuffer(tx.encode("utf-32-le"), dtype=np.uint32)
+            s = starts_by_doc.get(int(did))
+            if s is None:
+                removed = 0
+                kept_sum = int(cp.astype(np.int64).sum()) if n else 0
+            else:
+                starts = np.fromiter((int(x) for x in s.split(",")),
+                                     dtype=np.int64)
+                delta = np.zeros(n + 1, np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, np.minimum(starts + L, n), -1)
+                covered = np.cumsum(delta[:n]) > 0
+                removed = int(covered.sum())
+                kept_sum = int(cp[~covered].astype(np.int64).sum())
+            ids.append(int(did))
+            nb.append(n)
+            nr.append(removed)
+            na.append(n - removed)
+            ck.append(kept_sum)
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "n_before": pd.array(nb, dtype="int64"),
+            "n_removed": pd.array(nr, dtype="int64"),
+            "n_after": pd.array(na, dtype="int64"),
+            "kept_checksum": pd.array(ck, dtype="int64")})
+
+    return (both.groupby("__c2", num_partitions=shuffle_partitions())
+            .map_groups(lambda g: rewrite(g.drop(columns="__c2")),
+                        batch_format="pandas"))
+
+
+def dup_substring_cut_sql(L: int = 20) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, i AS start, substr(text, i, {L}) AS gram
+  FROM documents, unnest(range(1, length(text) - {L} + 2)) AS t(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT g.doc_id, g.start FROM g JOIN dup USING (gram)),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM d, unnest(range(start, start + {L})) AS u(p)
+),
+chars AS (
+  SELECT doc_id, i AS p, unicode(substr(text, i, 1)) AS cp
+  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+),
+kept AS (
+  SELECT c.doc_id,
+         CAST(count(*) FILTER (WHERE v.p IS NULL) AS BIGINT) AS n_after,
+         CAST(coalesce(sum(c.cp) FILTER (WHERE v.p IS NULL), 0)
+              AS BIGINT) AS kept_checksum
+  FROM chars c LEFT JOIN cov v ON v.doc_id = c.doc_id AND v.p = c.p
+  GROUP BY c.doc_id)
+SELECT dd.doc_id,
+       CAST(length(dd.text) AS BIGINT) AS n_before,
+       CAST(length(dd.text) - coalesce(k.n_after, 0) AS BIGINT)
+         AS n_removed,
+       CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_after,
+       CAST(coalesce(k.kept_checksum, 0) AS BIGINT) AS kept_checksum
+FROM documents dd LEFT JOIN kept k USING (doc_id)"""
 
 
 def tfidf_top_terms_distributed(docs_ds, k: int = 3):
