@@ -549,6 +549,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return knn_classify(sf_dir)
 
+    def q_knn_classify_lsh(sf_dir):
+        # the scale path: LSH-bucketed candidates feeding the same
+        # exact-int64 vote, certified against the broadcast baseline
+        from yj_schema_validator_ray.pipelines.accuracy import (
+            knn_lsh_accuracy)
+
+        return knn_lsh_accuracy(sf_dir)
+
     def q_corpus_fingerprint(sf_dir):
         # order-free XOR table fingerprint (content + id certificates)
         from yj_schema_validator_ray.pipelines.curation import (
@@ -1812,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_gap_audit": q_sequence_gap_audit,
         "dedup_idempotence": q_dedup_idempotence,
         "dup_substring_cut": q_dup_substring_cut,
+        "knn_classify_lsh": q_knn_classify_lsh,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2593,6 +2602,13 @@ def _dup_substring_cut_sql() -> str:
     return dup_substring_cut_sql()
 
 
+def _knn_classify_lsh_sql() -> str:
+    from yj_schema_validator_ray.pipelines.accuracy import (
+        knn_lsh_accuracy_sql)
+
+    return knn_lsh_accuracy_sql()
+
+
 def _embedding_quantize_sql() -> str:
     from yj_schema_validator_ray.stages.ann import embedding_quantize_sql
 
@@ -2865,6 +2881,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_gap_audit": _sequence_gap_audit_sql(),
         "dedup_idempotence": _dedup_idempotence_sql(),
         "dup_substring_cut": _dup_substring_cut_sql(),
+        "knn_classify_lsh": _knn_classify_lsh_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

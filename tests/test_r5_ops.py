@@ -78,6 +78,43 @@ def test_dup_substring_cut_conserves_coverage(ray_session):
     assert (cut["n_removed"] > 0).any()
 
 
+def test_knn_lsh_agrees_on_separated_clusters(ray_session, tmp_path):
+    # on CLUSTERABLE data (the case that matters — random gaussians are
+    # the adversarial near-equidistant case) the LSH-pruned vote must
+    # reproduce the exact broadcast vote essentially everywhere: tight
+    # well-separated clusters land in the same code buckets by
+    # construction, so the candidate set contains the true top-k
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.stages.ann import (
+        knn_classify, knn_classify_lsh)
+
+    rng = np.random.RandomState(7)
+    n_per, d, n_cl = 50, 16, 4
+    centers = rng.normal(size=(n_cl, d)) * 10.0
+    vecs, labels = [], []
+    for c in range(n_cl):
+        vecs.append(centers[c] + rng.normal(size=(n_per, d)) * 0.01)
+        labels.extend([c] * n_per)
+    m = np.concatenate(vecs)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+        "embedding": pa.array([row.tolist() for row in m],
+                              pa.list_(pa.float64())),
+        "label": pa.array(np.array(labels, dtype=np.int64))})
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    ex = knn_classify(str(tmp_path)).to_pandas().set_index("vec_id")
+    ap = knn_classify_lsh(str(tmp_path)).to_pandas().set_index("vec_id")
+    assert len(ap) == len(ex)  # full coverage
+    j = ex.join(ap, rsuffix="_l")
+    agree = (j["pred_label"] == j["pred_label_l"]).mean()
+    assert agree >= 0.99, f"clustered agreement {agree}"
+    # and both are perfect classifiers on separated clusters
+    assert ex["correct"].all() and ap["correct"].all()
+
+
 def test_dup_substring_cut_hand_case(ray_session):
     # two docs sharing one length-4 substring "XYZW"; everything else
     # unique — the cut must remove exactly those 4 chars from each

@@ -144,6 +144,58 @@ def ann_ivf_accuracy(emb_ds, queries, k: int = 10,
     return _ann_accuracy(exact, approx, recall_bound)
 
 
+def knn_lsh_accuracy(sf_dir: str, k: int = 5,
+                     coverage_bound: float = 0.95,
+                     agreement_bound: float = 0.08,
+                     acc_delta_bound: float = 0.10):
+    """One row certifying the LSH-pruned k-NN classifier
+    (:func:`~..stages.ann.knn_classify_lsh`) against the broadcast
+    exact baseline (:func:`~..stages.ann.knn_classify`):
+
+    - ``n_vecs`` / ``n_labels`` — exact-side table facts, hash-checked
+      against DuckDB;
+    - ``coverage_ok`` — the LSH path classified >= 95% of vectors
+      (4 tables x 2^6 buckets leave essentially no vector bucket-alone;
+      measured 1.0 at both test scales);
+    - ``agreement_ok`` — prediction agreement with the exact vote
+      >= ``agreement_bound``.  The synthetic corpus is RANDOM gaussian
+      embeddings — near-equidistant neighbors, the documented
+      adversarial case for any pruned candidate set (same caveat as
+      :func:`ann_lsh_accuracy`'s 0.10 recall floor); measured
+      agreement 0.20/0.23 at sf0.001/sf0.01, so 0.08 is ~2.5x margin.
+      On clusterable data the agreement is ~1.0 — pinned by the
+      well-separated-clusters pytest, the bound that actually matters;
+    - ``acc_delta_ok`` — |accuracy(LSH) − accuracy(exact)| <=
+      ``acc_delta_bound`` (measured 0.014-0.024): pruning must not
+      change the headline quality metric even where individual
+      predictions churn among equidistant neighbors.
+    """
+    from ..stages.ann import knn_classify, knn_classify_lsh
+
+    ex = knn_classify(sf_dir, k=k).to_pandas()
+    ap = knn_classify_lsh(sf_dir, k=k).to_pandas()
+    m = ex.merge(ap, on="vec_id", suffixes=("", "_l"))
+    coverage = len(ap) / max(len(ex), 1)
+    agreement = float((m["pred_label"] == m["pred_label_l"]).mean()) \
+        if len(m) else 0.0
+    acc_delta = abs(float(ap["correct"].mean())
+                    - float(ex["correct"].mean())) if len(ap) else 1.0
+    return pd.DataFrame({
+        "n_vecs": pd.Series([len(ex)], dtype="int64"),
+        "n_labels": pd.Series([ex["label"].nunique()], dtype="int64"),
+        "coverage_ok": pd.Series([coverage >= coverage_bound]),
+        "agreement_ok": pd.Series([agreement >= agreement_bound]),
+        "acc_delta_ok": pd.Series([acc_delta <= acc_delta_bound])})
+
+
+def knn_lsh_accuracy_sql() -> str:
+    return """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+       TRUE AS coverage_ok, TRUE AS agreement_ok, TRUE AS acc_delta_ok
+FROM embeddings"""
+
+
 def ann_accuracy_sql(k: int = 10, n_queries: int = 5) -> str:
     """Exact-side oracle: per-query exact top-k count from brute-force
     cosine SQL; the boolean bound columns assert the approximate side."""

@@ -708,6 +708,149 @@ SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, p.cand AS pred_label,
 FROM embeddings e JOIN pred p ON p.ia = e.vec_id AND p.pr = 1"""
 
 
+def knn_classify_lsh(sf_dir: str, k: int = 5, nbits: int = 6,
+                     n_tables: int = 4, max_bucket: int = 8192):
+    """LSH-pruned leave-one-out k-NN label vote — the SCALE path past
+    :func:`knn_classify`'s broadcast byte cap (its docstring's
+    documented route, now wired): candidate neighbors come from
+    ``n_tables`` independent random-hyperplane code buckets instead of
+    the all-pairs matrix, and the VOTE is the identical exact-int64
+    arithmetic contract (1e6 fixed-point L2; distance ties to the
+    smaller vec_id, vote ties to the smaller label) — so wherever the
+    candidate set contains the true top-k, the prediction matches the
+    broadcast baseline bit-for-bit (certified by
+    :func:`~..pipelines.accuracy.knn_lsh_accuracy`).
+
+    Shape: one scan emits (table, code, vec_id, label, packed q-vector)
+    rows ×``n_tables``; one (table, code)-keyed exchange does the
+    within-bucket exact top-k per member (tiled above ``max_bucket``
+    rows to bound the pairwise block; expected bucket size is
+    n / 2^nbits per table — at corpus scale ``nbits`` grows with
+    log2(n) to hold it flat); one vec-keyed exchange merges the
+    per-table candidate lists (dedup by neighbor), takes the global
+    top-k and votes.  Nothing data-sized ever reaches the driver and
+    no all-pairs surface exists — wire volume is
+    O(n · n_tables · (d·8 + k·24)) bytes.
+    """
+    import ray.data
+
+    from ..util import shuffle_partitions
+    from .exact_agg import grouped_aggregate  # noqa: F401 (plan parity)
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+
+    coders = [LSHCoder(0, nbits, seed=11 + 101 * t) for t in range(n_tables)]
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"bkey": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "qv": pa.array([], pa.binary())})
+        labels = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        d = q.shape[1]
+        mn = _normalize(m)
+        blob = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(d * 8), len(ids),
+            [None, pa.py_buffer(np.ascontiguousarray(q).tobytes())])
+        keys, outs = [], []
+        for tno, coder in enumerate(coders):
+            if coder.planes.shape[0] != d:  # lazily size the planes
+                coder.__init__(d, nbits, seed=11 + 101 * tno)
+            codes = coder.code(mn)
+            keys.append(codes + np.int64(tno << nbits))
+        rep = pa.chunked_array([blob] * n_tables)
+        return pa.table({
+            "bkey": pa.array(np.concatenate(keys), pa.int64()),
+            "vec_id": pa.array(np.tile(ids.astype(np.int64), n_tables)),
+            "label": pa.array(np.tile(labels, n_tables)),
+            "qv": pc.cast(rep, pa.binary())})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"vec_id": pd.Series(dtype="int64"),
+                "label": pd.Series(dtype="int64"),
+                "nb_id": pd.Series(dtype="int64"),
+                "nb_label": pd.Series(dtype="int64"),
+                "d2": pd.Series(dtype="int64")}
+        out = []
+        for _, b in g.groupby("bkey", sort=False):
+            nb = len(b)
+            if nb < 2:
+                continue
+            ids = b["vec_id"].to_numpy(np.int64)
+            lbl = b["label"].to_numpy(np.int64)
+            q = np.frombuffer(b"".join(b["qv"]), np.int64) \
+                .reshape(nb, -1)
+            norms = (q * q).sum(axis=1)
+            kk = min(k, nb - 1)
+            for lo in range(0, nb, max_bucket):
+                hi = min(lo + max_bucket, nb)
+                d2 = (norms[lo:hi, None] + norms[None, :]
+                      - 2 * (q[lo:hi] @ q.T))
+                if int(d2.max(initial=0)) > (2 ** 62) // max(nb, 1):
+                    raise ValueError(
+                        "knn_classify_lsh: composite sort key would "
+                        "overflow int64 at this bucket size/d2 range")
+                key = d2 * np.int64(nb) + np.arange(nb, dtype=np.int64)
+                rows = np.arange(hi - lo)
+                key[rows, lo + rows] = np.iinfo(np.int64).max  # self
+                top = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+                out.append(pd.DataFrame({
+                    "vec_id": np.repeat(ids[lo:hi], kk),
+                    "label": np.repeat(lbl[lo:hi], kk),
+                    "nb_id": ids[top.reshape(-1)],
+                    "nb_label": lbl[top.reshape(-1)],
+                    "d2": np.take_along_axis(d2, top, axis=1)
+                    .reshape(-1)}))
+        if not out:
+            return pd.DataFrame(cols)
+        return pd.concat(out, ignore_index=True).astype(
+            {c: "int64" for c in cols})
+
+    cands = (emb.map_batches(bucket_rows, batch_format="pyarrow")
+             .groupby("bkey", num_partitions=shuffle_partitions())
+             .map_groups(bucket_topk, batch_format="pandas"))
+
+    from .dedup import coarse_mix
+
+    def add_vc(t: pa.Table) -> pa.Table:
+        return t.append_column("__vc", pa.array(
+            coarse_mix(t.column("vec_id").to_numpy(), 1023), pa.int64()))
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"vec_id": pd.Series(dtype="int64"),
+                "label": pd.Series(dtype="int64"),
+                "pred_label": pd.Series(dtype="int64"),
+                "n_votes": pd.Series(dtype="int64"),
+                "correct": pd.Series(dtype="int64")}
+        if g.empty:
+            return pd.DataFrame(cols)
+        g = g.drop_duplicates(["vec_id", "nb_id"])
+        g = g.sort_values(["vec_id", "d2", "nb_id"])
+        g = g.groupby("vec_id", sort=False).head(k)
+        vc = (g.groupby(["vec_id", "label", "nb_label"], sort=False)
+              .size().rename("c").reset_index())
+        vc = vc.sort_values(["vec_id", "c", "nb_label"],
+                            ascending=[True, False, True])
+        best = vc.groupby("vec_id", sort=False).head(1)
+        return pd.DataFrame({
+            "vec_id": best["vec_id"].astype("int64"),
+            "label": best["label"].astype("int64"),
+            "pred_label": best["nb_label"].astype("int64"),
+            "n_votes": best["c"].astype("int64"),
+            "correct": (best["nb_label"] == best["label"])
+            .astype("int64")})
+
+    return (cands.map_batches(add_vc, batch_format="pyarrow")
+            .groupby("__vc", num_partitions=shuffle_partitions())
+            .map_groups(lambda g: vote(g.drop(columns="__vc")),
+                        batch_format="pandas"))
+
+
 def embedding_dim_stats(emb_ds):
     """Per-DIMENSION embedding distribution audit (the list-column
     analytics shape): for every dimension index 1..d, the element
