@@ -557,6 +557,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return knn_lsh_accuracy(sf_dir)
 
+    def q_embedding_cluster_scatter(sf_dir):
+        # exact-rational scatter decomposition certificate for the
+        # iterative k-means clustering (total == within + between)
+        from yj_schema_validator_ray.stages.ann import (
+            embedding_cluster_scatter)
+
+        return embedding_cluster_scatter(sf_dir)
+
+    def q_infer_closed_loop(sf_dir):
+        # inference closed loop as a hash-checked accounting row
+        from yj_schema_validator_ray.functions.infer import (
+            infer_closed_loop)
+
+        return infer_closed_loop(sf_dir)
+
     def q_corpus_fingerprint(sf_dir):
         # order-free XOR table fingerprint (content + id certificates)
         from yj_schema_validator_ray.pipelines.curation import (
@@ -1821,6 +1836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_idempotence": q_dedup_idempotence,
         "dup_substring_cut": q_dup_substring_cut,
         "knn_classify_lsh": q_knn_classify_lsh,
+        "embedding_cluster_scatter": q_embedding_cluster_scatter,
+        "infer_closed_loop": q_infer_closed_loop,
         # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
@@ -2609,6 +2626,20 @@ def _knn_classify_lsh_sql() -> str:
     return knn_lsh_accuracy_sql()
 
 
+def _embedding_cluster_scatter_sql() -> str:
+    from yj_schema_validator_ray.stages.ann import (
+        embedding_cluster_scatter_sql)
+
+    return embedding_cluster_scatter_sql()
+
+
+def _infer_closed_loop_sql() -> str:
+    from yj_schema_validator_ray.functions.infer import (
+        infer_closed_loop_sql)
+
+    return infer_closed_loop_sql()
+
+
 def _embedding_quantize_sql() -> str:
     from yj_schema_validator_ray.stages.ann import embedding_quantize_sql
 
@@ -2882,6 +2913,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_idempotence": _dedup_idempotence_sql(),
         "dup_substring_cut": _dup_substring_cut_sql(),
         "knn_classify_lsh": _knn_classify_lsh_sql(),
+        "embedding_cluster_scatter": _embedding_cluster_scatter_sql(),
+        "infer_closed_loop": _infer_closed_loop_sql(),
         "mixture_token_budget": _mixture_token_budget_sql(),
         "epoch_mixture": _epoch_mixture_sql(),
         "quality_length_filter": _quality_length_filter_sql(),

@@ -115,6 +115,33 @@ def test_knn_lsh_agrees_on_separated_clusters(ray_session, tmp_path):
     assert ex["correct"].all() and ap["correct"].all()
 
 
+def test_cluster_scatter_decomposition_on_separated_clusters(
+        ray_session, tmp_path):
+    # two tight far-apart clusters: the rational decomposition must
+    # balance exactly AND within/total must be tiny (between dominates)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from yj_schema_validator_ray.stages.ann import (
+        embedding_cluster_scatter)
+
+    rng = np.random.RandomState(3)
+    m = np.concatenate([
+        np.array([50.0] * 8) + rng.normal(size=(40, 8)) * 0.01,
+        np.array([-50.0] * 8) + rng.normal(size=(40, 8)) * 0.01])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float64()))})
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = embedding_cluster_scatter(str(tmp_path), n_centroids=2,
+                                    improvement_bound=0.01)
+    assert bool(out["decomposition_ok"].iloc[0])
+    assert bool(out["within_le_total_ok"].iloc[0])
+    # within <= 1% of total: the clusters are 1e4 x tighter than the gap
+    assert bool(out["improvement_ok"].iloc[0])
+
+
 def test_dup_substring_cut_hand_case(ray_session):
     # two docs sharing one length-4 substring "XYZW"; everything else
     # unique — the cut must remove exactly those 4 chars from each

@@ -238,3 +238,54 @@ def schema_from_stats(rows, enum_rows=None, enum_max: int = 8,
     out = {"$schema": "https://json-schema.org/draft/2020-12/schema"}
     out.update(node(""))
     return out
+
+
+def infer_closed_loop(sf_dir: str):
+    """The inference CLOSED LOOP as an oracled accounting query (it
+    lived only in pytest before): infer a schema from the corpus'
+    structural stats, then validate the corpus against its OWN inferred
+    schema under ``schema_override`` — every file that PARSES must be
+    valid (inference describes exactly the parseable corpus), so the
+    only invalids are the corpus' intentional parse errors.  The
+    summary counts are fully SQL-expressible through the shared corpus
+    derivation (parse errors are the t=5 bad-YAML template), making
+    this a hash-checked driver row, not a rows-only claim; ``loop_ok``
+    additionally asserts the invariant engine-side.
+
+    Shape: one inference scan (path-domain partials), driver schema
+    assembly (path-domain sized), one validation scan, block-domain
+    summary partials.  Nothing data-sized reaches the driver.
+    """
+    import pandas as pd
+
+    from ..config import ValidatorConfig
+    from ..pipelines import validate as V
+    from ..sources.corpus import corpus_dataset
+
+    stats = structure_stats(corpus_dataset(sf_dir)).to_pandas()
+    sch = schema_from_stats(stats.to_dict("records"))
+    cfg = ValidatorConfig(schemas={"inferred": sch},
+                          default_schema="inferred",
+                          schema_override=True)
+    s = V.summary(V.validate_corpus(corpus_dataset(sf_dir), cfg))
+    loop_ok = (s["invalid"] == s["errors"]
+               and s["valid"] == s["files"] - s["errors"]
+               and s["valid"] > 0)
+    return pd.DataFrame({
+        "files": pd.Series([s["files"]], dtype="int64"),
+        "valid": pd.Series([s["valid"]], dtype="int64"),
+        "invalid": pd.Series([s["invalid"]], dtype="int64"),
+        "errors": pd.Series([s["errors"]], dtype="int64"),
+        "loop_ok": pd.Series([bool(loop_ok)])})
+
+
+def infer_closed_loop_sql() -> str:
+    from ..oracles import _DOCS_CTE
+
+    return f"""{_DOCS_CTE}
+SELECT CAST(count(*) AS BIGINT) AS files,
+       CAST(sum(CASE WHEN t = 5 THEN 0 ELSE 1 END) AS BIGINT) AS valid,
+       CAST(sum(CASE WHEN t = 5 THEN 1 ELSE 0 END) AS BIGINT) AS invalid,
+       CAST(sum(CASE WHEN t = 5 THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       TRUE AS loop_ok
+FROM docs"""
