@@ -1585,66 +1585,164 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # THE LINE (after `column_stats`) — inserting above pushes the
     # flagship out of the snapshot window.
     return {
-        # r4 SNAPSHOT WINDOW (positions 1-50) — ordering ledger:
-        # (a) 1-16  never driver-checked oracled entries (r01-r03);
-        # (b) new this round (tokenize_bpe, validate_resume,
-        #     docs_token_budget, mixture_token_budget, epoch_mixture);
-        # (c) queries whose code changed this round (top_customers,
-        #     customer_order_totals, accuracy_simhash, accuracy_ann_ivf,
-        #     docs_length_rank, q3/q5/q14);
-        # (d) stalest driver rows (last checked in r02) fill the rest.
-        # With r01-r03 this makes the driver-row union cover every
-        # oracled entry (audited: zero uncovered).  ADD NEW QUERIES
-        # BELOW the window (after `docs_token_budget`); the r02-green
-        # entries just below the line are the r5 rotation pool.
-        # r5 WINDOW PRIORITY: the post-rotation additions have no
-        # driver row yet — quality_classifier, term_postings,
-        # events_dau_ma7, cross_source_overlap, events_asof_join_forward,
-        # docs_csv_roundtrip, corpus_merge, embedding_quantize,
-        # dup_substring_coverage, quality_rank_fusion,
-        # events_winsorized_stats, events_weekday_profile, the TPC-H
-        # extension (q7/q8/q15/q17/q19/q21/q22) and the late-r4 OLAP
-        # wave (events_first_last, docs_dense_topk, embedding_centroids,
-        # events_ols_stats, events_mad_outliers, term_cooccurrence,
-        # trade_pagerank, events_path_trigrams, orders_open_per_day,
-        # docs_pareto_frontier) plus the fifth wave (q9_product_profit,
-        # q16_supplier_variety, supplier_triangles, part_fuzzy_pairs,
-        # charlm_scores, events_type_pivot, orders_rfm,
-        # docs_exact_split, events_purchase_view_window,
-        # orders_yoy_growth, knn_classify) and the wave-10/seventh-wave
-        # additions (dsir_select, blocklist_filter, lexical_diversity,
-        # source_similarity, docs_orc_roundtrip, events_daily_gapfill,
-        # oov_rate, doc_top_terms, hapax_per_source,
-        # accuracy_hll_intersect, lang_source_share, events_burst_days,
-        # embedding_dim_stats, pushdown_filter_scan,
-        # events_active_coverage, events_benford, compact_shards,
-        # bloom_semijoin, embedding_rp_project, search_topk,
-        # user_activity_gini, dedup_normalized, cascade_delete_audit,
-        # orders_price_reconciliation, dedup_keep_best,
-        # customer_scd2, incremental_agg, orders_allen_intervals,
-        # source_nucleus, fd_violations, customer_orders_full_outer,
-        # customer_order_degree_histogram, orders_abc_classification,
-        # events_value_ma_range, events_cusum_alarm,
-        # orders_backlog_age_buckets, events_autocorr_lag1,
-        # docs_feather_roundtrip, session_path_match,
-        # shuffle_certificate, orders_scd2_temporal_join, distinct_kmv,
-        # term_drift_topk, lineitem_weighted_median, event_type_overlap,
-        # sampled_count_estimate, embedding_label_scatter,
-        # derived_column_audit, label_uniformity_chi2,
-        # log_parse_roundtrip, events_debounce, ab_test_report,
-        # order_proration, range_partition_plan, events_ttl_expiry,
-        # events_dense_matrix, k_anonymity_audit,
-        # qi_generalization_ladder, supplier_hhi_by_region,
-        # customer_peak_open_orders, orders_fiscal_445,
-        # embedding_gram_matrix, user_conversion_survival,
-        # discount_cap_whatif, source_weighted_jaccard,
-        # graph_assortativity, dict_encoding_audit,
-        # session_bounce_rate, events_interarrival_log2,
-        # multiformat_union_read, nation_revenue_share_bp,
-        # sequence_gap_audit, dedup_idempotence) —
-        # all local-harness + sf0.01 driver-mimic
-        # green; rotate these into the window next round, then the
-        # stalest r02 pool.
+        # r5 SNAPSHOT WINDOW (positions 1-50) — ordering ledger:
+        # (a) 1-7   queries whose CODE CHANGED this round (ADVICE fixes:
+        #     source_weighted_jaccard pair spine, sequence_gap_audit
+        #     empty-block guard, atomic-shard roundtrips,
+        #     embedding_label_scatter big-int finish; VERDICT item 2:
+        #     dup_substring_coverage fingerprint wire);
+        # (b) 8-11  NEW this round (dup_substring_cut, knn_classify_lsh,
+        #     embedding_cluster_scatter, infer_closed_loop);
+        # (c) 12-50 the 39 stalest never-driver-checked oracled entries
+        #     (r4 waves 3-6, in original wave order).
+        # After this window the r01-r05 driver-row union covers 172 of
+        # the 253 oracled entries; the remaining never-checked pool
+        # (marked below) is the r6 rotation pool, stalest first — all
+        # of it is local-harness + sf0.001/sf0.01 driver-mimic green.
+        # ADD NEW QUERIES BELOW THE "r6 rotation pool" marker.
+        "dup_substring_coverage": q_dup_substring_coverage,
+        "source_weighted_jaccard": q_source_weighted_jaccard,
+        "sequence_gap_audit": q_sequence_gap_audit,
+        "docs_orc_roundtrip": q_docs_orc_roundtrip,
+        "docs_feather_roundtrip": q_docs_feather_roundtrip,
+        "multiformat_union_read": q_multiformat_union_read,
+        "embedding_label_scatter": q_embedding_label_scatter,
+        "dup_substring_cut": q_dup_substring_cut,
+        "knn_classify_lsh": q_knn_classify_lsh,
+        "embedding_cluster_scatter": q_embedding_cluster_scatter,
+        "infer_closed_loop": q_infer_closed_loop,
+        "quality_classifier": q_quality_classifier,
+        "term_postings": q_term_postings,
+        "events_dau_ma7": q_events_dau_ma7,
+        "cross_source_overlap": q_cross_source_overlap,
+        "events_asof_join_forward": q_events_asof_join_forward,
+        "docs_csv_roundtrip": q_docs_csv_roundtrip,
+        "corpus_merge": q_corpus_merge,
+        "embedding_quantize": q_embedding_quantize,
+        "quality_rank_fusion": q_quality_rank_fusion,
+        "events_winsorized_stats": q_events_winsorized_stats,
+        "events_weekday_profile": q_events_weekday_profile,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_quantity": q_q17_small_quantity,
+        "q19_discounted_revenue": q_q19_discounted_revenue,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "q22_sales_opportunity": q_q22_sales_opportunity,
+        "events_first_last": q_events_first_last,
+        "docs_dense_topk": q_docs_dense_topk,
+        "embedding_centroids": q_embedding_centroids,
+        "events_ols_stats": q_events_ols_stats,
+        "events_mad_outliers": q_events_mad_outliers,
+        "term_cooccurrence": q_term_cooccurrence,
+        "trade_pagerank": q_trade_pagerank,
+        "events_path_trigrams": q_events_path_trigrams,
+        "orders_open_per_day": q_orders_open_per_day,
+        "docs_pareto_frontier": q_docs_pareto_frontier,
+        "events_user_mode": q_events_user_mode,
+        "docs_cube": q_docs_cube,
+        "events_conversion_window": q_events_conversion_window,
+        "docs_ids_concat": q_docs_ids_concat,
+        "media_phash_groups": q_media_phash_groups,
+        "trade_hits": q_trade_hits,
+        "embedding_lloyd_step": q_embedding_lloyd_step,
+        "embedding_kmeans": q_embedding_kmeans,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q11_important_parts": q_q11_important_parts,
+        "q20_dominant_suppliers": q_q20_dominant_suppliers,
+        # --- r6 rotation pool: never driver-checked, stalest first ---
+        "q9_product_profit": q_q9_product_profit,
+        "q16_supplier_variety": q_q16_supplier_variety,
+        "supplier_triangles": q_supplier_triangles,
+        "part_fuzzy_pairs": q_part_fuzzy_pairs,
+        "charlm_scores": q_charlm_scores,
+        "events_type_pivot": q_events_type_pivot,
+        "orders_rfm": q_orders_rfm,
+        "docs_exact_split": q_docs_exact_split,
+        "events_purchase_view_window": q_events_purchase_view_window,
+        "orders_yoy_growth": q_orders_yoy_growth,
+        "knn_classify": q_knn_classify,
+        "corpus_fingerprint": q_corpus_fingerprint,
+        "part_fuzzy_clusters": q_part_fuzzy_clusters,
+        "events_late_arrivals": q_events_late_arrivals,
+        "trade_bfs_hops": q_trade_bfs_hops,
+        "events_rolling_distinct": q_events_rolling_distinct,
+        "basket_pairs": q_basket_pairs,
+        "events_unpivot": q_events_unpivot,
+        "line_dedup": q_line_dedup,
+        "cosine_pairs": q_cosine_pairs,
+        "events_user_streaks": q_events_user_streaks,
+        "lineitem_zorder": q_lineitem_zorder,
+        "expectations_report": q_expectations_report,
+        "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
+        "blocklist_filter": q_blocklist_filter,
+        "lexical_diversity": q_lexical_diversity,
+        "source_similarity": q_source_similarity,
+        "events_daily_gapfill": q_events_daily_gapfill,
+        "oov_rate": q_oov_rate,
+        "doc_top_terms": q_doc_top_terms,
+        "hapax_per_source": q_hapax_per_source,
+        "accuracy_hll_intersect": q_accuracy_hll_intersect,
+        "lang_source_share": q_lang_source_share,
+        "events_burst_days": q_events_burst_days,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "pushdown_filter_scan": q_pushdown_filter_scan,
+        "events_active_coverage": q_events_active_coverage,
+        "events_benford": q_events_benford,
+        "compact_shards": q_compact_shards,
+        "bloom_semijoin": q_bloom_semijoin,
+        "embedding_rp_project": q_embedding_rp_project,
+        "search_topk": q_search_topk,
+        "user_activity_gini": q_user_activity_gini,
+        "dedup_normalized": q_dedup_normalized,
+        "cascade_delete_audit": q_cascade_delete_audit,
+        "orders_price_reconciliation": q_orders_price_reconciliation,
+        "dedup_keep_best": q_dedup_keep_best,
+        "customer_scd2": q_customer_scd2,
+        "incremental_agg": q_incremental_agg,
+        "orders_allen_intervals": q_orders_allen_intervals,
+        "source_nucleus": q_source_nucleus,
+        "fd_violations": q_fd_violations,
+        "customer_orders_full_outer": q_customer_orders_full_outer,
+        "customer_order_degree_histogram": q_customer_order_degree_histogram,
+        "orders_abc_classification": q_orders_abc_classification,
+        "events_value_ma_range": q_events_value_ma_range,
+        "events_cusum_alarm": q_events_cusum_alarm,
+        "orders_backlog_age_buckets": q_orders_backlog_age_buckets,
+        "events_autocorr_lag1": q_events_autocorr_lag1,
+        "session_path_match": q_session_path_match,
+        "shuffle_certificate": q_shuffle_certificate,
+        "orders_scd2_temporal_join": q_orders_scd2_temporal_join,
+        "distinct_kmv": q_distinct_kmv,
+        "term_drift_topk": q_term_drift_topk,
+        "lineitem_weighted_median": q_lineitem_weighted_median,
+        "event_type_overlap": q_event_type_overlap,
+        "sampled_count_estimate": q_sampled_count_estimate,
+        "derived_column_audit": q_derived_column_audit,
+        "label_uniformity_chi2": q_label_uniformity_chi2,
+        "log_parse_roundtrip": q_log_parse_roundtrip,
+        "events_debounce": q_events_debounce,
+        "ab_test_report": q_ab_test_report,
+        "order_proration": q_order_proration,
+        "range_partition_plan": q_range_partition_plan,
+        "events_ttl_expiry": q_events_ttl_expiry,
+        "events_dense_matrix": q_events_dense_matrix,
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "qi_generalization_ladder": q_qi_generalization_ladder,
+        "supplier_hhi_by_region": q_supplier_hhi_by_region,
+        "customer_peak_open_orders": q_customer_peak_open_orders,
+        "orders_fiscal_445": q_orders_fiscal_445,
+        "embedding_gram_matrix": q_embedding_gram_matrix,
+        "user_conversion_survival": q_user_conversion_survival,
+        "discount_cap_whatif": q_discount_cap_whatif,
+        "graph_assortativity": q_graph_assortativity,
+        "dict_encoding_audit": q_dict_encoding_audit,
+        "session_bounce_rate": q_session_bounce_rate,
+        "events_interarrival_log2": q_events_interarrival_log2,
+        "nation_revenue_share_bp": q_nation_revenue_share_bp,
+        "dedup_idempotence": q_dedup_idempotence,
+        # --- driver-checked in r01-r04 (union green) + rows-only ---
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "accuracy_fingerprints": q_accuracy_fingerprints,
@@ -1695,150 +1793,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "pack_sequences": q_pack_sequences,
         "docs_token_budget": q_docs_token_budget,
-        "quality_classifier": q_quality_classifier,
-        "term_postings": q_term_postings,
-        "events_dau_ma7": q_events_dau_ma7,
-        "cross_source_overlap": q_cross_source_overlap,
-        "events_asof_join_forward": q_events_asof_join_forward,
-        "docs_csv_roundtrip": q_docs_csv_roundtrip,
-        "corpus_merge": q_corpus_merge,
-        "embedding_quantize": q_embedding_quantize,
-        "dup_substring_coverage": q_dup_substring_coverage,
-        "quality_rank_fusion": q_quality_rank_fusion,
-        "events_winsorized_stats": q_events_winsorized_stats,
-        "events_weekday_profile": q_events_weekday_profile,
-        # TPC-H canon extension (late r4; r5 window priority with the
-        # other post-rotation additions)
-        "q7_volume_shipping": q_q7_volume_shipping,
-        "q8_market_share": q_q8_market_share,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q17_small_quantity": q_q17_small_quantity,
-        "q19_discounted_revenue": q_q19_discounted_revenue,
-        "q21_waiting_suppliers": q_q21_waiting_suppliers,
-        "q22_sales_opportunity": q_q22_sales_opportunity,
-        "events_first_last": q_events_first_last,
-        "docs_dense_topk": q_docs_dense_topk,
-        "embedding_centroids": q_embedding_centroids,
-        "events_ols_stats": q_events_ols_stats,
-        "events_mad_outliers": q_events_mad_outliers,
-        "term_cooccurrence": q_term_cooccurrence,
-        "trade_pagerank": q_trade_pagerank,
-        "events_path_trigrams": q_events_path_trigrams,
-        "orders_open_per_day": q_orders_open_per_day,
-        "docs_pareto_frontier": q_docs_pareto_frontier,
-        "events_user_mode": q_events_user_mode,
-        "docs_cube": q_docs_cube,
-        "events_conversion_window": q_events_conversion_window,
-        "docs_ids_concat": q_docs_ids_concat,
-        "media_phash_groups": q_media_phash_groups,
-        "trade_hits": q_trade_hits,
-        "embedding_lloyd_step": q_embedding_lloyd_step,
-        "embedding_kmeans": q_embedding_kmeans,
-        "q2_min_cost_supplier": q_q2_min_cost_supplier,
-        "q11_important_parts": q_q11_important_parts,
-        "q20_dominant_suppliers": q_q20_dominant_suppliers,
-        "q9_product_profit": q_q9_product_profit,
-        "q16_supplier_variety": q_q16_supplier_variety,
-        "supplier_triangles": q_supplier_triangles,
-        "part_fuzzy_pairs": q_part_fuzzy_pairs,
-        "charlm_scores": q_charlm_scores,
-        "events_type_pivot": q_events_type_pivot,
-        "orders_rfm": q_orders_rfm,
-        "docs_exact_split": q_docs_exact_split,
-        "events_purchase_view_window": q_events_purchase_view_window,
-        "orders_yoy_growth": q_orders_yoy_growth,
-        "knn_classify": q_knn_classify,
-        "corpus_fingerprint": q_corpus_fingerprint,
-        "part_fuzzy_clusters": q_part_fuzzy_clusters,
-        "events_late_arrivals": q_events_late_arrivals,
-        "trade_bfs_hops": q_trade_bfs_hops,
-        "events_rolling_distinct": q_events_rolling_distinct,
-        "basket_pairs": q_basket_pairs,
-        "events_unpivot": q_events_unpivot,
-        "line_dedup": q_line_dedup,
-        "cosine_pairs": q_cosine_pairs,
-        "events_user_streaks": q_events_user_streaks,
-        "lineitem_zorder": q_lineitem_zorder,
-        "expectations_report": q_expectations_report,
-        "semdedup": q_semdedup,
-        "dsir_select": q_dsir_select,
-        "blocklist_filter": q_blocklist_filter,
-        "lexical_diversity": q_lexical_diversity,
-        "source_similarity": q_source_similarity,
-        "docs_orc_roundtrip": q_docs_orc_roundtrip,
-        "events_daily_gapfill": q_events_daily_gapfill,
-        "oov_rate": q_oov_rate,
-        "doc_top_terms": q_doc_top_terms,
-        "hapax_per_source": q_hapax_per_source,
-        "accuracy_hll_intersect": q_accuracy_hll_intersect,
-        "lang_source_share": q_lang_source_share,
-        "events_burst_days": q_events_burst_days,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "pushdown_filter_scan": q_pushdown_filter_scan,
-        "events_active_coverage": q_events_active_coverage,
-        "events_benford": q_events_benford,
-        "compact_shards": q_compact_shards,
-        "bloom_semijoin": q_bloom_semijoin,
-        "embedding_rp_project": q_embedding_rp_project,
-        "search_topk": q_search_topk,
-        "user_activity_gini": q_user_activity_gini,
-        "dedup_normalized": q_dedup_normalized,
-        "cascade_delete_audit": q_cascade_delete_audit,
-        "orders_price_reconciliation": q_orders_price_reconciliation,
-        "dedup_keep_best": q_dedup_keep_best,
-        "customer_scd2": q_customer_scd2,
-        "incremental_agg": q_incremental_agg,
-        "orders_allen_intervals": q_orders_allen_intervals,
-        "source_nucleus": q_source_nucleus,
-        "fd_violations": q_fd_violations,
-        "customer_orders_full_outer": q_customer_orders_full_outer,
-        "customer_order_degree_histogram": q_customer_order_degree_histogram,
-        "orders_abc_classification": q_orders_abc_classification,
-        "events_value_ma_range": q_events_value_ma_range,
-        "events_cusum_alarm": q_events_cusum_alarm,
-        "orders_backlog_age_buckets": q_orders_backlog_age_buckets,
-        "events_autocorr_lag1": q_events_autocorr_lag1,
-        "docs_feather_roundtrip": q_docs_feather_roundtrip,
-        "session_path_match": q_session_path_match,
-        "shuffle_certificate": q_shuffle_certificate,
-        "orders_scd2_temporal_join": q_orders_scd2_temporal_join,
-        "distinct_kmv": q_distinct_kmv,
-        "term_drift_topk": q_term_drift_topk,
-        "lineitem_weighted_median": q_lineitem_weighted_median,
-        "event_type_overlap": q_event_type_overlap,
-        "sampled_count_estimate": q_sampled_count_estimate,
-        "embedding_label_scatter": q_embedding_label_scatter,
-        "derived_column_audit": q_derived_column_audit,
-        "label_uniformity_chi2": q_label_uniformity_chi2,
-        "log_parse_roundtrip": q_log_parse_roundtrip,
-        "events_debounce": q_events_debounce,
-        "ab_test_report": q_ab_test_report,
-        "order_proration": q_order_proration,
-        "range_partition_plan": q_range_partition_plan,
-        "events_ttl_expiry": q_events_ttl_expiry,
-        "events_dense_matrix": q_events_dense_matrix,
-        "k_anonymity_audit": q_k_anonymity_audit,
-        "qi_generalization_ladder": q_qi_generalization_ladder,
-        "supplier_hhi_by_region": q_supplier_hhi_by_region,
-        "customer_peak_open_orders": q_customer_peak_open_orders,
-        "orders_fiscal_445": q_orders_fiscal_445,
-        "embedding_gram_matrix": q_embedding_gram_matrix,
-        "user_conversion_survival": q_user_conversion_survival,
-        "discount_cap_whatif": q_discount_cap_whatif,
-        "source_weighted_jaccard": q_source_weighted_jaccard,
-        "graph_assortativity": q_graph_assortativity,
-        "dict_encoding_audit": q_dict_encoding_audit,
-        "session_bounce_rate": q_session_bounce_rate,
-        "events_interarrival_log2": q_events_interarrival_log2,
-        "multiformat_union_read": q_multiformat_union_read,
-        "nation_revenue_share_bp": q_nation_revenue_share_bp,
-        "sequence_gap_audit": q_sequence_gap_audit,
-        "dedup_idempotence": q_dedup_idempotence,
-        "dup_substring_cut": q_dup_substring_cut,
-        "knn_classify_lsh": q_knn_classify_lsh,
-        "embedding_cluster_scatter": q_embedding_cluster_scatter,
-        "infer_closed_loop": q_infer_closed_loop,
-        # --- below the driver line: r02-checked (next rotation) ---
         "chunk_documents": q_chunk_documents,
         "sample_uniform": q_sample_uniform,
         "sample_mixture": q_sample_mixture,
@@ -1857,7 +1811,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": R.events_funnel,
         "events_retention": R.events_retention,
         "events_cohorts": R.events_cohorts,
-        # --- r03 driver-green + local sf0.001/sf0.01 harness ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q4_priority_counts": R.q4_priority_counts,
         "q6_forecast_revenue": R.q6_forecast_revenue,
@@ -1900,7 +1853,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": q_events_props_stats,
         "events_window_streaming": q_events_window_streaming,
         "verdicts": q_verdicts,
-        # --- rows-only (approximate / non-SQL-expressible) ---
         "distinct_sketch": q_distinct_sketch,
         "infer_structure": q_infer_structure,
         "dedup_minhash": q_dedup_minhash,
