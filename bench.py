@@ -319,6 +319,13 @@ def run_bench() -> dict:
             lambda: T.dup_ngram_fraction(docs_ds()).count())
     best_of("dup_substring_coverage",
             lambda: T.dup_substring_coverage(docs_ds()).count())
+    # the oracle-twin gram-string wire (L x more exchange bytes) vs the
+    # default 128-bit fingerprint wire above — the r5 wire-format story
+    best_of("dup_substring_coverage_gramwire",
+            lambda: T.dup_substring_coverage(docs_ds(),
+                                             wire="gram").count())
+    best_of("dup_substring_cut",
+            lambda: T.dup_substring_cut(docs_ds()).count())
     best_of("events_props_stats",
             lambda: R.events_props_stats(SF_DIR).count())
     best_of("q10_returned_items",
@@ -356,6 +363,9 @@ def run_bench() -> dict:
         A.ann_topk_bruteforce(emb, qv).count()
 
     best_of("ann_topk", run_ann)
+    # LSH-pruned kNN classification (r5): bucketed candidates + exact vote
+    best_of("knn_classify_lsh",
+            lambda: A.knn_classify_lsh(SF_DIR).count())
     best_of("q1", lambda: R.q1_pricing_summary(SF_DIR).count())
     best_of("events_window",
             lambda: R.events_tumbling_window(SF_DIR).count())
