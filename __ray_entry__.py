@@ -1202,6 +1202,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two sha-keyed exchanges, counts only
         return D.dedup_idempotence(docs(sf_dir))
 
+    def q_greedy_coverage(sf_dir):
+        # greedy max-coverage subset pick: k linear argmax passes over
+        # a materialized bigram-list table; covered set is pick-bounded
+        from yj_schema_validator_ray.pipelines.selection import (
+            greedy_coverage)
+        return greedy_coverage(sf_dir)
+
+    def q_mmr_select(sf_dir):
+        # MMR diversified top-k: one scan emits vector-carrying top-c
+        # block partials; cxc tile + greedy loop are candidate-bounded
+        from yj_schema_validator_ray.pipelines.selection import mmr_select
+        return mmr_select(sf_dir)
+
+    def q_part_kcore(sf_dir):
+        # parallel k-core peel over basket_pairs edges: broadcast alive
+        # bitset + sparse degree partials per round, fixpoint early-exit
+        from yj_schema_validator_ray.stages.graph import part_kcore
+        return part_kcore(sf_dir)
+
+    def q_changelog_compaction(sf_dir):
+        # CDC compaction certificate: compact(full) == merge(base,delta);
+        # one user-keyed exchange co-locates all three states per key
+        from yj_schema_validator_ray.pipelines.governance import (
+            changelog_compaction)
+        return changelog_compaction(sf_dir)
+
+    def q_zonemap_prune_audit(sf_dir):
+        # zone-map replay: morton vs part-range layouts x 4 rectangle
+        # predicates; zone index via one (layout,bucket) exact aggregate
+        from yj_schema_validator_ray.pipelines.olap_events2 import (
+            zonemap_prune_audit)
+        return zonemap_prune_audit(sf_dir)
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1742,6 +1775,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival_log2": q_events_interarrival_log2,
         "nation_revenue_share_bp": q_nation_revenue_share_bp,
         "dedup_idempotence": q_dedup_idempotence,
+        "greedy_coverage": q_greedy_coverage,
+        "mmr_select": q_mmr_select,
+        "part_kcore": q_part_kcore,
+        "changelog_compaction": q_changelog_compaction,
+        "zonemap_prune_audit": q_zonemap_prune_audit,
         # --- driver-checked in r01-r04 (union green) + rows-only ---
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -2076,6 +2114,39 @@ def _dedup_idempotence_sql() -> str:
     from yj_schema_validator_ray.stages.dedup import dedup_idempotence_sql
 
     return dedup_idempotence_sql()
+
+
+def _greedy_coverage_sql() -> str:
+    from yj_schema_validator_ray.pipelines.selection import (
+        greedy_coverage_sql)
+
+    return greedy_coverage_sql()
+
+
+def _mmr_select_sql() -> str:
+    from yj_schema_validator_ray.pipelines.selection import mmr_select_sql
+
+    return mmr_select_sql()
+
+
+def _part_kcore_sql() -> str:
+    from yj_schema_validator_ray.stages.graph import part_kcore_sql
+
+    return part_kcore_sql()
+
+
+def _changelog_compaction_sql() -> str:
+    from yj_schema_validator_ray.pipelines.governance import (
+        changelog_compaction_sql)
+
+    return changelog_compaction_sql()
+
+
+def _zonemap_prune_audit_sql() -> str:
+    from yj_schema_validator_ray.pipelines.olap_events2 import (
+        zonemap_prune_audit_sql)
+
+    return zonemap_prune_audit_sql()
 
 
 def _source_nucleus_sql() -> str:
@@ -2863,6 +2934,11 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_share_bp": R.nation_revenue_share_bp_sql(),
         "sequence_gap_audit": _sequence_gap_audit_sql(),
         "dedup_idempotence": _dedup_idempotence_sql(),
+        "greedy_coverage": _greedy_coverage_sql(),
+        "mmr_select": _mmr_select_sql(),
+        "part_kcore": _part_kcore_sql(),
+        "changelog_compaction": _changelog_compaction_sql(),
+        "zonemap_prune_audit": _zonemap_prune_audit_sql(),
         "dup_substring_cut": _dup_substring_cut_sql(),
         "knn_classify_lsh": _knn_classify_lsh_sql(),
         "embedding_cluster_scatter": _embedding_cluster_scatter_sql(),

@@ -903,3 +903,168 @@ UNION ALL
 SELECT 'region', CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
        CAST(coalesce(sum(n) FILTER (WHERE n < {k}), 0) AS BIGINT)
 FROM l2"""
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog compaction with a base+delta merge certificate
+# ---------------------------------------------------------------------------
+
+CHANGELOG_CUT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z
+
+
+def changelog_compaction(sf_dir: str):
+    """Changelog (CDC) compaction certificate: treating the event
+    stream as an upsert log keyed by ``user_id`` (latest
+    ``(ts, event_id)`` wins; ``event_type='error'`` as the tombstone
+    marker), compact it three ways — the FULL log, the base segment
+    (``ts < CHANGELOG_CUT_US``), and the delta segment (``ts >= cut``)
+    — and certify the incremental-maintenance identity a lakehouse
+    MERGE relies on:
+
+        compact(full) == merge(compact(base), compact(delta))
+
+    (delta's last-writer wins per key, op counts add).  Output is one
+    row: live-key count, tombstoned-key count, exact int64 sums of the
+    live keys' last event ids / op counts, and the mismatch count (0 +
+    ``states_equal=1`` iff the identity holds).
+
+    Scale shape: last-writer-wins is a distributive argmax, so ONE
+    linear pass emits <= 3 candidate rows + counts per (user, segment)
+    per batch; one user-keyed coarse exchange co-locates a key's full /
+    base / delta partials TOGETHER, and each group finishes the three
+    compactions, the merge, and the comparison locally, emitting only
+    group-level partial SUMS.  The driver folds block-count-sized
+    partials — per-key state never leaves the exchange.
+    """
+    import ray.data
+
+    from ..stages.dedup import coarse_mix
+    from ..util import collect_small_arrow, shuffle_partitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "ts_us": df["ts"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"].astype("string"),
+        })
+        outs = []
+        for seg, sub in ((0, df),
+                         (1, df[df["ts_us"] < CHANGELOG_CUT_US]),
+                         (2, df[df["ts_us"] >= CHANGELOG_CUT_US])):
+            if not len(sub):
+                continue
+            s = sub.sort_values(["user_id", "ts_us", "event_id"],
+                                kind="mergesort")
+            g = s.groupby("user_id", sort=False)
+            last = g.tail(1)[["user_id", "ts_us", "event_id", "event_type"]]
+            m = last.merge(g.size().rename("n").reset_index(), on="user_id")
+            m.insert(1, "seg", np.int64(seg))
+            outs.append(m)
+        if not outs:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "seg": pd.Series(dtype="int64"),
+                "ts_us": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="string"),
+                "n": pd.Series(dtype="int64"),
+                "__coarse": pd.Series(dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        out["__coarse"] = coarse_mix(
+            out["user_id"].to_numpy(np.int64)).astype(np.int64)
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__coarse")
+        s = g.sort_values(["user_id", "seg", "ts_us", "event_id"],
+                          kind="mergesort")
+        gb = s.groupby(["user_id", "seg"], sort=False)
+        last = gb.tail(1)[["user_id", "seg", "event_id", "event_type"]]
+        m = last.merge(gb["n"].sum().rename("n").reset_index(),
+                       on=["user_id", "seg"])
+        f = m[m["seg"] == 0].set_index("user_id")
+        b = m[m["seg"] == 1].set_index("user_id").reindex(f.index)
+        d = m[m["seg"] == 2].set_index("user_id").reindex(f.index)
+        # merged state: delta's last writer wins, op counts add
+        # cast back to int64 after the NaN-bearing reindex: a float64
+        # compare would silently lose exactness past 2^53 ids
+        m_id = (d["event_id"].where(d["event_id"].notna(), b["event_id"])
+                .astype("int64"))
+        m_type = d["event_type"].where(d["event_type"].notna(),
+                                       b["event_type"])
+        m_n = (b["n"].fillna(0) + d["n"].fillna(0)).astype("int64")
+        mismatch = ((f["event_id"] != m_id) | (f["event_type"] != m_type)
+                    | (f["n"] != m_n))
+        tomb = f["event_type"] == "error"
+        live = ~tomb
+        return pd.DataFrame({
+            "n_keys": [np.int64(live.sum())],
+            "n_tombstoned": [np.int64(tomb.sum())],
+            "sum_last_event_id": [np.int64(f.loc[live, "event_id"].sum())],
+            "sum_n_ops": [np.int64(f.loc[live, "n"].sum())],
+            "n_mismatch": [np.int64(mismatch.sum())]})
+
+    parts = collect_small_arrow(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__coarse", num_partitions=shuffle_partitions())
+        .map_groups(finish, batch_format="pandas")).to_pandas()
+
+    tot = parts.sum() if len(parts) else None
+    vals = {c: (int(tot[c]) if tot is not None else 0)
+            for c in ("n_keys", "n_tombstoned", "sum_last_event_id",
+                      "sum_n_ops", "n_mismatch")}
+    vals["states_equal"] = 1 if vals["n_mismatch"] == 0 else 0
+    return pa.table({c: pa.array([v], pa.int64()) for c, v in vals.items()})
+
+
+def changelog_compaction_sql() -> str:
+    """Oracle: three row_number()-windowed compactions + a FULL OUTER
+    JOIN merge/compare; compaction CTEs are MATERIALIZED (each is
+    referenced by several of the final scalar subqueries)."""
+    cut = CHANGELOG_CUT_US
+    seg = """
+  SELECT user_id,
+         max(CASE WHEN rd = 1 THEN event_id END) AS last_id,
+         max(CASE WHEN rd = 1 THEN event_type END) AS last_type,
+         count(*) AS n
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts_us DESC, event_id DESC) AS rd FROM ev{w})
+  GROUP BY user_id"""
+    return f"""
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS ts_us,
+         CAST(event_id AS BIGINT) AS event_id, event_type
+  FROM events),
+full_c AS MATERIALIZED ({seg.format(w='')}),
+base_c AS MATERIALIZED ({seg.format(w=f' WHERE ts_us < {cut}')}),
+delta_c AS MATERIALIZED ({seg.format(w=f' WHERE ts_us >= {cut}')}),
+merged AS MATERIALIZED (
+  SELECT coalesce(d.user_id, b.user_id) AS user_id,
+         coalesce(d.last_id, b.last_id) AS last_id,
+         coalesce(d.last_type, b.last_type) AS last_type,
+         coalesce(b.n, 0) + coalesce(d.n, 0) AS n
+  FROM base_c b FULL OUTER JOIN delta_c d USING (user_id)),
+cmp AS MATERIALIZED (
+  SELECT coalesce(f.user_id, m.user_id) AS user_id,
+         (f.user_id IS NULL OR m.user_id IS NULL
+          OR f.last_id <> m.last_id OR f.last_type <> m.last_type
+          OR f.n <> m.n) AS mismatch
+  FROM full_c f FULL OUTER JOIN merged m ON f.user_id = m.user_id)
+SELECT
+  CAST((SELECT count(*) FROM full_c WHERE last_type <> 'error')
+       AS BIGINT) AS n_keys,
+  CAST((SELECT count(*) FROM full_c WHERE last_type = 'error')
+       AS BIGINT) AS n_tombstoned,
+  CAST((SELECT coalesce(sum(last_id), 0) FROM full_c
+        WHERE last_type <> 'error') AS BIGINT) AS sum_last_event_id,
+  CAST((SELECT coalesce(sum(n), 0) FROM full_c WHERE last_type <> 'error')
+       AS BIGINT) AS sum_n_ops,
+  CAST((SELECT count(*) FROM cmp WHERE mismatch) AS BIGINT) AS n_mismatch,
+  CAST(CASE WHEN (SELECT count(*) FROM cmp WHERE mismatch) = 0
+       THEN 1 ELSE 0 END AS BIGINT) AS states_equal"""

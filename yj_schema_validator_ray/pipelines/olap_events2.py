@@ -1317,3 +1317,191 @@ SELECT CAST(ANY_VALUE(nu) AS BIGINT) AS n_users,
 FROM r"""
 
 
+
+
+# ---------------------------------------------------------------------------
+# zone-map pruning audit: Morton layout vs single-key range layout
+# ---------------------------------------------------------------------------
+
+def zonemap_prune_audit(sf_dir: str, shift: int = 16, pshift: int = 3):
+    """Zone-map (min/max pruning-index) audit: bucket ``lineitem`` rows
+    under two physical layouts — the Morton/z-order clustering of
+    :func:`lineitem_zorder_stats` and a plain single-key range layout
+    (``l_partkey >> pshift``) — and replay four rectangle predicates
+    (both-key low / both-key high / part-band / supp-band quartile
+    boxes derived from the global bounds) against each layout's
+    per-zone bounding boxes.  Per (layout, predicate): zones total,
+    zones a min/max check prunes, rows the unpruned zones would scan,
+    and the true matching rows — the quantified "z-order makes BOTH
+    columns prunable, single-key order only one" claim a table
+    optimizer acts on.
+
+    Scale shape: pass 1 reduces to 4 global bounds (per-block int64
+    partials); pass 2 emits per-batch pre-aggregated zone partials for
+    BOTH layouts into ONE (layout, bucket)-keyed exact aggregate — the
+    collected result IS the pruning index a writer persists,
+    zone-domain-sized by construction; pass 3 counts true matches with
+    vectorized interval masks (per-block 4-int partials).  The
+    cross-product replay runs over the zone index driver-side.
+    """
+    import ray.data
+
+    from ..stages.exact_agg import grouped_aggregate
+    from ..util import collect_small_arrow
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+
+    def keys(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        x = pc.cast(t.column("l_partkey"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(x) and (x.min() < 0 or y.min() < 0
+                       or max(x.max(), y.max()) >= (1 << 31)):
+            raise ValueError("zonemap_prune_audit: keys outside [0, 2^31)")
+        return x, y
+
+    def bounds_partial(t: pa.Table) -> pa.Table:
+        x, y = keys(t)
+        if not len(x):
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("mnp", "mxp", "mns", "mxs")})
+        return pa.table({"mnp": pa.array([int(x.min())], pa.int64()),
+                         "mxp": pa.array([int(x.max())], pa.int64()),
+                         "mns": pa.array([int(y.min())], pa.int64()),
+                         "mxs": pa.array([int(y.max())], pa.int64())})
+
+    bt = collect_small_arrow(
+        ds.map_batches(bounds_partial, batch_format="pyarrow")).to_pandas()
+    mnp, mxp = int(bt["mnp"].min()), int(bt["mxp"].max())
+    mns, mxs = int(bt["mns"].min()), int(bt["mxs"].max())
+
+    # the four quartile-box predicates (pure integer floor division —
+    # identical to the oracle's BIGINT // math on non-negative keys)
+    preds = [
+        (0, mnp, mnp + (mxp - mnp) // 2, mns, mns + (mxs - mns) // 2),
+        (1, mnp + (mxp - mnp) // 2 + 1, mxp, mns + (mxs - mns) // 2 + 1, mxs),
+        (2, mnp + (mxp - mnp) // 4, mnp + 3 * (mxp - mnp) // 4, mns, mxs),
+        (3, mnp, mxp, mns + (mxs - mns) // 4, mns + 3 * (mxs - mns) // 4),
+    ]
+
+    def zone_partial(t: pa.Table) -> pa.Table:
+        x, y = keys(t)
+        morton = ((_spread_bits(x) | (_spread_bits(y) << np.uint64(1)))
+                  >> np.uint64(shift)).astype(np.int64)
+        frames = []
+        for layout, bucket in (("morton", morton), ("prange", x >> pshift)):
+            g = (pd.DataFrame({"bucket": bucket, "p": x, "s": y})
+                 .groupby("bucket", sort=False)
+                 .agg(n=("p", "size"), min_p=("p", "min"),
+                      max_p=("p", "max"), min_s=("s", "min"),
+                      max_s=("s", "max")).reset_index())
+            g.insert(0, "layout", layout)
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True)
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    zones = collect_small_arrow(grouped_aggregate(
+        ds.map_batches(zone_partial, batch_format="pyarrow"),
+        ["layout", "bucket"],
+        [("n", "sum", "n"),
+         ("min_p", "min", "min_p"), ("max_p", "max", "max_p"),
+         ("min_s", "min", "min_s"), ("max_s", "max", "max_s")])
+    ).to_pandas()
+
+    def match_partial(t: pa.Table) -> pa.Table:
+        x, y = keys(t)
+        cnt = [int(((x >= lp) & (x <= hp) & (y >= ls) & (y <= hs)).sum())
+               for _, lp, hp, ls, hs in preds]
+        return pa.table({"pred_id": pa.array(range(len(preds)), pa.int64()),
+                         "matched": pa.array(cnt, pa.int64())})
+
+    mt = collect_small_arrow(
+        ds.map_batches(match_partial, batch_format="pyarrow")).to_pandas()
+    matched = mt.groupby("pred_id")["matched"].sum()
+
+    rows = []
+    for layout in ("morton", "prange"):
+        z = zones[zones["layout"] == layout]
+        for pid, lp, hp, ls, hs in preds:
+            pruned = ((z["max_p"] < lp) | (z["min_p"] > hp)
+                      | (z["max_s"] < ls) | (z["min_s"] > hs))
+            rows.append((layout, pid, len(z), int(pruned.sum()),
+                         int(z.loc[~pruned, "n"].sum()),
+                         int(matched.get(pid, 0))))
+    return pa.table({
+        "layout": pa.array([r[0] for r in rows]),
+        "pred_id": pa.array([r[1] for r in rows], pa.int64()),
+        "zones_total": pa.array([r[2] for r in rows], pa.int64()),
+        "zones_pruned": pa.array([r[3] for r in rows], pa.int64()),
+        "rows_scanned": pa.array([r[4] for r in rows], pa.int64()),
+        "rows_matched": pa.array([r[5] for r in rows], pa.int64())})
+
+
+def zonemap_prune_audit_sql(shift: int = 16, pshift: int = 3) -> str:
+    """Oracle: the identical Morton cascade, quartile predicates and
+    bbox prune test in one query (zones/bounds MATERIALIZED — each is
+    referenced per predicate)."""
+    def spread(col: str) -> str:
+        e = col
+        for sh, mask in _MORTON_MASKS:
+            e = f"(({e} | ({e} << {sh})) & {mask})"
+        return e
+
+    morton = f"({spread('part')} | ({spread('supp')} << 1)) >> {shift}"
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT CAST(l_partkey AS BIGINT) AS part,
+         CAST(l_suppkey AS BIGINT) AS supp
+  FROM lineitem),
+bounds AS MATERIALIZED (
+  SELECT min(part) AS mnp, max(part) AS mxp,
+         min(supp) AS mns, max(supp) AS mxs
+  FROM src),
+preds AS MATERIALIZED (
+  SELECT 0 AS pred_id, mnp AS lo_p, mnp + (mxp - mnp) // 2 AS hi_p,
+         mns AS lo_s, mns + (mxs - mns) // 2 AS hi_s FROM bounds
+  UNION ALL
+  SELECT 1, mnp + (mxp - mnp) // 2 + 1, mxp,
+         mns + (mxs - mns) // 2 + 1, mxs FROM bounds
+  UNION ALL
+  SELECT 2, mnp + (mxp - mnp) // 4, mnp + 3 * (mxp - mnp) // 4,
+         mns, mxs FROM bounds
+  UNION ALL
+  SELECT 3, mnp, mxp,
+         mns + (mxs - mns) // 4, mns + 3 * (mxs - mns) // 4 FROM bounds),
+zones AS MATERIALIZED (
+  SELECT 'morton' AS layout, {morton} AS bucket,
+         count(*) AS n, min(part) AS min_p, max(part) AS max_p,
+         min(supp) AS min_s, max(supp) AS max_s
+  FROM src GROUP BY bucket
+  UNION ALL
+  SELECT 'prange', part >> {pshift},
+         count(*), min(part), max(part), min(supp), max(supp)
+  FROM src GROUP BY part >> {pshift}),
+joined AS (
+  SELECT z.layout, pr.pred_id, z.n,
+         (z.max_p < pr.lo_p OR z.min_p > pr.hi_p
+          OR z.max_s < pr.lo_s OR z.min_s > pr.hi_s) AS pruned
+  FROM zones z CROSS JOIN preds pr),
+agg AS (
+  SELECT layout, pred_id,
+         CAST(count(*) AS BIGINT) AS zones_total,
+         CAST(coalesce(sum(CASE WHEN pruned THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS zones_pruned,
+         CAST(coalesce(sum(CASE WHEN NOT pruned THEN n ELSE 0 END), 0)
+              AS BIGINT) AS rows_scanned
+  FROM joined GROUP BY layout, pred_id),
+m AS (
+  SELECT pr.pred_id, count(*) AS rows_matched
+  FROM src JOIN preds pr
+    ON src.part BETWEEN pr.lo_p AND pr.hi_p
+   AND src.supp BETWEEN pr.lo_s AND pr.hi_s
+  GROUP BY pr.pred_id)
+SELECT a.layout, CAST(a.pred_id AS BIGINT) AS pred_id, a.zones_total,
+       a.zones_pruned, a.rows_scanned,
+       CAST(coalesce(m.rows_matched, 0) AS BIGINT) AS rows_matched
+FROM agg a LEFT JOIN m ON m.pred_id = a.pred_id"""

@@ -537,3 +537,161 @@ SELECT CAST(count(*) AS BIGINT) AS n_edges,
        CAST(sum(du + dv) AS BIGINT) AS sum_d,
        CAST(sum(du * du + dv * dv) AS BIGINT) AS sum_d2
 FROM e"""
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+def part_kcore(sf_dir: str, k: int = 3, rounds: int = 16,
+               min_support: int = 2, max_basket: int = 32):
+    """k-core decomposition (Seidman 1983; the Batagelj-Zaversnik peel
+    expressed as parallel rounds): repeatedly delete every node whose
+    degree among SURVIVING nodes is < ``k``; after ``rounds`` parallel
+    peels, report each core member's within-core degree — the standard
+    "dense cohesive subgraph" primitive (spam/community cores over
+    co-occurrence graphs).
+
+    The graph is the :func:`..pipelines.olap_events2.basket_pairs` edge
+    relation (unordered part pairs co-purchased in >= ``min_support``
+    orders, mega-baskets > ``max_basket`` dropped — the documented
+    densification guard), REUSED so graph and market-basket families
+    share one driver-green edge derivation.
+
+    Scale shape: edges are materialized ONCE as int64 (p1, p2) and every
+    peel round is one linear map over them — alive-set membership tests
+    ride a BROADCAST bitset over the part-key DOMAIN (1 bit per possible
+    key: 2^31 keys cap = 256 MiB, budget-guarded; the catalog dimension
+    of the corpus, not the row count), per-batch degree partials are
+    sparse (node, d) int64 rows, and one exact node-keyed aggregate per
+    round merges them.  The shrinking survivor id set the driver folds
+    into the next bitset is part-domain-sized — the same domain-sized
+    driver-state budget every constraint op documents.  Rounds stop
+    early at the fixed point (identical result: further peels are
+    no-ops), so the common case pays ~core-depth rounds, not ``rounds``.
+    """
+    import ray.data  # noqa: F401  (Dataset machinery via basket_pairs)
+
+    from ..pipelines.olap_events2 import basket_pairs
+    from ..util import collect_small_arrow
+    from .exact_agg import grouped_aggregate
+
+    edges = basket_pairs(sf_dir, min_support=min_support,
+                         max_basket=max_basket).map_batches(
+        lambda t: t.select(["p1", "p2"]), batch_format="pyarrow"
+    ).materialize()
+
+    bt = collect_small_arrow(edges.map_batches(
+        lambda t: pa.table({"mx": pa.array(
+            [max(int(pc.max(t.column("p1")).as_py() or 0),
+                 int(pc.max(t.column("p2")).as_py() or 0))]
+            if t.num_rows else [], pa.int64())}),
+        batch_format="pyarrow"))
+    mx = max(bt.column("mx").to_pylist(), default=-1)
+    if mx < 0:
+        return pa.table({"part": pa.array([], pa.int64()),
+                         "core_deg": pa.array([], pa.int64())})
+    if mx >= (1 << 31):
+        raise ValueError("part_kcore: part keys outside [0, 2^31) — the "
+                         "broadcast bitset budget (256 MiB) is exceeded; "
+                         "remap keys before peeling")
+    nbytes = (mx + 1 + 7) // 8
+
+    def degrees(bits_arr: np.ndarray):
+        """Linear pass: per-batch sparse degree partials over edges whose
+        BOTH endpoints are alive in the broadcast bitset (``ray.put``
+        once per round; workers read it zero-copy from the object
+        store — never per-task closure bytes)."""
+        import ray
+
+        bits_ref = ray.put(bits_arr)
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            bits = ray.get(bits_ref)
+            p1 = t.column("p1").to_numpy(zero_copy_only=False)
+            p2 = t.column("p2").to_numpy(zero_copy_only=False)
+            a1 = (bits[p1 >> 3] >> (p1 & 7).astype(np.uint8)) & 1
+            a2 = (bits[p2 >> 3] >> (p2 & 7).astype(np.uint8)) & 1
+            m = (a1 & a2).astype(bool)
+            node, d = np.unique(np.concatenate([p1[m], p2[m]]),
+                                return_counts=True)
+            return pa.table({"node": pa.array(node, pa.int64()),
+                             "d": pa.array(d.astype(np.int64), pa.int64())})
+
+        return grouped_aggregate(
+            edges.map_batches(partial, batch_format="pyarrow"),
+            ["node"], [("d", "sum", "d")])
+
+    def to_bits(nodes: np.ndarray) -> np.ndarray:
+        bits = np.zeros(nbytes, np.uint8)
+        np.bitwise_or.at(bits, nodes >> 3,
+                         (np.uint8(1) << (nodes & 7).astype(np.uint8)))
+        return bits
+
+    alive = np.full(nbytes, 0xFF, np.uint8)  # n0 is implicit: only edge
+    # endpoints ever earn a degree row, so all-ones == "every endpoint"
+    for _ in range(rounds):
+        deg = degrees(alive)
+        surv = collect_small_arrow(deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t.column("d"), pa.scalar(k, pa.int64()))).select(["node"]),
+            batch_format="pyarrow"))
+        nodes = (surv.column("node").to_numpy(zero_copy_only=False)
+                 if surv.num_rows else np.empty(0, np.int64))
+        nxt = to_bits(nodes)
+        if np.array_equal(nxt, alive):
+            break  # fixed point — remaining peels are no-ops
+        alive = nxt
+
+    final = degrees(alive)
+    return final.map_batches(
+        lambda t: pa.table({"part": t.column("node"),
+                            "core_deg": pc.cast(t.column("d"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def part_kcore_sql(k: int = 3, rounds: int = 16, min_support: int = 2,
+                   max_basket: int = 32) -> str:
+    """Unrolled parallel-peel CTE over the same basket_pairs edge
+    relation; survivor CTEs are MATERIALIZED (each round references the
+    previous one multiple times — default inlining would expand 4^rounds
+    subtrees)."""
+    base = f"""
+WITH li AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+                  CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem),
+ok AS (SELECT o FROM li GROUP BY o HAVING count(*) <= {int(max_basket)}),
+e AS MATERIALIZED (
+  SELECT a.p AS p1, b.p AS p2
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p JOIN ok ON ok.o = a.o
+  GROUP BY p1, p2 HAVING count(*) >= {int(min_support)}),
+n0 AS MATERIALIZED (SELECT p1 AS node FROM e UNION SELECT p2 FROM e)"""
+    parts = [base]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+n{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS d FROM (
+      SELECT p1 AS node FROM e
+      WHERE p1 IN (SELECT node FROM n{i-1})
+        AND p2 IN (SELECT node FROM n{i-1})
+      UNION ALL
+      SELECT p2 FROM e
+      WHERE p1 IN (SELECT node FROM n{i-1})
+        AND p2 IN (SELECT node FROM n{i-1})
+    ) GROUP BY node) WHERE d >= {int(k)})""")
+    parts.append(f"""
+SELECT node AS part, CAST(count(*) AS BIGINT) AS core_deg FROM (
+  SELECT p1 AS node FROM e
+  WHERE p1 IN (SELECT node FROM n{rounds})
+    AND p2 IN (SELECT node FROM n{rounds})
+  UNION ALL
+  SELECT p2 FROM e
+  WHERE p1 IN (SELECT node FROM n{rounds})
+    AND p2 IN (SELECT node FROM n{rounds})
+) GROUP BY node""")
+    return "".join(parts)
