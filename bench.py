@@ -471,6 +471,22 @@ def run_bench() -> dict:
     best_of("term_drift", lambda: term_drift_topk(docs_ds()).count())
     best_of("type_overlap", lambda: event_type_overlap(SF_DIR).count())
 
+    # round-5 fifteenth wave: the parallel k-core peel (broadcast-bitset
+    # rounds over the basket_pairs edge relation with fixpoint early
+    # exit), the CDC compaction certificate (one user-keyed exchange
+    # finishing full/base/delta compactions + the merge compare), and
+    # the zone-map replay (bounds pass + one (layout, bucket) exact
+    # aggregate + vectorized predicate-match scan)
+    from yj_schema_validator_ray.pipelines.governance import (
+        changelog_compaction)
+    from yj_schema_validator_ray.pipelines.olap_events2 import (
+        zonemap_prune_audit)
+    from yj_schema_validator_ray.stages.graph import part_kcore
+
+    best_of("part_kcore", lambda: part_kcore(SF_DIR).count())
+    best_of("changelog_compaction", lambda: changelog_compaction(SF_DIR))
+    best_of("zonemap_prune_audit", lambda: zonemap_prune_audit(SF_DIR))
+
     headline = timings["validate"]
     result = {
         "metric": ("validated files/sec end-to-end (rows validated + "
