@@ -1235,6 +1235,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             zonemap_prune_audit)
         return zonemap_prune_audit(sf_dir)
 
+    def q_part_clustering(sf_dir):
+        # local clustering-coefficient numerators over the basket_pairs
+        # graph: triangle closure + adaptive degree stitch, int64 only
+        from yj_schema_validator_ray.stages.graph import part_clustering
+        return part_clustering(sf_dir)
+
+    def q_part_two_hop(sf_dir):
+        # friends-of-friends reach: mid-keyed neighbor-pair exchange ->
+        # pair-keyed dedup -> node counts + adaptive degree attach
+        from yj_schema_validator_ray.stages.graph import part_two_hop
+        return part_two_hop(sf_dir)
+
+    def q_collocation_stats(sf_dir):
+        # adjacent-bigram PMI input table: one tokenize pass, tagged
+        # unigram/pair partials, support gate before marginal attaches
+        from yj_schema_validator_ray.stages.text import collocation_stats
+        return collocation_stats(docs(sf_dir))
+
     def q_search_topk(sf_dir):
         # keyword retrieval: query-sized df aggregate -> inline integer
         # TF-IDF weights -> zero-shuffle scoring scan -> top-k
@@ -1780,6 +1798,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_kcore": q_part_kcore,
         "changelog_compaction": q_changelog_compaction,
         "zonemap_prune_audit": q_zonemap_prune_audit,
+        "part_clustering": q_part_clustering,
+        "part_two_hop": q_part_two_hop,
+        "collocation_stats": q_collocation_stats,
         # --- driver-checked in r01-r04 (union green) + rows-only ---
         "docs_union_evolved": q_docs_union_evolved,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -2147,6 +2168,24 @@ def _zonemap_prune_audit_sql() -> str:
         zonemap_prune_audit_sql)
 
     return zonemap_prune_audit_sql()
+
+
+def _part_clustering_sql() -> str:
+    from yj_schema_validator_ray.stages.graph import part_clustering_sql
+
+    return part_clustering_sql()
+
+
+def _part_two_hop_sql() -> str:
+    from yj_schema_validator_ray.stages.graph import part_two_hop_sql
+
+    return part_two_hop_sql()
+
+
+def _collocation_stats_sql() -> str:
+    from yj_schema_validator_ray.stages.text import collocation_stats_sql
+
+    return collocation_stats_sql()
 
 
 def _source_nucleus_sql() -> str:
@@ -2939,6 +2978,9 @@ def oracle_sql() -> dict[str, str]:
         "part_kcore": _part_kcore_sql(),
         "changelog_compaction": _changelog_compaction_sql(),
         "zonemap_prune_audit": _zonemap_prune_audit_sql(),
+        "part_clustering": _part_clustering_sql(),
+        "part_two_hop": _part_two_hop_sql(),
+        "collocation_stats": _collocation_stats_sql(),
         "dup_substring_cut": _dup_substring_cut_sql(),
         "knn_classify_lsh": _knn_classify_lsh_sql(),
         "embedding_cluster_scatter": _embedding_cluster_scatter_sql(),

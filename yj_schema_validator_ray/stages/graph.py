@@ -695,3 +695,205 @@ SELECT node AS part, CAST(count(*) AS BIGINT) AS core_deg FROM (
     AND p2 IN (SELECT node FROM n{rounds})
 ) GROUP BY node""")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient (integer triple: deg / wedges / triangles)
+# ---------------------------------------------------------------------------
+# local clustering coefficient (integer triple: deg / wedges / triangles)
+# ---------------------------------------------------------------------------
+
+def _basket_edges(sf_dir: str, min_support: int, max_basket: int):
+    """The shared part co-purchase edge relation (a, b int64, a < b) —
+    the same :func:`..pipelines.olap_events2.basket_pairs` derivation
+    :func:`part_kcore` rides, so every part-graph operator certifies
+    ONE driver-green edge definition."""
+    from ..pipelines.olap_events2 import basket_pairs
+
+    return basket_pairs(sf_dir, min_support=min_support,
+                        max_basket=max_basket).map_batches(
+        lambda t: t.select(["p1", "p2"]).rename_columns(["a", "b"]),
+        batch_format="pyarrow").materialize()
+
+
+_BASKET_EDGE_CTE = """
+WITH li AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+                  CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem),
+ok AS (SELECT o FROM li GROUP BY o HAVING count(*) <= {max_basket}),
+pairs AS MATERIALIZED (
+  SELECT a.p AS x, b.p AS y
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p JOIN ok ON ok.o = a.o
+  GROUP BY x, y HAVING count(*) >= {min_support})"""
+
+
+def part_clustering(sf_dir: str, min_support: int = 2,
+                    max_basket: int = 32):
+    """Per-node local clustering-coefficient NUMERATORS over the part
+    co-purchase graph: for every part, its degree, wedge count
+    d(d-1)/2, and triangle participation count — lcc(v) =
+    n_triangles / n_wedges stays a consumer-side rational, so the
+    whole output is exact int64 (the repo's no-float-aggregates
+    discipline; Watts-Strogatz 1998 for the metric).
+
+    Shape: REUSES the :func:`part_kcore` edge relation (one
+    driver-green basket derivation for the whole part-graph family)
+    and the O(sqrt(m)) degree-oriented triangle closure
+    (:func:`triangle_counts`), adds one endpoint-keyed degree
+    aggregate, and stitches triangles onto degrees with the
+    size-adaptive dimension attach (both tables are node-domain-
+    sized) — triangle-free nodes keep a 0 via the left attach.
+    """
+    from .dimjoin import attach_dim_adaptive
+    from .exact_agg import grouped_aggregate
+
+    edges = _basket_edges(sf_dir, min_support, max_basket)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            pc.cast(t.column("a"), pa.int64()).combine_chunks(),
+            pc.cast(t.column("b"), pa.int64()).combine_chunks()])})
+
+    degrees = grouped_aggregate(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], [("node", "count", "deg")])
+
+    tri = triangle_counts(edges)
+    if isinstance(tri, pa.Table):  # empty-graph fast path
+        import ray.data
+
+        tri = ray.data.from_arrow(tri)
+
+    joined = attach_dim_adaptive(degrees, "node", tri, "node",
+                                 ["n_triangles"], how="left")
+
+    def present(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("deg"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tr = t.column("n_triangles").to_numpy(zero_copy_only=False)
+        tr = np.nan_to_num(tr.astype(np.float64)).astype(np.int64) \
+            if tr.dtype.kind == "f" else tr.astype(np.int64)
+        return pa.table({
+            "part": pc.cast(t.column("node"), pa.int64()),
+            "deg": pa.array(d, pa.int64()),
+            "n_wedges": pa.array(d * (d - 1) // 2, pa.int64()),
+            "n_triangles": pa.array(tr, pa.int64())})
+
+    return joined.map_batches(present, batch_format="pyarrow")
+
+
+def part_clustering_sql(min_support: int = 2, max_basket: int = 32) -> str:
+    cte = _BASKET_EDGE_CTE.format(min_support=int(min_support),
+                                  max_basket=int(max_basket))
+    return cte + """,
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT x AS node FROM pairs UNION ALL SELECT y FROM pairs)
+  GROUP BY node),
+tri AS (
+  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+  FROM pairs e1
+  JOIN pairs e2 ON e2.x = e1.y
+  JOIN pairs e3 ON e3.x = e1.x AND e3.y = e2.y),
+tcnt AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT u AS s FROM tri UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+  GROUP BY s)
+SELECT CAST(deg.node AS BIGINT) AS part, deg.deg,
+       CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS n_wedges,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg LEFT JOIN tcnt t ON t.s = deg.node"""
+
+
+# ---------------------------------------------------------------------------
+# two-hop neighborhood size (friends-of-friends candidate reach)
+# ---------------------------------------------------------------------------
+
+def part_two_hop(sf_dir: str, min_support: int = 2, max_basket: int = 32):
+    """Distinct <=2-hop reach per node over the part co-purchase graph
+    — (part, n_1hop, n_2hop) where ``n_2hop`` counts distinct OTHER
+    nodes at distance 1 or 2.  This is the friends-of-friends
+    candidate-generation primitive (what a co-purchase recommender can
+    reach through one intermediary).
+
+    Shape: symmetrized edges key ONE exchange by the MID node — within
+    a mid's group every ordered neighbor pair (u, w), u != w, certifies
+    dist(u, w) <= 2 — unioned with the direct pairs (distance 1 need
+    not share a mid); a pair-keyed exact aggregate dedups candidate
+    pairs across mids, and a node-keyed count + the adaptive degree
+    attach finish.  Per-mid emission is Theta(d(mid)^2) — bounded by
+    the same ``max_basket`` densification guard the edge relation
+    applies — and the candidate pair domain is n_nodes^2 at worst,
+    never row-count-scale.
+    """
+    from ..util import shuffle_partitions
+    from .dedup import coarse_mix
+    from .dimjoin import attach_dim_adaptive
+    from .exact_agg import grouped_aggregate
+
+    edges = _basket_edges(sf_dir, min_support, max_basket)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        mid = np.concatenate([a, b])
+        return pa.table({
+            "mid": pa.array(mid, pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            "__coarse": pa.array(coarse_mix(mid), pa.int64())})
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def mid_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["mid", "nbr"]].drop_duplicates()
+        m = d.merge(d, on="mid")
+        m = m[m["nbr_x"] != m["nbr_y"]]
+        out = pd.concat([
+            pd.DataFrame({"u": m["nbr_x"].to_numpy(np.int64),
+                          "w": m["nbr_y"].to_numpy(np.int64)}),
+            pd.DataFrame({"u": d["mid"].to_numpy(np.int64),
+                          "w": d["nbr"].to_numpy(np.int64)})],
+            ignore_index=True)
+        return out.drop_duplicates()
+
+    cand = (sym.groupby("__coarse", num_partitions=shuffle_partitions())
+            .map_groups(mid_pairs, batch_format="pandas"))
+    dedup = grouped_aggregate(cand, ["u", "w"], [("u", "count", "__m")])
+    reach = grouped_aggregate(
+        dedup.map_batches(lambda t: t.select(["u"]), batch_format="pyarrow"),
+        ["u"], [("u", "count", "n_2hop")])
+
+    degrees = grouped_aggregate(
+        sym.map_batches(lambda t: t.select(["mid"]), batch_format="pyarrow"),
+        ["mid"], [("mid", "count", "n_1hop")])
+
+    joined = attach_dim_adaptive(degrees, "mid", reach, "u",
+                                 ["n_2hop"], how="inner")
+    return joined.map_batches(
+        lambda t: pa.table({
+            "part": pc.cast(t.column("mid"), pa.int64()),
+            "n_1hop": pc.cast(t.column("n_1hop"), pa.int64()),
+            "n_2hop": pc.cast(t.column("n_2hop"), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def part_two_hop_sql(min_support: int = 2, max_basket: int = 32) -> str:
+    cte = _BASKET_EDGE_CTE.format(min_support=int(min_support),
+                                  max_basket=int(max_basket))
+    return cte + """,
+ed AS MATERIALIZED (
+  SELECT x AS u, y AS v FROM pairs UNION ALL SELECT y, x FROM pairs),
+cand AS (
+  SELECT DISTINCT u, w FROM (
+    SELECT a.v AS u, b.v AS w
+    FROM ed a JOIN ed b ON a.u = b.u AND a.v <> b.v
+    UNION ALL
+    SELECT u, v AS w FROM ed)),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS n_1hop FROM ed GROUP BY u),
+reach AS (SELECT u, CAST(count(*) AS BIGINT) AS n_2hop FROM cand GROUP BY u)
+SELECT CAST(deg.u AS BIGINT) AS part, deg.n_1hop, reach.n_2hop
+FROM deg JOIN reach ON reach.u = deg.u"""

@@ -2198,3 +2198,152 @@ FROM (SELECT x.source AS source_a, y.source AS source_b
 LEFT JOIN m ON m.source_a = p.source_a AND m.source_b = p.source_b
 JOIN t ta ON ta.source = p.source_a
 JOIN t tb ON tb.source = p.source_b"""
+
+
+# ---------------------------------------------------------------------------
+# adjacent-bigram collocation statistics (PMI-ready integer table)
+# ---------------------------------------------------------------------------
+
+def collocation_stats(docs_ds, min_pair: int = 5):
+    """Adjacent-bigram collocation mining (the PMI / log-likelihood
+    input table of Church & Hanks 1990): for every token bigram
+    occurring >= ``min_pair`` times, its occurrence count plus both
+    unigram occurrence counts and the corpus token total — all exact
+    int64, so PMI = log(n_pair * n_tokens / (n_t1 * n_t2)) stays a
+    consumer-side rational and the repo's no-float-aggregates
+    discipline holds.
+
+    Shape: ONE tokenize pass emits per-batch PRE-AGGREGATED partials
+    for both grains — unigram counts and within-document adjacent-pair
+    counts (pair positions are a vectorized boundary mask over the
+    flattened token stream; bigrams never cross documents) — tagged
+    into one term-keyed exact aggregate.  The support gate prunes the
+    pair table BEFORE the two marginal attaches, each a STRING-keyed
+    coarse-hash exchange joining on the exact term per group (the
+    unigram table is vocabulary-domain-sized and never collects
+    driver-side).  The token total folds from vocabulary-domain-sized
+    partial sums.
+    """
+    from ..util import collect_small_arrow
+    from .exact_agg import grouped_aggregate
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"kind": pd.Series(dtype="int64"),
+                              "t1": pd.Series(dtype="object"),
+                              "t2": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64")})
+        toks = batch["text"].str.lower().str.findall(WORD_RE)
+        lens = toks.map(len).to_numpy()
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        uni = pd.DataFrame({"kind": np.int64(0), "t1": flat, "t2": ""}) \
+            .groupby(["kind", "t1", "t2"], sort=False).size() \
+            .reset_index(name="n")
+        # adjacent positions whose successor is in the SAME document:
+        # mask off each document's last token via the boundary offsets
+        last_idx = lens.cumsum() - 1
+        keep = np.ones(len(flat), bool)
+        keep[last_idx[lens > 0]] = False
+        keep = keep[:-1] if len(keep) else keep
+        pr = pd.DataFrame({"kind": np.int64(1),
+                           "t1": flat[:-1][keep], "t2": flat[1:][keep]}) \
+            .groupby(["kind", "t1", "t2"], sort=False).size() \
+            .reset_index(name="n")
+        out = pd.concat([uni, pr], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = grouped_aggregate(
+        docs_ds.map_batches(partials, batch_format="pandas"),
+        ["kind", "t1", "t2"], [("n", "sum", "n")]).materialize()
+
+    uni = agg.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"),
+                                    pa.scalar(0, pa.int64())))
+        .select(["t1", "n"]).rename_columns(["term", "n_term"]),
+        batch_format="pyarrow")
+
+    tot_t = collect_small_arrow(uni.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [int(pc.sum(t.column("n_term")).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow"))
+    n_tokens = int(sum(tot_t.column("s").to_pylist())) if tot_t.num_rows \
+        else 0
+
+    pairs = agg.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.equal(t.column("kind"), pa.scalar(1, pa.int64())),
+            pc.greater_equal(t.column("n"),
+                             pa.scalar(min_pair, pa.int64()))))
+        .select(["t1", "t2", "n"]).rename_columns(["t1", "t2", "n_pair"]),
+        batch_format="pyarrow")
+
+    def attach_marginal(fact_ds, key_col: str, out_col: str):
+        """STRING-keyed marginal attach: the int64-keyed adaptive attach
+        can't carry term keys, so fact and the vocab-domain unigram
+        table meet through ONE coarse-hash exchange on the hashed term
+        (``union_by_name`` aligns the differing schemas) and a
+        vectorized pandas merge joins on the EXACT string per group —
+        no driver-side vocab at any corpus size."""
+        from ..util import shuffle_partitions, union_by_name
+        from .exact_agg import hash_columns
+
+        def key_on(col):
+            def f(t: pa.Table) -> pa.Table:
+                kh = hash_columns(pa.table({"k": t.column(col)}))
+                return t.append_column("__coarse", pa.array(
+                    (kh & np.uint64(1023)).astype(np.int64), pa.int64()))
+            return f
+
+        dim = uni.map_batches(
+            lambda t: t.rename_columns([key_col, out_col]),
+            batch_format="pyarrow")
+        u = union_by_name([
+            fact_ds.map_batches(key_on(key_col), batch_format="pyarrow"),
+            dim.map_batches(key_on(key_col), batch_format="pyarrow")])
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns="__coarse")
+            is_dim = g["n_pair"].isna()
+            fact = g[~is_dim].drop(columns=[out_col])
+            dimg = g[is_dim][[key_col, out_col]]
+            out = fact.merge(dimg, on=key_col, how="inner")
+            for c in out.columns:
+                if c not in ("t1", "t2"):
+                    out[c] = out[c].astype("int64")
+            return out
+
+        return (u.groupby("__coarse", num_partitions=shuffle_partitions())
+                .map_groups(merge, batch_format="pandas"))
+
+    joined = attach_marginal(attach_marginal(pairs, "t1", "n_t1"),
+                             "t2", "n_t2")
+
+    return joined.map_batches(
+        lambda t: pa.table({
+            "t1": t.column("t1"), "t2": t.column("t2"),
+            "n_pair": pc.cast(t.column("n_pair"), pa.int64()),
+            "n_t1": pc.cast(t.column("n_t1"), pa.int64()),
+            "n_t2": pc.cast(t.column("n_t2"), pa.int64()),
+            "n_tokens": pa.array(np.full(t.num_rows, n_tokens, np.int64))}),
+        batch_format="pyarrow")
+
+
+def collocation_stats_sql(min_pair: int = 5) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS l
+  FROM documents),
+flat AS (SELECT unnest(l) AS term FROM toks),
+uni AS MATERIALIZED (SELECT term, count(*) AS n FROM flat GROUP BY term),
+tot AS (SELECT count(*) AS n_tokens FROM flat),
+pr AS (
+  SELECT l[CAST(i AS INT)] AS t1, l[CAST(i AS INT) + 1] AS t2,
+         count(*) AS n_pair
+  FROM toks, unnest(range(1, len(l))) t(i)
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_pair)})
+SELECT pr.t1, pr.t2, CAST(pr.n_pair AS BIGINT) AS n_pair,
+       CAST(a.n AS BIGINT) AS n_t1, CAST(b.n AS BIGINT) AS n_t2,
+       CAST((SELECT n_tokens FROM tot) AS BIGINT) AS n_tokens
+FROM pr JOIN uni a ON a.term = pr.t1 JOIN uni b ON b.term = pr.t2"""
