@@ -487,6 +487,19 @@ def run_bench() -> dict:
     best_of("changelog_compaction", lambda: changelog_compaction(SF_DIR))
     best_of("zonemap_prune_audit", lambda: zonemap_prune_audit(SF_DIR))
 
+    # round-5 sixteenth wave: triangle closure + degree stitch over the
+    # shared basket graph, the mid-keyed two-hop pair dedup, and the
+    # tokenize-once collocation table with two string-keyed marginal
+    # exchanges
+    from yj_schema_validator_ray.stages.graph import (
+        part_clustering, part_two_hop)
+    from yj_schema_validator_ray.stages.text import collocation_stats
+
+    best_of("part_clustering", lambda: part_clustering(SF_DIR).count())
+    best_of("part_two_hop", lambda: part_two_hop(SF_DIR).count())
+    best_of("collocation_stats",
+            lambda: collocation_stats(docs_ds()).count())
+
     headline = timings["validate"]
     result = {
         "metric": ("validated files/sec end-to-end (rows validated + "
