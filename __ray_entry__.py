@@ -1647,9 +1647,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (c) 12-50 the 39 stalest never-driver-checked oracled entries
         #     (r4 waves 3-6, in original wave order).
         # After this window the r01-r05 driver-row union covers 172 of
-        # the 253 oracled entries; the remaining never-checked pool
-        # (marked below) is the r6 rotation pool, stalest first — all
-        # of it is local-harness + sf0.001/sf0.01 driver-mimic green.
+        # the 259 oracled entries (waves 15-16 added 8 oracled entries
+        # AFTER the window froze; they sit at the END of the r6 pool,
+        # freshest-last); the remaining never-checked pool (marked
+        # below) is the r6 rotation pool, stalest first — all of it is
+        # local-harness + sf0.001/sf0.01 driver-mimic green.
         # ADD NEW QUERIES BELOW THE "r6 rotation pool" marker.
         "dup_substring_coverage": q_dup_substring_coverage,
         "source_weighted_jaccard": q_source_weighted_jaccard,
